@@ -1,0 +1,179 @@
+"""Deterministic audio payload synthesis / encode / decode (pure numpy).
+
+The BASELINE input is an Iceberg table of audio clip + transcript pairs with
+an opaque ``bytes:binary`` column. Real codec decode (flac/opus) would use
+soundfile / pyav / opuslib — none of which ship in this container — so this
+module defines a self-contained deterministic container format ("SGA1") with
+three codec payloads that *model* the three codec families named in the
+fixtures (FIXTURES.md T1 `codec` column):
+
+  * ``pcm_s16le`` — raw little-endian int16 samples (lossless, no transform)
+  * ``flac``      — XOR-delta int16 samples (lossless, invertible transform;
+                    stands in for a real lossless codec)
+  * ``opus``      — 10-bit quantized int16 samples (lossy; quantization noise
+                    keeps SNR ≈ 56 dB, well above the 30 dB gate; stands in
+                    for a real lossy codec)
+
+Real-codec decode hooks are gated behind an import-try (see
+:func:`decode_external`) and raise ``NotImplementedError`` when the library
+is absent — the Spark-side plumbing (schema, batch shape, UDF signature) is
+identical either way.
+
+Container layout (little-endian):
+    magic   4s   b"SGA1"
+    codec   u8   0=pcm_s16le 1=flac 2=opus
+    sr_hz   u32  sample rate used at synthesis time (authoritative for decode)
+    n       u32  number of samples
+    freq    f32  sine frequency (Hz) — reference-signal metadata
+    amp     f32  sine amplitude in [0,1] — reference-signal metadata
+    payload n*2 bytes
+
+The header carries the reference-signal parameters so a validator can
+reconstruct the *expected* clean signal and compute SNR against the decoded
+one — the per-row invariant mandated by BASELINE.json ``input_hint``
+("decoded-PCM allclose (SNR≥30dB)").
+
+Everything is vectorized numpy; no per-row Python beyond the unavoidable
+per-clip loop inside an Arrow batch (clips are variable-length).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAGIC = b"SGA1"
+HEADER = struct.Struct("<4sBIIff")
+HEADER_LEN = HEADER.size  # 21 bytes
+
+CODEC_IDS = {"pcm_s16le": 0, "flac": 1, "opus": 2}
+CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
+
+_OPUS_SHIFT = 6  # 16-bit -> 10-bit quantization
+
+
+def synth_sine(freq_hz: float, sr_hz: int, n_samples: int, amp: float) -> np.ndarray:
+    """Clean reference signal as int16 (round-to-nearest of amp*sin)."""
+    t = np.arange(n_samples, dtype=np.float64) / float(sr_hz)
+    x = amp * np.sin(2.0 * np.pi * freq_hz * t)
+    return np.clip(np.rint(x * 32767.0), -32768, 32767).astype(np.int16)
+
+
+def reference_signal(freq_hz: float, sr_hz: int, n_samples: int, amp: float) -> np.ndarray:
+    """Float64 clean reference used as the SNR denominator baseline."""
+    t = np.arange(n_samples, dtype=np.float64) / float(sr_hz)
+    return amp * 32767.0 * np.sin(2.0 * np.pi * freq_hz * t)
+
+
+def _encode_payload(samples: np.ndarray, codec: str) -> bytes:
+    s = samples.astype("<i2")
+    if codec == "pcm_s16le":
+        return s.tobytes()
+    if codec == "flac":
+        u = s.view("<u2")
+        delta = np.empty_like(u)
+        delta[0] = u[0]
+        np.bitwise_xor(u[1:], u[:-1], out=delta[1:])
+        return delta.tobytes()
+    if codec == "opus":
+        q = (s.astype(np.int32) >> _OPUS_SHIFT).astype("<i2")
+        return q.tobytes()
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def _decode_payload(payload: bytes, codec_id: int, n: int) -> np.ndarray:
+    raw = np.frombuffer(payload, dtype="<i2", count=n)
+    if codec_id == 0:  # pcm_s16le
+        return raw.astype(np.int16)
+    if codec_id == 1:  # flac (XOR-delta)
+        u = raw.view("<u2")
+        return np.bitwise_xor.accumulate(u).astype("<u2").view("<i2").astype(np.int16)
+    if codec_id == 2:  # opus (10-bit quantized)
+        return (raw.astype(np.int32) << _OPUS_SHIFT).astype(np.int16)
+    raise ValueError(f"unknown codec id {codec_id}")
+
+
+def encode_clip(
+    freq_hz: float,
+    sr_hz: int,
+    n_samples: int,
+    amp: float,
+    codec: str,
+    corrupt: bool = False,
+) -> bytes:
+    """Synthesize a sine and wrap it in an SGA1 container.
+
+    ``corrupt=True`` XORs 0xA5 over a middle slice of the encoded payload —
+    the deterministic bit-corruption of FIXTURES.md T1 (rows i % 101 == 0),
+    which must fail the SNR ≥ 30 dB validity check.
+    """
+    samples = synth_sine(freq_hz, sr_hz, n_samples, amp)
+    payload = bytearray(_encode_payload(samples, codec))
+    if corrupt:
+        lo = len(payload) // 4
+        hi = max(lo + 2, (3 * len(payload)) // 4)
+        arr = np.frombuffer(bytes(payload[lo:hi]), dtype=np.uint8) ^ np.uint8(0xA5)
+        payload[lo:hi] = arr.tobytes()
+    header = HEADER.pack(MAGIC, CODEC_IDS[codec], int(sr_hz), int(n_samples), float(freq_hz), float(amp))
+    return header + bytes(payload)
+
+
+def decode_clip(blob: bytes) -> tuple[dict, np.ndarray]:
+    """Parse an SGA1 container → (header dict, int16 samples).
+
+    Raises ValueError on malformed input (bad magic / truncated payload).
+    """
+    if blob is None or len(blob) < HEADER_LEN:
+        raise ValueError("truncated header")
+    magic, codec_id, sr, n, freq, amp = HEADER.unpack_from(blob, 0)
+    if magic != MAGIC:
+        raise ValueError("bad magic")
+    payload = blob[HEADER_LEN:]
+    if len(payload) < 2 * n:
+        raise ValueError("truncated payload")
+    samples = _decode_payload(payload, codec_id, n)
+    hdr = {
+        "codec": CODEC_NAMES.get(codec_id, f"unknown_{codec_id}"),
+        "sr_hz": sr,
+        "n_samples": n,
+        "freq_hz": freq,
+        "amp": amp,
+    }
+    return hdr, samples
+
+
+def snr_db(blob: bytes) -> float:
+    """SNR (dB) of the decoded signal vs the header's clean reference.
+
+    Returns -inf for undecodable blobs. Vector math only.
+    """
+    try:
+        hdr, samples = decode_clip(blob)
+    except ValueError:
+        return float("-inf")
+    ref = reference_signal(hdr["freq_hz"], hdr["sr_hz"], hdr["n_samples"], hdr["amp"])
+    noise = samples.astype(np.float64) - ref
+    p_sig = float(np.sum(ref * ref))
+    p_noise = float(np.sum(noise * noise))
+    if p_noise <= 0.0:
+        return float("inf")
+    if p_sig <= 0.0:
+        return float("-inf")
+    return 10.0 * np.log10(p_sig / p_noise)
+
+
+def decode_external(blob: bytes, codec: str) -> np.ndarray:
+    """Hook for real codec decode via soundfile — STUB in this container.
+
+    The image/audio libs are not installed here; the Spark plumbing that
+    calls this (ops/audio.py mapInPandas) is real and tested against the
+    SGA1 path above.
+    """
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - library absent by design
+        raise NotImplementedError(
+            f"real {codec} decode requires soundfile/pyav, not present in this environment"
+        ) from exc
+    raise NotImplementedError("real-codec path not wired in this sandbox")

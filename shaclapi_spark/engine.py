@@ -1,0 +1,462 @@
+"""The validation engine: shape sub-DAGs as declarative DataFrame plans.
+
+Per-shape physical shape (SURVEY.md §7, scale-first):
+
+  table ──filter(target)──► row-check columns (map-side, codegen)
+        ──audio UDF column (Arrow batch; short-circuited by cheap checks)
+        ──fk_exists marker joins (broadcast when parent keys are small)
+        ──ONE groupBy(entity): n_rows + bool_and of every row bool   ← the
+          only full-table shuffle, map-side combinable partial agg
+        ──left join per (child_table, fk): child groupBy(fk) computing ALL
+          count / qualified-valid-count columns for that child in one pass
+        ──AND/OR combine + reason attribution (map-side)
+        ──verdicts / violations
+
+Shapes that declare no `unique` constraint are treated as entity-grain and
+skip the groupBy entirely (zero-shuffle fast path — e.g. TranscriptShape).
+
+Cyclic shape groups (tc3 analog) run to fixpoint from the all-valid
+(unbound⇒valid) initialization; invalidation through qualified-min
+constraints is monotone, and convergence is detected with a cheap
+order-insensitive hash aggregate instead of a full diff.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from shaclapi_spark import verdicts as V
+from shaclapi_spark.compiler import EvalGroup, compile_suite
+from shaclapi_spark.ops import audio as audio_ops
+from shaclapi_spark.ops import drift as drift_ops
+from shaclapi_spark.ops.row_checks import describe, row_predicate
+from shaclapi_spark.suite import CHILD_KINDS, ROW_KINDS, Constraint, Shape, Suite
+
+
+@dataclass
+class EngineConfig:
+    n_buckets: int = 64
+    short_circuit: bool = True          # early-fail: skip audio decode for rows already invalid
+    max_fixpoint_iters: int = 10
+    cache_shared_verdicts: bool = True  # persist verdicts reused by dependent shapes
+    min_snr_db: float = 30.0
+
+
+@dataclass
+class SuiteResult:
+    verdicts: DataFrame
+    violations: DataFrame
+    summary: DataFrame
+    shapes_evaluated: list[str] = field(default_factory=list)
+
+
+def _bool_col(name: str) -> Column:
+    return F.coalesce(F.col(name), F.lit(True))  # unbound ⇒ valid
+
+
+class _ShapeEvaluator:
+    """Builds the DataFrame plan for one shape given prerequisite verdicts."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        shape: Shape,
+        tables: dict[str, DataFrame],
+        prereq_verdicts: dict[str, DataFrame],
+        config: EngineConfig,
+        entity_col_by_shape: dict[str, str] | None = None,
+    ):
+        self.spark = spark
+        self.shape = shape
+        self.tables = tables
+        self.prereq = prereq_verdicts
+        self.cfg = config
+        self._ref_entity_cols = entity_col_by_shape or {}
+        self.row_cs: list[Constraint] = []
+        self.audio_cs: list[Constraint] = []
+        self.fk_cs: list[Constraint] = []
+        self.child_cs: list[Constraint] = []
+        self.unique_cs: list[Constraint] = []
+        self.dataset_cs: list[Constraint] = []
+        self.or_groups: list[Constraint] = []
+        self._classify()
+
+    def _classify(self) -> None:
+        def walk(c: Constraint) -> None:
+            if c.kind == "or_group":
+                for b in c.branches:
+                    walk(b)
+            elif c.kind == "audio_valid":
+                self.audio_cs.append(c)
+            elif c.kind == "fk_exists":
+                self.fk_cs.append(c)
+            elif c.kind in ROW_KINDS:
+                self.row_cs.append(c)
+            elif c.kind == "unique":
+                self.unique_cs.append(c)
+            elif c.kind in CHILD_KINDS:
+                self.child_cs.append(c)
+            elif c.kind == "drift":
+                self.dataset_cs.append(c)
+            else:  # pragma: no cover
+                raise ValueError(c.kind)
+
+        for c in self.shape.constraints:
+            if c.kind == "or_group":
+                self.or_groups.append(c)
+            walk(c)
+
+    # ---- plan assembly ----------------------------------------------------
+
+    def entity_bools(self) -> tuple[DataFrame, dict[str, Column]]:
+        """Returns (entity-grain DF with one `b_<cid>` column per leaf
+        constraint, {cid: entity-level bool Column})."""
+        shape = self.shape
+        df = self.tables[shape.table]
+        if shape.target_filter:
+            df = df.filter(F.expr(shape.target_filter))
+
+        top_level_ids = {c.id for c in shape.constraints}
+        row_bool_names: list[str] = []
+        precond_names: list[str] = []  # only top-level row checks may short-circuit
+        for c in self.row_cs:
+            name = f"b_{c.id}"
+            df = df.withColumn(name, row_predicate(c))
+            row_bool_names.append(name)
+            if c.id in top_level_ids:
+                precond_names.append(name)
+
+        # fk_exists: broadcast-friendly marker join against distinct parent keys
+        for c in self.fk_cs:
+            p = c.params
+            name = f"b_{c.id}"
+            parent = self.tables[p["parent"]]
+            keys = parent.select(
+                F.col(p["parent_col"]).alias(f"__pk_{c.id}")
+            ).distinct()
+            df = df.join(
+                keys, df[p["column"]] == keys[f"__pk_{c.id}"], "left"
+            ).withColumn(
+                name,
+                F.when(F.col(p["column"]).isNull(), F.lit(True)).otherwise(
+                    F.col(f"__pk_{c.id}").isNotNull()
+                ),
+            ).drop(f"__pk_{c.id}")
+            row_bool_names.append(name)
+            if c.id in top_level_ids:
+                precond_names.append(name)
+
+        # audio UDF — short-circuited by every cheap row bool already computed
+        for c in self.audio_cs:
+            name = f"b_{c.id}"
+            pre = F.lit(True)
+            if self.cfg.short_circuit:
+                for rb in precond_names:
+                    pre = pre & _bool_col(rb)
+            df = audio_ops.with_audio_check(
+                df,
+                name,
+                c.params["column"],
+                float(c.params.get("min_snr_db", self.cfg.min_snr_db)),
+                precondition=pre,
+            )
+
+        all_row_names = row_bool_names + [f"b_{c.id}" for c in self.audio_cs]
+
+        # child-side join keys that live on the shape's own table (inverse-path
+        # refs, tc4 sh:inversePath analog) must survive the entity groupBy
+        local_keys = sorted(
+            {
+                c.params.get("local_key")
+                for c in self.child_cs
+                if c.params.get("local_key") not in (None, shape.entity_col)
+            }
+        )
+
+        # entity-grain reduction: one shuffle, or zero if no uniqueness demanded
+        entity = shape.entity_col
+        grouped = bool(self.unique_cs)
+        if grouped:
+            aggs = (
+                [F.count(F.lit(1)).alias("__n_rows")]
+                + [F.bool_and(F.col(n)).alias(n) for n in all_row_names]
+                + [F.first(F.col(k)).alias(k) for k in local_keys]
+            )
+            ent = df.groupBy(F.col(entity).alias("entity_id")).agg(*aggs)
+        else:
+            ent = df.withColumn("__n_rows", F.lit(1)).withColumnRenamed(
+                entity, "entity_id"
+            )
+
+        bools: dict[str, Column] = {c.id: F.col(f"b_{c.id}") for c in self.row_cs}
+        bools.update({c.id: F.col(f"b_{c.id}") for c in self.fk_cs})
+        bools.update({c.id: F.col(f"b_{c.id}") for c in self.audio_cs})
+        for c in self.unique_cs:
+            bools[c.id] = F.col("__n_rows") == 1
+
+        # child aggregates: one groupBy per (child table, fk, local join key),
+        # all count columns for that child fused into the single pass
+        by_child: dict[tuple[str, str, str], list[Constraint]] = {}
+        for c in self.child_cs:
+            lk = c.params.get("local_key") or shape.entity_col
+            key = (c.params["child"], c.params["fk"], lk)
+            by_child.setdefault(key, []).append(c)
+        for (child_name, fk, local_key), cs in sorted(by_child.items()):
+            child = self.tables[child_name]
+            ref_shapes = {
+                c.params["shape"] for c in cs if c.kind == "qualified_shape"
+            }
+            for rs in sorted(ref_shapes):
+                vd = self.prereq[rs].select(
+                    F.col("entity_id").alias(f"__ve_{rs}"),
+                    F.col("is_valid").alias(f"__v_{rs}"),
+                )
+                ref_entity_col = self._ref_entity_col(rs, child_name)
+                child = child.join(
+                    vd, child[ref_entity_col] == vd[f"__ve_{rs}"], "left"
+                ).drop(f"__ve_{rs}")
+            aggs = []
+            for c in cs:
+                cond = F.lit(True)
+                if c.params.get("where"):
+                    cond = F.coalesce(
+                        F.expr(c.params["where"]).cast("boolean"), F.lit(False)
+                    )
+                if c.kind == "qualified_shape":
+                    rs = c.params["shape"]
+                    cond = cond & F.coalesce(F.col(f"__v_{rs}"), F.lit(True))
+                aggs.append(
+                    F.sum(F.when(cond, 1).otherwise(0)).alias(f"cnt_{c.id}")
+                )
+            agg = child.groupBy(F.col(fk).alias("__fk")).agg(*aggs)
+            join_key = (
+                ent["entity_id"]
+                if local_key == shape.entity_col
+                else ent[local_key]
+            )
+            ent = ent.join(agg, join_key == agg["__fk"], "left").drop("__fk")
+            for c in cs:
+                cnt = F.coalesce(F.col(f"cnt_{c.id}"), F.lit(0))
+                pred = F.lit(True)
+                if c.kind == "min_count" or (
+                    c.kind == "qualified_shape" and c.params.get("min") is not None
+                ):
+                    pred = pred & (cnt >= F.lit(int(c.params["min"])))
+                if c.kind == "max_count" or (
+                    c.kind == "qualified_shape" and c.params.get("max") is not None
+                ):
+                    pred = pred & (cnt <= F.lit(int(c.params["max"])))
+                bools[c.id] = pred
+
+        return ent, bools
+
+    def _ref_entity_col(self, ref_shape: str, child_table: str) -> str:
+        """Join key for a qualified ref: the referenced shape's entity column
+        (the referenced shape's table is the child table)."""
+        return self._ref_entity_cols[ref_shape]
+
+    def evaluate(self) -> tuple[DataFrame, DataFrame]:
+        ent, bools = self.entity_bools()
+
+        # top-level combine honoring or_groups, in declaration order
+        top: list[tuple[Constraint, Column]] = []
+        for c in self.shape.constraints:
+            if c.kind == "drift":
+                continue  # dataset-level, handled by the engine
+            if c.kind == "or_group":
+                col = F.lit(False)
+                for b in c.branches:
+                    col = col | F.coalesce(bools[b.id], F.lit(True))
+                top.append((c, col))
+            else:
+                top.append((c, F.coalesce(bools[c.id], F.lit(True))))
+
+        valid = F.lit(True)
+        for _, col in top:
+            valid = valid & col
+
+        reason: Column = F.lit(None).cast("string")
+        for c, col in reversed(top):
+            rsn = (
+                c.params["shape"] if c.kind == "qualified_shape" else c.id
+            )
+            reason = F.when(~col, F.lit(rsn)).otherwise(reason)
+
+        ent = ent.withColumn("__valid", valid).withColumn("__reason", reason)
+
+        verdicts = ent.select(
+            F.col("entity_id").cast("string").alias("entity_id"),
+            F.lit(self.shape.name).alias("shape"),
+            F.col("__valid").alias("is_valid"),
+            F.col("__reason").alias("reason"),
+        )
+
+        viol_structs = []
+        for c, col in top:
+            detail = F.lit(describe(c))
+            if c.kind in ("min_count", "max_count", "qualified_shape"):
+                detail = F.format_string(
+                    "%s [count=%d]",
+                    detail,
+                    F.coalesce(F.col(f"cnt_{c.id}"), F.lit(0)),
+                )
+            elif c.kind == "unique":
+                detail = F.format_string(
+                    "%s [rows=%d]", detail, F.col("__n_rows")
+                )
+            viol_structs.append(
+                F.when(
+                    ~col,
+                    F.struct(
+                        F.lit(c.id).alias("constraint_id"),
+                        detail.alias("detail"),
+                    ),
+                )
+            )
+        if viol_structs:
+            arr = F.filter(F.array(*viol_structs), lambda x: x.isNotNull())
+            violations = ent.select(
+                F.col("entity_id").cast("string").alias("entity_id"),
+                F.lit(self.shape.name).alias("shape"),
+                F.explode(arr).alias("__v"),
+            ).select(
+                "entity_id",
+                "shape",
+                F.col("__v.constraint_id").alias("constraint_id"),
+                F.col("__v.detail").alias("detail"),
+            )
+        else:
+            violations = self.spark.createDataFrame([], schema="entity_id string, shape string, constraint_id string, detail string")
+        return verdicts, violations
+
+
+def _all_valid_verdicts(shape: Shape, tables: dict[str, DataFrame]) -> DataFrame:
+    df = tables[shape.table]
+    if shape.target_filter:
+        df = df.filter(F.expr(shape.target_filter))
+    return df.select(
+        F.col(shape.entity_col).cast("string").alias("entity_id"),
+        F.lit(shape.name).alias("shape"),
+        F.lit(True).alias("is_valid"),
+        F.lit("unbound").alias("reason"),
+    ).dropDuplicates(["entity_id"])
+
+
+def _verdict_fingerprint(vd: DataFrame) -> int:
+    """Order-insensitive cheap convergence check for fixpoint iteration."""
+    row = vd.select(
+        F.coalesce(
+            F.sum(F.xxhash64(F.col("entity_id"), F.col("is_valid"))), F.lit(0)
+        ).alias("h")
+    ).collect()[0]
+    return int(row.h)
+
+
+def run_suite(
+    spark: SparkSession,
+    suite: Suite,
+    tables: dict[str, DataFrame],
+    target_shapes: list[str] | None = None,
+    relevant_columns: set[str] | None = None,
+    config: EngineConfig | None = None,
+    prune: bool = True,
+) -> SuiteResult:
+    """Validate `tables` against `suite`; returns verdicts + violations +
+    per-bucket summary for the target shapes (all shapes if None)."""
+    cfg = config or EngineConfig()
+    targets = target_shapes or suite.names()
+    reduced, groups = compile_suite(
+        suite, targets, relevant_columns=relevant_columns, prune=prune
+    )
+    _check_unique_ids(reduced)
+    shape_by_name = {s.name: s for s in reduced.shapes}
+    entity_col_by_shape = {s.name: s.entity_col for s in reduced.shapes}
+
+    verdicts_by_shape: dict[str, DataFrame] = {}
+    violations_by_shape: dict[str, DataFrame] = {}
+
+    def eval_one(name: str, prereq: dict[str, DataFrame]):
+        ev = _ShapeEvaluator(
+            spark, shape_by_name[name], tables, prereq, cfg, entity_col_by_shape
+        )
+        return ev.evaluate()
+
+    for group in groups:
+        if not group.cyclic:
+            name = group.shapes[0]
+            vd, vl = eval_one(name, verdicts_by_shape)
+            if cfg.cache_shared_verdicts and _is_referenced(reduced, name):
+                vd = vd.persist()
+            verdicts_by_shape[name] = vd
+            violations_by_shape[name] = vl
+        else:
+            # unbound ⇒ valid initialization, iterate to fixpoint
+            current = {
+                n: _all_valid_verdicts(shape_by_name[n], tables)
+                for n in group.shapes
+            }
+            fps = {n: None for n in group.shapes}
+            last_viol: dict[str, DataFrame] = {}
+            for _ in range(cfg.max_fixpoint_iters):
+                prereq = dict(verdicts_by_shape)
+                prereq.update(current)
+                new = {}
+                changed = False
+                for n in group.shapes:
+                    vd, vl = eval_one(n, prereq)
+                    vd = vd.localCheckpoint(eager=True)
+                    new[n] = vd
+                    last_viol[n] = vl
+                    fp = _verdict_fingerprint(vd)
+                    if fps[n] != fp:
+                        changed = True
+                    fps[n] = fp
+                current = new
+                if not changed:
+                    break
+            for n in group.shapes:
+                verdicts_by_shape[n] = current[n]
+                violations_by_shape[n] = last_viol[n]
+
+    # dataset-level drift constraints (any shape)
+    drift_vd, drift_vl = drift_ops.evaluate_drift_constraints(
+        spark, reduced, tables
+    )
+
+    keep = list(verdicts_by_shape)
+    verdicts = V.union_all(
+        [verdicts_by_shape[n] for n in keep]
+        + ([drift_vd] if drift_vd is not None else [])
+    )
+    violations = V.union_all(
+        [violations_by_shape[n] for n in keep]
+        + ([drift_vl] if drift_vl is not None else [])
+    )
+    summary = V.summarize(verdicts, cfg.n_buckets)
+    return SuiteResult(
+        verdicts=verdicts,
+        violations=violations,
+        summary=summary,
+        shapes_evaluated=list(verdicts_by_shape),
+    )
+
+
+def _is_referenced(suite: Suite, name: str) -> bool:
+    return any(name in s.shape_refs() for s in suite.shapes)
+
+
+def _check_unique_ids(suite: Suite) -> None:
+    seen: set[str] = set()
+
+    def walk(c: Constraint) -> None:
+        if c.id in seen:
+            raise ValueError(f"duplicate constraint id {c.id!r}")
+        seen.add(c.id)
+        for b in c.branches:
+            walk(b)
+
+    for s in suite.shapes:
+        for c in s.constraints:
+            walk(c)

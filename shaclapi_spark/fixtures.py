@@ -1,0 +1,123 @@
+"""The canonical constraint-suite fixture (FIXTURES.md 'Constraint-suite
+fixture') — the analog of the reference's shape directories
+(/root/reference/tests/tc1/shapes/test1_2_3/, tc4/shapes/*.ttl).
+
+ClipShape       — target shape (ShapeA analog)
+TranscriptShape — helper shape (ShapeB/ShapeE analog)
+clip_cycle_suite() adds the tc3-style back-edge TranscriptShape→ClipShape.
+"""
+
+from __future__ import annotations
+
+from shaclapi_spark.suite import Constraint, Shape, Suite
+
+
+def clip_shape(include_audio: bool = True, include_drift: bool = True) -> Shape:
+    cs = [
+        Constraint("clip_unique", "unique", {"column": "clip_id"}),
+        Constraint("sr_not_null", "not_null", {"column": "sr_hz"}),
+        Constraint("sr_range", "range", {"column": "sr_hz", "min": 8000, "max": 48000}),
+        Constraint("dur_range", "range", {"column": "dur_ms", "min": 500, "max": 30000}),
+        Constraint(
+            "tr_min1",
+            "min_count",
+            {"child": "transcripts", "fk": "clip_id", "min": 1},
+        ),
+        Constraint(
+            "tr_max1",
+            "max_count",
+            {"child": "transcripts", "fk": "clip_id", "max": 1},
+        ),
+        Constraint(
+            "tr_valid",
+            "qualified_shape",
+            {
+                "child": "transcripts",
+                "fk": "clip_id",
+                "shape": "TranscriptShape",
+                "min": 1,
+            },
+        ),
+        Constraint(
+            "clip_or",
+            "or_group",
+            branches=[
+                Constraint("or_codec", "expr", {"sql": "codec = 'pcm_s16le'"}),
+                Constraint(
+                    "or_tokens",
+                    "min_count",
+                    {
+                        "child": "transcripts",
+                        "fk": "clip_id",
+                        "where": "n_tokens >= 1",
+                        "min": 1,
+                    },
+                ),
+                Constraint("or_dur", "expr", {"sql": "dur_ms <= 30000"}),
+            ],
+        ),
+    ]
+    if include_audio:
+        cs.append(
+            Constraint(
+                "pcm_snr",
+                "audio_valid",
+                {"column": "bytes", "min_snr_db": 30.0},
+            )
+        )
+    if include_drift:
+        cs.append(
+            Constraint("dur_drift", "drift", {"column": "dur_ms", "max_psi": 0.2}),
+        )
+        cs.append(
+            Constraint("sr_drift", "drift", {"column": "sr_hz", "max_psi": 0.2}),
+        )
+    return Shape(
+        name="ClipShape",
+        table="clips",
+        entity_col="clip_id",
+        constraints=cs,
+    )
+
+
+def transcript_shape() -> Shape:
+    return Shape(
+        name="TranscriptShape",
+        table="transcripts",
+        entity_col="transcript_id",
+        constraints=[
+            Constraint(
+                "tr_fk",
+                "fk_exists",
+                {"column": "clip_id", "parent": "clips", "parent_col": "clip_id"},
+            ),
+            Constraint("tr_text", "expr", {"sql": "text IS NOT NULL AND length(text) > 0"}),
+            Constraint("tr_tokens", "range", {"column": "n_tokens", "min": 0}),
+            Constraint("tr_lang", "in_set", {"column": "lang", "values": ["en", "de", "es"]}),
+        ],
+    )
+
+
+def clip_suite(include_audio: bool = True, include_drift: bool = True) -> Suite:
+    return Suite(shapes=[clip_shape(include_audio, include_drift), transcript_shape()])
+
+
+def clip_cycle_suite() -> Suite:
+    """tc3 analog (A→C→D→A): TranscriptShape additionally requires its parent
+    clip to be a valid ClipShape — a 2-cycle resolved by the unbound⇒valid
+    fixpoint (ValidationResultStreaming.py:25-26 semantics)."""
+    ts = transcript_shape()
+    ts.constraints.append(
+        Constraint(
+            "tr_clip_valid",
+            "qualified_shape",
+            {
+                "child": "clips",
+                "fk": "clip_id",
+                "local_key": "clip_id",
+                "shape": "ClipShape",
+                "min": 1,
+            },
+        )
+    )
+    return Suite(shapes=[clip_shape(include_audio=False, include_drift=False), ts])

@@ -1,0 +1,1 @@
+"""DataFrame constraint operators (SURVEY.md §2 inventory, Spark-first)."""

@@ -1,0 +1,64 @@
+"""Decoded-PCM validity check — vectorized Arrow pandas UDF (no per-row Python
+outside the unavoidable per-clip loop over variable-length blobs; all signal
+math is numpy).
+
+Implements the BASELINE per-row invariant: decoded PCM must match the
+reference signal at SNR ≥ 30 dB. The precondition column enables the
+reference's early-fail short-circuit (ValidationResultStreaming.py:18-21
+analog): rows already invalidated by cheap row checks skip the expensive
+decode — the UDF receives the precondition *as data*, so skipping is
+guaranteed (a ``F.when`` around a UDF would not guarantee non-evaluation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from shaclapi_spark import audio_codec
+
+
+@pandas_udf(DoubleType())
+def _snr_db_udf(blobs: pd.Series, precond: pd.Series) -> pd.Series:
+    out = np.full(len(blobs), np.nan, dtype=np.float64)
+    vals = blobs.to_numpy(dtype=object)
+    mask = precond.fillna(False).to_numpy(dtype=bool)
+    for k in np.nonzero(mask)[0]:
+        b = vals[k]
+        if b is not None:
+            out[k] = audio_codec.snr_db(bytes(b))
+    return pd.Series(out)
+
+
+def snr_column(bytes_col: str, precondition: Column | None = None) -> Column:
+    """SNR (dB) of the decoded payload vs its header reference signal.
+
+    NaN where the precondition is false (skipped) or the blob is NULL;
+    -inf where decode fails.
+    """
+    pre = precondition if precondition is not None else F.lit(True)
+    return _snr_db_udf(F.col(bytes_col), pre)
+
+
+def with_audio_check(
+    df: DataFrame,
+    out_col: str,
+    bytes_col: str,
+    min_snr_db: float = 30.0,
+    precondition: Column | None = None,
+) -> DataFrame:
+    """Adds boolean ``out_col``: True iff decode succeeds and SNR ≥ threshold.
+
+    NULL (→ unbound⇒valid downstream) when skipped by the precondition;
+    False when the blob is NULL/undecodable/corrupted.
+    """
+    snr = snr_column(bytes_col, precondition)
+    checked = F.when(F.isnan(snr), F.lit(None).cast("boolean")).otherwise(
+        snr >= F.lit(float(min_snr_db))
+    )
+    # NULL blob is a hard failure (there is no payload to validate), not unbound
+    checked = F.when(F.col(bytes_col).isNull(), F.lit(False)).otherwise(checked)
+    return df.withColumn(out_col, checked)

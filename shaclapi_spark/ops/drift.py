@@ -1,0 +1,113 @@
+"""Distribution-drift checks: KS statistic + PSI vs a broadcast reference
+histogram (the T3 fixture table). New capability mandated by BASELINE.json —
+not present in the reference, which has no numeric operators at all
+(SURVEY.md §2.7).
+
+Physical plan: one map-side bin assignment (equal-width, arithmetic only) +
+one tiny groupBy(bin) — a 32-row shuffle regardless of input size; the
+ref histogram and the observed histogram are driver-side numpy after that.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from shaclapi_spark.suite import Suite
+
+
+def observed_histogram(df: DataFrame, column: str, lo: float, hi: float, n_bins: int) -> np.ndarray:
+    """Fractions per equal-width bin; NULLs excluded, out-of-range clamped to
+    the edge bins (standard PSI practice)."""
+    col = F.col(column).cast("double")
+    bin_expr = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((col - F.lit(lo)) / F.lit((hi - lo) / n_bins)).cast("int"),
+        ),
+    )
+    rows = (
+        df.filter(col.isNotNull())
+        .groupBy(bin_expr.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = np.zeros(n_bins, dtype=np.float64)
+    for r in rows:
+        counts[int(r.bin)] = float(r.n)
+    total = counts.sum()
+    return counts / total if total > 0 else counts
+
+
+def ks_psi(obs: np.ndarray, ref: np.ndarray, eps: float = 1e-6) -> tuple[float, float]:
+    p = obs + eps
+    q = np.asarray(ref, dtype=np.float64) + eps
+    p = p / p.sum()
+    q = q / q.sum()
+    psi = float(np.sum((p - q) * np.log(p / q)))
+    ks = float(np.max(np.abs(np.cumsum(p) - np.cumsum(q))))
+    return ks, psi
+
+
+def drift_metrics(
+    df: DataFrame, column: str, ref_hist: DataFrame
+) -> tuple[float, float]:
+    """(ks, psi) of df[column] vs the reference histogram rows for `column`.
+    The reference table is tiny (n_bins rows per column) — collected driver-side."""
+    ref_rows = sorted(
+        ref_hist.filter(F.col("column_name") == column).collect(),
+        key=lambda r: r.bin_lo,
+    )
+    if not ref_rows:
+        raise ValueError(f"no reference histogram for column {column!r}")
+    lo = float(ref_rows[0].bin_lo)
+    hi = float(ref_rows[-1].bin_hi)
+    ref = np.array([r.ref_frac for r in ref_rows], dtype=np.float64)
+    obs = observed_histogram(df, column, lo, hi, len(ref_rows))
+    return ks_psi(obs, ref)
+
+
+def evaluate_drift_constraints(
+    spark: SparkSession, suite: Suite, tables: dict[str, DataFrame]
+):
+    """Dataset-level verdict rows (entity_id='__dataset__') for every `drift`
+    constraint in the suite. Returns (verdicts_df|None, violations_df|None)."""
+    vrows, xrows = [], []
+    for shape in suite.shapes:
+        df = tables[shape.table]
+        if shape.target_filter:
+            df = df.filter(F.expr(shape.target_filter))
+        for c in shape.constraints:
+            if c.kind != "drift":
+                continue
+            p = c.params
+            ref = tables[p.get("ref_table", "ref_histograms")]
+            ks, psi = drift_metrics(df, p["column"], ref)
+            ok = True
+            if p.get("max_psi") is not None and psi > float(p["max_psi"]):
+                ok = False
+            if p.get("max_ks") is not None and ks > float(p["max_ks"]):
+                ok = False
+            detail = f"drift({p['column']}) ks={ks:.4f} psi={psi:.4f}"
+            vrows.append(("__dataset__", shape.name, ok, None if ok else c.id))
+            if not ok:
+                xrows.append(("__dataset__", shape.name, c.id, detail))
+    if not vrows:
+        return None, None
+    vd = spark.createDataFrame(
+        vrows, schema="entity_id string, shape string, is_valid boolean, reason string"
+    )
+    vl = (
+        spark.createDataFrame(
+            xrows,
+            schema="entity_id string, shape string, constraint_id string, detail string",
+        )
+        if xrows
+        else spark.createDataFrame(
+            [], schema="entity_id string, shape string, constraint_id string, detail string"
+        )
+    )
+    return vd, vl

@@ -1,0 +1,89 @@
+"""DuckDB-oracle SQL for the clip fixture suite.
+
+The golden-test strategy of the reference is end-to-end expected result sets
+per test definition (/root/reference/tests/tc*/test_definitions/*.json,
+compared order-insensitively in tests/test_main.py:229-246). Here the
+expected sets are *computed* by an independent engine — DuckDB — running
+ANSI SQL over the exact same parquet files the Spark engine reads.
+
+The audio constraint is expressed via the generator invariant (FIXTURES.md:
+rows with clip index % 101 == 0 carry corrupted payloads) — the only
+SQL-expressible statement of the decoded-PCM check.
+"""
+
+from __future__ import annotations
+
+
+def transcript_verdict_sql(clips: str, transcripts: str) -> str:
+    """Per-transcript TranscriptShape verdicts (entity grain = row grain)."""
+    return f"""
+WITH clips AS (SELECT * FROM {clips}),
+     tr    AS (SELECT * FROM {transcripts})
+SELECT
+  tr.transcript_id AS entity_id,
+  'TranscriptShape' AS shape,
+  (
+    (tr.clip_id IS NULL OR tr.clip_id IN (SELECT clip_id FROM clips))
+    AND coalesce(tr.text IS NOT NULL AND length(tr.text) > 0, TRUE)
+    AND (tr.n_tokens IS NULL OR tr.n_tokens >= 0)
+    AND (tr.lang IS NULL OR tr.lang IN ('en','de','es'))
+  ) AS is_valid
+FROM tr
+"""
+
+
+def clip_verdict_sql(clips: str, transcripts: str, include_audio: bool = True) -> str:
+    audio_bool = (
+        "bool_and(CAST(substr(c.clip_id, 6) AS BIGINT) % 101 <> 0)"
+        if include_audio
+        else "bool_and(TRUE)"
+    )
+    return f"""
+WITH clips AS (SELECT * FROM {clips}),
+     tr    AS (SELECT * FROM {transcripts}),
+tr_verdict AS (
+  SELECT entity_id AS transcript_id, is_valid
+  FROM ({transcript_verdict_sql(clips="clips", transcripts="tr")})
+),
+clip_rows AS (
+  SELECT
+    c.clip_id,
+    count(*) AS n_rows,
+    bool_and(c.sr_hz IS NOT NULL) AS b_sr_nn,
+    bool_and(c.sr_hz IS NULL OR (c.sr_hz BETWEEN 8000 AND 48000)) AS b_sr_rng,
+    bool_and(c.dur_ms IS NULL OR (c.dur_ms BETWEEN 500 AND 30000)) AS b_dur,
+    bool_and(coalesce(c.codec = 'pcm_s16le', TRUE)) AS b_or_codec,
+    bool_and(coalesce(c.dur_ms <= 30000, TRUE)) AS b_or_dur,
+    {audio_bool} AS b_audio
+  FROM clips c
+  GROUP BY c.clip_id
+),
+child_agg AS (
+  SELECT
+    t.clip_id,
+    count(*) AS n_tr,
+    sum(CASE WHEN t.n_tokens >= 1 THEN 1 ELSE 0 END) AS n_tok,
+    sum(CASE WHEN coalesce(v.is_valid, TRUE) THEN 1 ELSE 0 END) AS n_valid_tr
+  FROM tr t
+  LEFT JOIN tr_verdict v ON v.transcript_id = t.transcript_id
+  GROUP BY t.clip_id
+)
+SELECT
+  r.clip_id AS entity_id,
+  'ClipShape' AS shape,
+  (
+    r.n_rows = 1
+    AND r.b_sr_nn AND r.b_sr_rng AND r.b_dur
+    AND coalesce(a.n_tr, 0) >= 1
+    AND coalesce(a.n_tr, 0) <= 1
+    AND coalesce(a.n_valid_tr, 0) >= 1
+    AND (r.b_or_codec OR coalesce(a.n_tok, 0) >= 1 OR r.b_or_dur)
+    AND coalesce(r.b_audio, TRUE)
+  ) AS is_valid
+FROM clip_rows r
+LEFT JOIN child_agg a ON a.clip_id = r.clip_id
+"""
+
+
+def clips_table_expr(path: str) -> str:
+    return f"read_parquet('{path}/**/*.parquet')"

@@ -1,0 +1,155 @@
+"""Constraint-suite model — the analog of the reference's shape schema.
+
+The reference declares shapes in JSON/Turtle (sh:targetClass/sh:targetQuery,
+sh:minCount/sh:maxCount, sh:qualifiedValueShape, sh:or — pinned in
+/root/reference/tests/tc1..tc6 and the constraint classes asserted in
+/root/reference/tests/test_main.py:296-403). Here a suite is a plain Python /
+JSON document: shapes over named tables, each a conjunction of constraints,
+possibly referencing other shapes (cycles allowed, tc3 analog).
+
+Constraint kinds
+----------------
+row-level (pure map-side, no shuffle):
+  not_null(column)                — sh:minCount 1 on a direct property
+  range(column, min, max)         — value range (inclusive bounds, either side optional)
+  in_set(column, values)          — sh:in analog
+  regex(column, pattern)          — sh:pattern analog
+  expr(sql)                       — arbitrary SQL boolean over the row
+  audio_valid(column, min_snr_db) — decoded-PCM SNR gate (Arrow UDF, ops/audio.py)
+  or_group(branches)              — sh:or: disjunction of the above kinds
+
+entity-level (fused into ONE groupBy per shape):
+  unique(column?)                 — clip_id uniqueness: exactly one row per entity
+
+child-level (one groupBy+join per (child_table, fk)):
+  min_count / max_count(child, fk, where?)   — sh:minCount/maxCount over a path
+  fk_exists(column, parent, parent_col)      — referential integrity
+  qualified_shape(child, fk, shape, min, max?) — sh:qualifiedValueShape +
+        qualifiedMin/MaxCount: count of child rows VALID for `shape`
+
+dataset-level:
+  drift(column, max_psi?, max_ks?)  — KS/PSI vs the broadcast reference
+        histogram table (T3); verdict entity_id = '__dataset__'
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+ROW_KINDS = {"not_null", "range", "in_set", "regex", "expr", "audio_valid"}
+CHILD_KINDS = {"min_count", "max_count", "fk_exists", "qualified_shape"}
+DATASET_KINDS = {"drift"}
+ALL_KINDS = ROW_KINDS | CHILD_KINDS | DATASET_KINDS | {"unique", "or_group"}
+
+
+@dataclass
+class Constraint:
+    id: str
+    kind: str
+    params: dict = field(default_factory=dict)
+    branches: list["Constraint"] = field(default_factory=list)  # or_group only
+
+    def __post_init__(self) -> None:
+        if self.kind not in ALL_KINDS:
+            raise ValueError(f"unknown constraint kind {self.kind!r}")
+        if self.kind == "or_group" and not self.branches:
+            raise ValueError("or_group needs branches")
+
+    def columns(self) -> set[str]:
+        """Columns of the shape's own table this constraint touches (for
+        query-driven constraint pruning — ReducedShapeParser.py:78-110 analog)."""
+        cols = set()
+        for key in ("column",):
+            if key in self.params:
+                cols.add(self.params[key])
+        for b in self.branches:
+            cols |= b.columns()
+        return cols
+
+    def shape_refs(self) -> set[str]:
+        refs = set()
+        if self.kind == "qualified_shape":
+            refs.add(self.params["shape"])
+        for b in self.branches:
+            refs |= b.shape_refs()
+        return refs
+
+    def to_dict(self) -> dict:
+        d = {"id": self.id, "kind": self.kind, "params": self.params}
+        if self.branches:
+            d["branches"] = [b.to_dict() for b in self.branches]
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Constraint":
+        return cls(
+            id=d["id"],
+            kind=d["kind"],
+            params=d.get("params", {}),
+            branches=[cls.from_dict(b) for b in d.get("branches", [])],
+        )
+
+
+@dataclass
+class Shape:
+    """target definition + conjunction of constraints (tc1 ShapeA..E analog)."""
+
+    name: str
+    table: str
+    entity_col: str
+    target_filter: str | None = None  # SQL boolean — sh:targetQuery analog
+    constraints: list[Constraint] = field(default_factory=list)
+
+    def shape_refs(self) -> set[str]:
+        refs: set[str] = set()
+        for c in self.constraints:
+            refs |= c.shape_refs()
+        return refs
+
+    def to_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "table": self.table,
+            "entity_col": self.entity_col,
+            "target_filter": self.target_filter,
+            "constraints": [c.to_dict() for c in self.constraints],
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Shape":
+        return cls(
+            name=d["name"],
+            table=d["table"],
+            entity_col=d["entity_col"],
+            target_filter=d.get("target_filter"),
+            constraints=[Constraint.from_dict(c) for c in d.get("constraints", [])],
+        )
+
+
+@dataclass
+class Suite:
+    """A shape network — the whole schema document."""
+
+    shapes: list[Shape]
+
+    def shape(self, name: str) -> Shape:
+        for s in self.shapes:
+            if s.name == name:
+                return s
+        raise KeyError(name)
+
+    def names(self) -> list[str]:
+        return [s.name for s in self.shapes]
+
+    def dependencies(self) -> dict[str, set[str]]:
+        """shape -> set of shapes it references (edge direction: dependent -> prerequisite)."""
+        return {s.name: s.shape_refs() for s in self.shapes}
+
+    def to_json(self) -> str:
+        return json.dumps({"shapes": [s.to_dict() for s in self.shapes]}, indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Suite":
+        d = json.loads(text)
+        return cls(shapes=[Shape.from_dict(s) for s in d["shapes"]])
