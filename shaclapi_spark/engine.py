@@ -50,6 +50,7 @@ class SuiteResult:
     violations: DataFrame
     summary: DataFrame
     shapes_evaluated: list[str] = field(default_factory=list)
+    verdicts_by_shape: dict[str, DataFrame] = field(default_factory=dict)
 
 
 def _bool_col(name: str) -> Column:
@@ -348,10 +349,11 @@ def _verdict_fingerprint(vd: DataFrame) -> int:
     """Order-insensitive cheap convergence check for fixpoint iteration."""
     row = vd.select(
         F.coalesce(
-            F.sum(F.xxhash64(F.col("entity_id"), F.col("is_valid"))), F.lit(0)
-        ).alias("h")
+            F.bit_xor(F.xxhash64(F.col("entity_id"), F.col("is_valid"))), F.lit(0)
+        ).alias("h"),
+        F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    return int(row.h)
+    return hash((int(row.h), int(row.n)))
 
 
 def run_suite(
@@ -362,9 +364,14 @@ def run_suite(
     relevant_columns: set[str] | None = None,
     config: EngineConfig | None = None,
     prune: bool = True,
+    preseeded_verdicts: dict[str, DataFrame] | None = None,
 ) -> SuiteResult:
     """Validate `tables` against `suite`; returns verdicts + violations +
-    per-bucket summary for the target shapes (all shapes if None)."""
+    per-bucket summary for the target shapes (all shapes if None).
+
+    ``preseeded_verdicts``: shape → verdict DF computed by an earlier run
+    (lineage waves reuse helper-shape verdicts this way — the batch analog of
+    the reference's early verdict reuse)."""
     cfg = config or EngineConfig()
     targets = target_shapes or suite.names()
     reduced, groups = compile_suite(
@@ -374,7 +381,7 @@ def run_suite(
     shape_by_name = {s.name: s for s in reduced.shapes}
     entity_col_by_shape = {s.name: s.entity_col for s in reduced.shapes}
 
-    verdicts_by_shape: dict[str, DataFrame] = {}
+    verdicts_by_shape: dict[str, DataFrame] = dict(preseeded_verdicts or {})
     violations_by_shape: dict[str, DataFrame] = {}
 
     def eval_one(name: str, prereq: dict[str, DataFrame]):
@@ -384,6 +391,8 @@ def run_suite(
         return ev.evaluate()
 
     for group in groups:
+        if all(n in verdicts_by_shape for n in group.shapes):
+            continue  # preseeded by an earlier run
         if not group.cyclic:
             name = group.shapes[0]
             vd, vl = eval_one(name, verdicts_by_shape)
@@ -425,7 +434,7 @@ def run_suite(
         spark, reduced, tables
     )
 
-    keep = list(verdicts_by_shape)
+    keep = [n for n in verdicts_by_shape if n not in (preseeded_verdicts or {})]
     verdicts = V.union_all(
         [verdicts_by_shape[n] for n in keep]
         + ([drift_vd] if drift_vd is not None else [])
@@ -439,7 +448,8 @@ def run_suite(
         verdicts=verdicts,
         violations=violations,
         summary=summary,
-        shapes_evaluated=list(verdicts_by_shape),
+        shapes_evaluated=keep,
+        verdicts_by_shape=dict(verdicts_by_shape),
     )
 
 

@@ -67,10 +67,10 @@ def clip_shape(include_audio: bool = True, include_drift: bool = True) -> Shape:
         )
     if include_drift:
         cs.append(
-            Constraint("dur_drift", "drift", {"column": "dur_ms", "max_psi": 0.2}),
+            Constraint("dur_drift", "drift", {"column": "dur_ms", "max_psi": 0.02}),
         )
         cs.append(
-            Constraint("sr_drift", "drift", {"column": "sr_hz", "max_psi": 0.2}),
+            Constraint("sr_drift", "drift", {"column": "sr_hz", "max_psi": 0.02}),
         )
     return Shape(
         name="ClipShape",

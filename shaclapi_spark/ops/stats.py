@@ -1,0 +1,89 @@
+"""Per-column statistics: min / max / null-rate / approx-distinct (HLL).
+
+New capability mandated by BASELINE.json (the reference has no numeric
+operators — SURVEY.md §2.4 'Not present'). All built-in JVM aggregates:
+``approx_count_distinct`` is Spark's HyperLogLog++, map-side mergeable, so
+the whole stats pass is ONE partial-agg job with no wide rows.
+
+``grouped_stats`` handles skewed group keys (the 70%-'opus' codec column of
+the fixture) with a two-phase salted aggregation: partial per (key, salt)
+then final per key — the shuffle fan-in per reducer drops from
+|biggest group| to |biggest group| / n_salts. For the global (ungrouped)
+variant salting is unnecessary: Spark's partial aggregation already combines
+map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def column_stats(df: DataFrame, columns: list[str]) -> DataFrame:
+    """One row per column: (column_name, min, max, null_rate, approx_distinct,
+    n_rows). Values stringified for min/max so heterogeneous column types fit
+    one relation."""
+    total = F.count(F.lit(1))
+    aggs = [total.alias("__n")]
+    for c in columns:
+        col = F.col(c)
+        aggs += [
+            F.min(col).cast("string").alias(f"min_{c}"),
+            F.max(col).cast("string").alias(f"max_{c}"),
+            F.sum(col.isNull().cast("long")).alias(f"nulls_{c}"),
+            F.approx_count_distinct(col).alias(f"adist_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    # melt the single wide row into one row per column (tiny, driver-safe)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"min_{c}").alias("min_value"),
+            F.col(f"max_{c}").alias("max_value"),
+            (F.col(f"nulls_{c}") / F.col("__n")).alias("null_rate"),
+            F.col(f"adist_{c}").alias("approx_distinct"),
+            F.col("__n").alias("n_rows"),
+        )
+        for c in columns
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def grouped_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Per-group min/max/count/null-count of ``value_col`` with salt-and-merge
+    for skewed group keys. Output: (group, n_rows, n_nulls, min_value,
+    max_value). Counts/min/max are algebraic → exact after the merge."""
+    val = F.col(value_col)
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    partial = salted.groupBy(F.col(group_col).alias("group"), "__salt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(val.isNull().cast("long")).alias("nn"),
+        F.min(val).alias("mn"),
+        F.max(val).alias("mx"),
+    )
+    return (
+        partial.groupBy("group")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.sum("nn").alias("n_nulls"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )
+
+
+def uniqueness_violation_keys(df: DataFrame, key_col: str) -> DataFrame:
+    """Exact duplicate-key relation: (key, n_rows) for keys appearing more
+    than once. Map-side combinable count; the result is typically tiny and
+    broadcast-joinable back to the fact table."""
+    return (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )

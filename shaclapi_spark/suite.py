@@ -58,11 +58,11 @@ class Constraint:
 
     def columns(self) -> set[str]:
         """Columns of the shape's own table this constraint touches (for
-        query-driven constraint pruning — ReducedShapeParser.py:78-110 analog)."""
+        query-driven constraint pruning — ReducedShapeParser.py:78-110 analog).
+        ``unique`` is exempt: entity identity is always query-relevant."""
         cols = set()
-        for key in ("column",):
-            if key in self.params:
-                cols.add(self.params[key])
+        if self.kind != "unique" and "column" in self.params:
+            cols.add(self.params["column"])
         for b in self.branches:
             cols |= b.columns()
         return cols

@@ -1,0 +1,97 @@
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from shaclapi_spark import datagen, engine, fixtures, oracle
+from shaclapi_spark.ops import drift as drift_ops
+from shaclapi_spark.ops import stats as stats_ops
+
+
+def test_column_stats_match_duckdb(spark, fixture_dir, fixture_tables):
+    got = {
+        r.column_name: r
+        for r in stats_ops.column_stats(
+            fixture_tables["clips"], ["sr_hz", "dur_ms", "codec"]
+        ).collect()
+    }
+    con = duckdb.connect()
+    clips = oracle.clips_table_expr(fixture_dir["clips"])
+    n, sr_nulls, sr_min, sr_max, sr_nd = con.execute(
+        f"SELECT count(*), sum(CASE WHEN sr_hz IS NULL THEN 1 ELSE 0 END),"
+        f" min(sr_hz), max(sr_hz), count(DISTINCT sr_hz) FROM {clips}"
+    ).fetchone()
+    r = got["sr_hz"]
+    assert r.n_rows == n
+    assert float(r.null_rate) == pytest.approx(sr_nulls / n)
+    assert int(r.min_value) == sr_min and int(r.max_value) == sr_max
+    # HLL++ default rsd=0.05
+    assert abs(r.approx_distinct - sr_nd) <= max(2, 0.1 * sr_nd)
+
+
+def test_grouped_stats_salted(spark, fixture_dir, fixture_tables):
+    got = {
+        r.group: r
+        for r in stats_ops.grouped_stats(
+            fixture_tables["clips"], "codec", "dur_ms", n_salts=8
+        ).collect()
+    }
+    con = duckdb.connect()
+    clips = oracle.clips_table_expr(fixture_dir["clips"])
+    for codec, n, mn, mx in con.execute(
+        f"SELECT codec, count(*), min(dur_ms), max(dur_ms) FROM {clips} GROUP BY codec"
+    ).fetchall():
+        assert got[codec].n_rows == n
+        assert got[codec].min_value == mn
+        assert got[codec].max_value == mx
+    # the fixture's codec skew: opus ≈ 70%
+    total = sum(r.n_rows for r in got.values())
+    assert got["opus"].n_rows / total == pytest.approx(0.7, abs=0.02)
+
+
+def test_uniqueness_violation_keys(spark, fixture_tables):
+    dups = stats_ops.uniqueness_violation_keys(
+        fixture_tables["clips"], "clip_id"
+    ).collect()
+    # i % 997 == 0 within 0..1999 → i ∈ {0, 997, 1994}
+    assert sorted(r.key for r in dups) == [
+        "clip_00000000", "clip_00000997", "clip_00001994",
+    ]
+    assert all(r.n_rows == 2 for r in dups)
+
+
+def test_ks_psi_math():
+    ref = np.full(32, 1 / 32)
+    ks, psi = drift_ops.ks_psi(ref.copy(), ref)
+    assert ks == pytest.approx(0.0, abs=1e-9)
+    assert psi == pytest.approx(0.0, abs=1e-9)
+    shifted = np.zeros(32)
+    shifted[-8:] = 1 / 8
+    ks2, psi2 = drift_ops.ks_psi(shifted, ref)
+    assert ks2 > 0.5 and psi2 > 1.0
+
+
+def test_drift_detects_shifted_tail(spark, fixture_tables):
+    ks, psi = drift_ops.drift_metrics(
+        fixture_tables["clips"], "dur_ms", fixture_tables["ref_histograms"]
+    )
+    # 10% of rows shifted +15000 → visible drift, PSI above the 0.02 gate
+    assert psi > 0.02
+    # sr_hz is NOT shifted → negligible drift
+    ks2, psi2 = drift_ops.drift_metrics(
+        fixture_tables["clips"], "sr_hz", fixture_tables["ref_histograms"]
+    )
+    assert psi2 < 0.01
+
+
+def test_drift_verdict_rows(spark, fixture_tables):
+    res = engine.run_suite(
+        spark, fixtures.clip_suite(include_audio=False), fixture_tables
+    )
+    drows = {
+        r.reason
+        for r in res.verdicts.filter(F.col("entity_id") == "__dataset__").collect()
+        if not r.is_valid
+    }
+    assert "dur_drift" in drows  # shifted tail flagged
+    assert "sr_drift" not in drows  # unshifted column passes
