@@ -1,0 +1,288 @@
+"""Deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale notes (the part that matters at 100 TB):
+
+* exact: ONE map-combinable groupBy on a fixed-width hash of the content —
+  never on the raw text (shuffling 100 TB of text to dedup it is the classic
+  mistake; shuffling 16-byte digests is ~1000× less data).
+* MinHash: signatures are computed JVM-side — explode character shingles,
+  then per-doc `min(xxhash64(shingle, seed_i))` for each of the n_hashes
+  seeds fused into ONE aggregation; no Python in the path.
+* LSH: signatures band-hashed; candidate pairs come from an equi-join on
+  (band_id, band_hash) — a co-partitioned self-join, no cross product.
+  Candidates are then verified with exact Jaccard (explode + count joins).
+* SimHash: token hashes reduced to a 64-bit signature per doc; near-dup
+  candidates block on bit-chunks (pigeonhole: hamming ≤ k → some ⌈bits/(k+1)⌉
+  chunk equal), verified with `bit_count(a XOR b)` — all JVM built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from shaclapi_spark.pipeline.text import normalize_text
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(content_md5, n_docs, keep_id): one row per duplicated content group."""
+    keyed = df.select(
+        F.col(id_col).alias("doc"), F.md5(normalize_text(F.col(text_col))).alias("content_md5")
+    )
+    return (
+        keyed.groupBy("content_md5")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Survivor ids: min id per normalized-content group."""
+    keyed = df.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("content_md5")
+    )
+    return (
+        keyed.groupBy("content_md5")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + exact n-gram Jaccard (also the LSH verification step)
+# ---------------------------------------------------------------------------
+
+def shingle_df(df: DataFrame, id_col: str, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Distinct character k-shingles per doc: (doc, shingle). The dynamic
+    substring start needs the SQL `transform` form (F.substring takes a
+    literal start)."""
+    norm = normalize_text(F.col(text_col))
+    return (
+        df.select(F.col(id_col).alias("doc"), norm.alias("__norm"))
+        .select(
+            "doc",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, greatest(length(__norm) - {k - 1}, 1)),"
+                        f" i -> substring(__norm, i, {k}))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+        .filter(F.length("shingle") >= 1)
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.4,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact k-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold),
+    computed relationally: explode shingles → self-join on shingle (within an
+    optional blocking column) → count intersections → join sizes.
+    Fully SQL-expressible → has an exact DuckDB oracle."""
+    sh = shingle_df(df, id_col, text_col, k)
+    if block_col is not None:
+        blocks = df.select(F.col(id_col).alias("doc"), F.col(block_col).alias("__blk"))
+        sh = sh.join(blocks, "doc")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    blk = ["__blk"] if block_col else []
+    left = sh.select(
+        F.col("doc").alias("a"), F.col("shingle").alias("sh_a"), *blk
+    )
+    right = sh.select(
+        F.col("doc").alias("b"),
+        F.col("shingle").alias("sh_b"),
+        *[F.col(c).alias(f"{c}_b") for c in blk],
+    )
+    on = (F.col("sh_a") == F.col("sh_b")) & (F.col("a") < F.col("b"))
+    if block_col is not None:
+        on = on & (F.col("__blk") == F.col("__blk_b"))
+    inter = (
+        left.join(right, on)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("b"), F.col("sz").alias("size_b"))
+    out = (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("a", "b", "inter", "size_a", "size_b")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_hashes: int = 32,
+    k: int = 5,
+) -> DataFrame:
+    """(doc, sig: array<long>) — per-doc MinHash signature, one fused
+    aggregation: min over xxhash64(shingle, seed_i) per seed. JVM-only."""
+    sh = shingle_df(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    wide = sh.groupBy("doc").agg(*aggs)
+    return wide.select(
+        "doc", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_bands: int = 8, n_hashes: int = 32
+) -> DataFrame:
+    """Docs sharing ≥1 LSH band: equi-join on (band, band_hash)."""
+    rows_per_band = n_hashes // n_bands
+    bands = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bhash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.bhash")
+    a = bands.select(F.col("doc").alias("a"), "band", "bhash")
+    b = bands.select(F.col("doc").alias("b"), "band", "bhash")
+    return (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_lsh_neardups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified by exact shingle Jaccard ≥ threshold.
+    Output: (a, b, inter, size_a, size_b)."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, k)
+    cand = lsh_candidate_pairs(sigs, n_bands, n_hashes)
+    sh = shingle_df(df, id_col, text_col, k)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("doc").alias("a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col("doc").alias("b2"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.join(sa, "a")
+        .join(sb, (F.col("b") == F.col("b2")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc").alias("a"), F.col("sz").alias("size_a")), "a")
+        .join(sizes.select(F.col("doc").alias("b"), F.col("sz").alias("size_b")), "b")
+        .filter(
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+            >= threshold
+        )
+    )
+    return out.select("a", "b", "inter", "size_a", "size_b")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """(doc, simhash long): sign-sum of token-hash bits, all JVM expressions.
+    One explode + one groupBy with `bits` conditional sums."""
+    norm = normalize_text(F.col(text_col))
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(F.filter(F.split(norm, " "), lambda x: x != ""))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    wide = toks.groupBy("doc").agg(*bit_sums)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return wide.select("doc", sig.alias("simhash"))
+
+
+def simhash_neardups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming. Candidates via
+    the pigeonhole blocking trick (split into max_hamming+1 chunks; a match
+    must agree on ≥1 chunk), verified with bit_count(a^b)."""
+    sh = simhash(df, id_col, text_col, bits)
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    chunks = sh.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("ckey"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc", "simhash", "ck.chunk", "ck.ckey")
+    a = chunks.select(F.col("doc").alias("a"), F.col("simhash").alias("sig_a"), "chunk", "ckey")
+    b = chunks.select(F.col("doc").alias("b"), F.col("simhash").alias("sig_b"), "chunk", "ckey")
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

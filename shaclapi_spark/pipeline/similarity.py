@@ -1,0 +1,109 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute-force cosine top-k: JVM-side `aggregate`/`zip_with` arithmetic —
+  correctness baseline, O(N) per query, exact DuckDB oracle
+  (list_cosine_similarity).
+* LSH-bucketed ANN (random-hyperplane signs): the scale path — the corpus is
+  hashed ONCE into 2^n_planes buckets; a query probes its own bucket (plus
+  optional multi-probe neighbors), so per-query cost is corpus_size /
+  2^n_planes. Hyperplanes are derived deterministically from a seed via
+  xxhash64 so driver and executors agree without shipping matrices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_to_query(df: DataFrame, vec_col: str, query: list[float]) -> DataFrame:
+    """Zero-norm vectors (and a zero query) yield NULL cosine instead of a
+    DIVIDE_BY_ZERO job abort under ANSI mode; top-k drops them."""
+    q = F.array(*[F.lit(float(v)) for v in query])
+    qn = float(np.sqrt(np.dot(query, query)))
+    v = F.col(vec_col).cast("array<double>")
+    denom = _norm(v) * F.lit(qn)
+    return df.withColumn(
+        "cosine",
+        F.when(denom > 0, _dot(v, q) / denom).otherwise(F.lit(None).cast("double")),
+    )
+
+
+def brute_force_topk(
+    df: DataFrame, id_col: str, vec_col: str, query: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine. orderBy+limit compiles to TakeOrderedAndProject
+    — a per-partition heap + driver merge, NOT a global sort shuffle."""
+    return (
+        cosine_to_query(df, vec_col, query)
+        .select(F.col(id_col), "cosine")
+        .filter(F.col("cosine").isNotNull())
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(seed: int, n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from a seed (no RNG state —
+    reproducible across driver restarts and cluster sizes)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_column(vec_col: str, planes: np.ndarray):
+    """Bucket id = sign bits of <v, plane_i>, packed into a long. JVM-side:
+    the planes become array literals; each dot product is zip_with/aggregate."""
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        pl = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(v, pl) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 6,
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: restrict the scan to the query's LSH bucket plus
+    all buckets within `multiprobe` bit flips, then exact cosine top-k inside.
+    At scale the bucket column is precomputed+partitioned-by; here it is
+    computed on the fly."""
+    dim = len(query)
+    planes = _hyperplanes(seed, n_planes, dim)
+    qbits = int(
+        sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, query)) >= 0)
+    )
+    probe = {qbits}
+    if multiprobe >= 1:
+        probe |= {qbits ^ (1 << i) for i in range(n_planes)}
+    if multiprobe >= 2:
+        probe |= {
+            qbits ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
+    bucketed = df.withColumn("__bucket", lsh_bucket_column(vec_col, planes))
+    cand = bucketed.filter(F.col("__bucket").isin(*sorted(probe)))
+    return brute_force_topk(cand, id_col, vec_col, query, k)

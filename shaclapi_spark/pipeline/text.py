@@ -1,0 +1,96 @@
+"""Text analysis: token counting, quality scoring, language ID, document
+fingerprinting. 100% JVM-side expressions (no Python UDFs) — every function
+here compiles into whole-stage codegen and is also expressible in ANSI SQL,
+so each has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic.
+# Deliberately small and deterministic; tie order = list order below.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "mit", "zu", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est", "que", "dans"],
+}
+LANG_ORDER = ["en", "de", "es", "fr"]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BPE-ish segmentation below is separate)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish count: splits on whitespace AND punctuation/digit
+    boundaries — a cheap deterministic proxy for BPE token counts."""
+    t = F.trim(F.lower(text))
+    pieces = F.split(t, r"[\s\p{Punct}\d]+")
+    return F.size(F.filter(pieces, lambda x: x != ""))
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Integer quality signals (exact-oracle-friendly: no float ratios):
+    n_chars, n_tokens, n_punct, n_digit, n_stopword_en, max_token_len."""
+    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda x: x != "")
+    stop = LANG_PROFILES["en"]
+    return {
+        "n_chars": F.length(text),
+        "n_tokens": F.size(toks),
+        "n_punct": F.length(text) - F.length(F.regexp_replace(text, r"[\p{Punct}]", "")),
+        "n_digit": F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", "")),
+        "n_stopword_en": F.size(F.filter(toks, lambda x: x.isin(*stop))),
+        "max_token_len": F.coalesce(
+            F.array_max(F.transform(toks, lambda x: F.length(x))), F.lit(0)
+        ),
+    }
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    cols = quality_columns(F.col(text_col))
+    for name, c in cols.items():
+        df = df.withColumn(name, c)
+    return df
+
+
+def _hit_counter(words: tuple[str, ...]):
+    # nb: a default-arg lambda would have arity 2 and F.filter would pass the
+    # element index into it — a closure keeps the arity at 1
+    return lambda x: x.isin(*words)
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-profile language ID: argmax of per-language hit counts over
+    whitespace tokens; ties broken by LANG_ORDER; no hits → 'und'."""
+    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda x: x != "")
+    scores = [
+        F.size(F.filter(toks, _hit_counter(tuple(LANG_PROFILES[lang]))))
+        for lang in LANG_ORDER
+    ]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    pred = F.lit("und")
+    for lang, s in reversed(list(zip(LANG_ORDER, scores))):
+        pred = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, fp_md5, min_word_hash): md5 of the normalized text plus the
+    minimum per-word md5 — a 1-permutation MinHash usable as a cheap
+    similarity blocking key. Both functions exist identically in DuckDB."""
+    norm = normalize_text(F.col(text_col))
+    words = F.filter(F.split(norm, " "), lambda x: x != "")
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_md5"),
+        F.array_min(F.transform(words, lambda w: F.md5(w))).alias("min_word_hash"),
+    )

@@ -1,0 +1,224 @@
+"""Training-data pipeline ops over the driver-provided documents/embeddings
+tables (sf0.001) + planted near-duplicates for the approximate methods."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from shaclapi_spark.pipeline import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Docs with planted exact dups and near-dups (mutate a few words)."""
+    rows = []
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "and the bird sings in the morning light over the quiet river"
+    )
+    for i in range(20):
+        rows.append((i, base.replace("quick", f"word{i}")))  # near-dups of each other
+    rows.append((100, base))
+    rows.append((101, base))  # exact dup of 100
+    rows.append((102, base + " extra tail words here"))  # near-dup of 100
+    for i in range(200, 240):
+        rows.append((i, " ".join(f"tok{i}_{j}" for j in range(30))))  # unrelated
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_counts_match_duckdb(spark, docs):
+    got = {
+        r.doc_id: r.n_tokens
+        for r in docs.select(
+            "doc_id", text.token_count(F.col("text")).alias("n_tokens")
+        ).collect()
+    }
+    con = duckdb.connect()
+    exp = dict(
+        con.execute(
+            f"SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) "
+            f"FROM read_parquet('{SF}/documents.parquet')"
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_quality_columns(spark, docs):
+    out = text.with_quality(docs).select(
+        "doc_id", "n_chars", "n_tokens", "n_punct", "n_stopword_en", "max_token_len"
+    )
+    rows = out.collect()
+    assert all(r.n_chars > 0 and r.n_tokens > 0 for r in rows)
+    d = {r.doc_id: r for r in rows}
+    con = duckdb.connect()
+    n_chars = dict(
+        con.execute(
+            f"SELECT doc_id, length(text) FROM read_parquet('{SF}/documents.parquet')"
+        ).fetchall()
+    )
+    assert {k: v.n_chars for k, v in d.items()} == n_chars
+
+
+def test_lang_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in the house"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "el perro y la casa es un lugar"),
+            (4, "le chien et les chats dans une maison"),
+            (5, "xyzzy plugh"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.lang for r in df.select("id", text.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "und"}
+
+
+def test_fingerprint_matches_duckdb(spark, docs):
+    got = {r.doc_id: (r.fp_md5, r.min_word_hash) for r in text.fingerprint(docs, "doc_id").collect()}
+    con = duckdb.connect()
+    exp = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(f"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+                   (SELECT min(md5(w)) FROM unnest(string_split(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t(w)
+                    WHERE w <> '')
+            FROM read_parquet('{SF}/documents.parquet')
+        """).fetchall()
+    }
+    assert got == exp
+
+
+def test_exact_dedup(spark, planted):
+    survivors = {r.doc_id for r in dedup.exact_dedup(planted, "doc_id").collect()}
+    assert 100 in survivors and 101 not in survivors
+    assert survivors == {r.doc_id for r in planted.collect() if r.doc_id != 101}
+    groups = dedup.exact_dup_groups(planted, "doc_id").collect()
+    assert len(groups) == 1 and groups[0].n_docs == 2 and groups[0].keep_id == 100
+
+
+def test_jaccard_pairs_exact(spark, planted):
+    pairs = dedup.jaccard_pairs(planted, "doc_id", k=3, threshold=0.8).collect()
+    got = {(r.a, r.b): (r.inter, r.size_a, r.size_b) for r in pairs}
+    assert (100, 101) in got  # exact dup → jaccard 1.0
+    assert (100, 102) in got  # tail-appended near-dup
+    # full cross-check vs DuckDB exact jaccard on the same planted rows
+    pdf = planted.toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    exp = {
+        (a, b): (i, sa, sb)
+        for a, b, i, sa, sb in con.execute("""
+            WITH norm AS (
+              SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM docs),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                substring(t, i, 3) AS s
+              FROM norm, unnest(range(1, greatest(length(t) - 2, 1) + 1)) AS u(i)),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+            SELECT a, b, i, sa.sz, sb.sz
+            FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+            WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8
+        """).fetchall()
+    }
+    assert got == exp
+
+
+def test_minhash_lsh_recall(spark, planted):
+    got = {
+        (r.a, r.b)
+        for r in dedup.minhash_lsh_neardups(
+            planted, "doc_id", n_hashes=32, n_bands=16, k=5, threshold=0.7
+        ).collect()
+    }
+    exact = {
+        (r.a, r.b)
+        for r in dedup.jaccard_pairs(planted, "doc_id", k=5, threshold=0.7).collect()
+    }
+    assert (100, 101) in got
+    # LSH must be a subset of exact pairs (verification step guarantees it)
+    assert got <= exact
+    # and with 16 bands × 2 rows recall on ≥0.7 pairs should be near-total
+    assert len(got) >= 0.8 * len(exact)
+
+
+def test_simhash_neardups(spark, planted):
+    pairs = {(r.a, r.b): r.hamming for r in dedup.simhash_neardups(planted, "doc_id", max_hamming=3).collect()}
+    assert pairs[(100, 101)] == 0  # identical text → identical simhash
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_brute_force_topk_matches_duckdb(spark, emb):
+    q = [float(np.sin(i)) for i in range(64)]
+    got = [r.vec_id for r in similarity.brute_force_topk(emb, "vec_id", "embedding", q, k=10).collect()]
+    con = duckdb.connect()
+    qs = "[" + ",".join(str(v) for v in q) + "]"
+    exp = [
+        r[0]
+        for r in con.execute(f"""
+            SELECT vec_id FROM read_parquet('{SF}/embeddings.parquet')
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[], {qs}::DOUBLE[]) DESC, vec_id
+            LIMIT 10
+        """).fetchall()
+    ]
+    assert got == exp
+
+
+def test_ann_lsh_recall(spark, emb):
+    q = [float(np.sin(i)) for i in range(64)]
+    exact = [r.vec_id for r in similarity.brute_force_topk(emb, "vec_id", "embedding", q, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in similarity.ann_lsh_topk(
+            emb, "vec_id", "embedding", q, k=10, n_planes=5, multiprobe=2
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_audio_metadata_plumbing(spark, fixture_tables):
+    meta = multimodal.audio_metadata(fixture_tables["clips"].limit(200))
+    rows = meta.collect()
+    assert len(rows) == 200
+    ok = [r for r in rows if r.hdr_codec is not None]
+    assert len(ok) == 200  # every fixture blob has a valid header
+    assert all(r.hdr_sr_hz in (8000, 16000, 22050, 44100, 48000) for r in ok)
+    assert all(r.rms is not None and r.rms > 0 for r in ok)
+
+
+def test_byte_histogram_features(spark, fixture_tables):
+    feats = multimodal.byte_histogram_features(
+        fixture_tables["clips"].limit(50), "clip_id", "bytes"
+    ).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r.features) == 16
+        assert abs(sum(r.features) - 1.0) < 0.2  # header bytes excluded from range edge
+
+
+def test_decode_stubs():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_video_frames(b"\x00\x00")
