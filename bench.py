@@ -1,0 +1,136 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "clips_per_sec": ..., "n_clips": ...}
+
+The flagship measurement is the full clip constraint suite (uniqueness,
+range/null checks, referential + qualified-shape joins, OR-groups, audio
+SNR Arrow UDF) over the synthesized clips table at the scale matching the
+sf dir (sf0.1 → 200k clips). Fixture generation is idempotent and excluded
+from timings. Scaling evidence (local[8] vs local[32]) is produced by
+scripts/scaling_bench.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def force(df) -> int:
+    """Fully materialize a DataFrame without collecting it to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("shaclapi-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(8, int(cpus) * 2)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from shaclapi_spark import datagen, fixtures
+    from shaclapi_spark.engine import EngineConfig, run_suite
+    from shaclapi_spark.ops import stats as stats_ops
+    from shaclapi_spark.pipeline import dedup as dd
+    import __spark_entry__ as entry_mod
+
+    n_clips = datagen.fixture_n_clips(sf_dir)
+    bench_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_fixtures")
+    paths = datagen.ensure_fixture(spark, os.path.join(bench_root, f"n{n_clips}"), n_clips)
+    tables = {name: spark.read.parquet(p) for name, p in paths.items()}
+    cfg = EngineConfig(short_circuit=True)
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship: full clip suite (audio SNR UDF + drift + referential DAG)
+    timed(
+        "clip_validation",
+        lambda: force(
+            run_suite(
+                spark,
+                fixtures.clip_suite(include_audio=True, include_drift=True),
+                tables,
+                config=cfg,
+            ).verdicts
+        ),
+    )
+    timed(
+        "clip_violations_summary",
+        lambda: force(
+            run_suite(
+                spark,
+                fixtures.clip_suite(include_audio=True, include_drift=False),
+                tables,
+                config=cfg,
+            ).summary
+        ),
+    )
+    timed(
+        "clip_stats_hll",
+        lambda: force(
+            stats_ops.column_stats(
+                tables["clips"], ["clip_id", "sr_hz", "dur_ms", "codec", "transcript"]
+            )
+        ),
+    )
+    timed("tpch_verdicts", lambda: force(entry_mod.q_tpch_verdicts(spark, sf_dir)))
+    timed("events_hourly", lambda: force(entry_mod.q_events_hourly(spark, sf_dir)))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed(
+        "minhash_lsh_dedup",
+        lambda: force(
+            dd.minhash_lsh_neardups(docs, "doc_id", "text", n_hashes=32, n_bands=8, k=5)
+        ),
+    )
+    timed("topk_cosine", lambda: force(entry_mod.q_topk_cosine(spark, sf_dir)))
+    timed("ann_lsh_topk", lambda: force(entry_mod.q_ann_lsh_topk(spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    clips_per_sec = round(n_clips / timings["clip_validation"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_clips": n_clips,
+                "clips_per_sec": clips_per_sec,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

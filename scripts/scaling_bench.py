@@ -1,0 +1,121 @@
+"""Scaling-efficiency evidence (north rule: >=0.8 from N to 4N executors).
+
+No real cluster exists in this sandbox, so — per the driver protocol — the
+identical spark-submit job runs at two local parallelism levels (local[8]
+vs local[32]) on the same pre-materialized input; efficiency =
+(T_8 / T_32) / 4. Results → BENCH.md.
+
+Usage: python scripts/scaling_bench.py [n_clips] [repeats]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_zip() -> str:
+    zpath = os.path.join(REPO, ".bench_fixtures", "shaclapi_spark.zip")
+    os.makedirs(os.path.dirname(zpath), exist_ok=True)
+    pkg = os.path.join(REPO, "shaclapi_spark")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def ensure_fixture(n_clips: int) -> str:
+    out = os.path.join(REPO, ".bench_fixtures", f"n{n_clips}")
+    marker = os.path.join(out, f"_FIXTURE_OK_{n_clips}")
+    if not os.path.exists(marker):
+        code = (
+            "from pyspark.sql import SparkSession\n"
+            "import sys; sys.path.insert(0, %r)\n"
+            "from shaclapi_spark import datagen\n"
+            "s = (SparkSession.builder.master('local[32]')"
+            ".config('spark.sql.shuffle.partitions','32')"
+            ".config('spark.ui.enabled','false')"
+            ".config('spark.driver.memory','16g').getOrCreate())\n"
+            "datagen.ensure_fixture(s, %r, %d)\n"
+            "s.stop()\n" % (REPO, out, n_clips)
+        )
+        subprocess.run([sys.executable, "-c", code], check=True)
+    return out
+
+
+def run_once(threads: int, fixture_dir: str, zpath: str) -> dict:
+    cmd = [
+        "spark-submit",
+        "--master",
+        f"local[{threads}]",
+        "--driver-memory",
+        "16g",
+        "--py-files",
+        zpath,
+        os.path.join(REPO, "scripts", "validate_job.py"),
+        "--fixture-dir",
+        fixture_dir,
+        "--threads",
+        str(threads),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON line in spark-submit output:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 800_000
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    fixture_dir = ensure_fixture(n_clips)
+    zpath = build_zip()
+
+    results: dict[int, dict] = {}
+    for threads in (8, 32):
+        best = None
+        for _ in range(repeats):
+            r = run_once(threads, fixture_dir, zpath)
+            if best is None or r["wall_sec"] < best["wall_sec"]:
+                best = r
+        results[threads] = best
+        print(f"local[{threads}]: {best}")
+
+    t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
+    speedup = t8 / t32
+    eff = speedup / 4.0
+    lines = [
+        "# BENCH — scaling-efficiency evidence (north rule)",
+        "",
+        "Protocol: identical `spark-submit --py-files shaclapi_spark.zip scripts/validate_job.py`",
+        "job (full clip constraint suite: uniqueness, null/range row checks, referential +",
+        "qualified-shape joins, OR-groups, audio-SNR Arrow UDF) on the same pre-materialized",
+        f"clips fixture (n_clips={n_clips:,}, dup rows included), best of {repeats} runs per level.",
+        "No real cluster in this sandbox → two local parallelism levels stand in for N and 4N",
+        "executors per the driver protocol.",
+        "",
+        "| parallelism | wall (s) | validated clips/sec |",
+        "|---|---|---|",
+        f"| local[8]  (N)  | {t8:.2f} | {results[8]['clips_per_sec']:,.0f} |",
+        f"| local[32] (4N) | {t32:.2f} | {results[32]['clips_per_sec']:,.0f} |",
+        "",
+        f"**Speedup 8→32: {speedup:.2f}×; scaling efficiency = {speedup:.2f}/4 = {eff:.3f}**"
+        + (" (target ≥ 0.8: MET)" if eff >= 0.8 else " (target ≥ 0.8: NOT met)"),
+        "",
+    ]
+    with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
+        fh.write("\n".join(lines))
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

@@ -215,8 +215,12 @@ class _ShapeEvaluator:
                     F.col("is_valid").alias(f"__v_{rs}"),
                 )
                 ref_entity_col = self._ref_entity_col(rs, child_name)
+                # verdict entity_id is string; cast the child key so integer
+                # keys join exactly (no numeric widening) at any key domain
                 child = child.join(
-                    vd, child[ref_entity_col] == vd[f"__ve_{rs}"], "left"
+                    vd,
+                    child[ref_entity_col].cast("string") == vd[f"__ve_{rs}"],
+                    "left",
                 ).drop(f"__ve_{rs}")
             aggs = []
             for c in cs:

@@ -48,6 +48,36 @@ def column_stats(df: DataFrame, columns: list[str]) -> DataFrame:
     return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
+def column_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Exact profile: (column_name, min_value, max_value, n_nulls, n_distinct,
+    n_rows) — the oracle-checkable variant of :func:`column_stats` (exact
+    COUNT(DISTINCT) instead of HLL; at 100 TB use ``column_stats``, whose
+    approx_count_distinct is one map-side-mergeable pass)."""
+    total = F.count(F.lit(1))
+    aggs = [total.alias("__n")]
+    for c in columns:
+        col = F.col(c)
+        aggs += [
+            F.min(col).cast("string").alias(f"min_{c}"),
+            F.max(col).cast("string").alias(f"max_{c}"),
+            F.sum(col.isNull().cast("long")).alias(f"nulls_{c}"),
+            F.count_distinct(col).alias(f"dist_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"min_{c}").alias("min_value"),
+            F.col(f"max_{c}").alias("max_value"),
+            F.col(f"nulls_{c}").alias("n_nulls"),
+            F.col(f"dist_{c}").alias("n_distinct"),
+            F.col("__n").alias("n_rows"),
+        )
+        for c in columns
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
 def grouped_stats(
     df: DataFrame,
     group_col: str,
