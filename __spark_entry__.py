@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from shaclapi_spark import fixture_io, fixtures, oracle
+from shaclapi_spark import verdicts as V
 from shaclapi_spark.datagen import fixture_n_clips
 from shaclapi_spark.engine import EngineConfig, run_suite
 from shaclapi_spark.ops import stats as stats_ops
@@ -340,7 +341,8 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_byte_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _clip_tables(spark, sf_dir)
-    return mm.byte_histogram_features(t["clips"], "clip_id", "bytes", n_bins=16)
+    per_row = mm.byte_histogram_counts(t["clips"], "clip_id", "bytes", n_bins=16)
+    return per_row.groupBy("clip_id", "bin").agg(F.sum("n_bytes").alias("n_bytes"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -575,6 +577,31 @@ FROM (SELECT clip_id, CAST(substr(clip_id, 6) AS BIGINT) AS i FROM {c})
 """
 
 
+def _byte_hist_sql() -> str:
+    c = _clips_pq("clips")
+    return f"""
+WITH c AS (
+  SELECT clip_id, upper(hex(bytes)) AS h, octet_length(bytes) AS n
+  FROM {c} WHERE bytes IS NOT NULL
+),
+e AS (
+  SELECT clip_id,
+    unnest(list_transform(range(0, n), i -> substr(h, CAST(2*i+1 AS INT), 1))) AS d
+  FROM c
+),
+cnt AS (
+  SELECT clip_id, strpos('0123456789ABCDEF', d) - 1 AS bin, count(*) AS n_bytes
+  FROM e GROUP BY 1, 2
+),
+bins AS (SELECT unnest(range(0, 16)) AS bin),
+grid AS (SELECT DISTINCT clip_id FROM c)
+SELECT g.clip_id, CAST(b.bin AS INT) AS bin,
+  CAST(coalesce(cnt.n_bytes, 0) AS BIGINT) AS n_bytes
+FROM grid g CROSS JOIN bins b
+LEFT JOIN cnt ON cnt.clip_id = g.clip_id AND cnt.bin = b.bin
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     c = _clips_pq("clips")
     verdict_union = _clip_verdict_union_sql()
@@ -643,8 +670,19 @@ FROM d
 """,
         "topk_cosine": _topk_cosine_sql(),
         "audio_meta": _audio_meta_sql(),
-        # clip_summary, clip_cycle_verdicts, minhash_neardups_docs,
-        # simhash_neardups_docs, ann_lsh_topk, multimodal_byte_hist:
-        # xxhash64 / fixpoint / hyperplane / binary-UDF semantics — not
-        # ANSI-SQL-expressible; driver records rows-only checks.
+        "clip_summary": f"""
+SELECT CAST({V.bucket_sql('entity_id', 64)} AS INT) AS bucket, shape,
+  CAST(sum(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+  CAST(sum(CASE WHEN is_valid THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
+FROM ({verdict_union}) GROUP BY 1, 2
+""",
+        "clip_cycle_verdicts": oracle.cycle_verdict_union_sql(
+            _clips_pq("clips"), _clips_pq("transcripts"), iters=6
+        ),
+        "multimodal_byte_hist": _byte_hist_sql(),
+        # minhash_neardups_docs, simhash_neardups_docs, ann_lsh_topk:
+        # xxhash64 / hyperplane-LSH semantics — not ANSI-SQL-expressible;
+        # driver records rows-only checks (the exact-oracle paths for the
+        # same capability are jaccard_pairs_docs / doc_dedup_groups /
+        # topk_cosine).
     }

@@ -87,3 +87,75 @@ LEFT JOIN child_agg a ON a.clip_id = r.clip_id
 
 def clips_table_expr(path: str) -> str:
     return f"read_parquet('{path}/**/*.parquet')"
+
+
+def cycle_verdict_union_sql(clips: str, transcripts: str, iters: int = 6) -> str:
+    """Unrolled Jacobi fixpoint for the cyclic suite (tc3 analog,
+    /root/reference/tests/tc3/shapes/full/: A→C→D→A) as ONE SQL statement.
+
+    The engine iterates simultaneous (Jacobi) updates from the all-valid
+    (unbound⇒valid) initialization; invalidation is monotone and the clip↔
+    transcript dependency graph is bipartite with only direct links, so the
+    fixpoint is reached within a constant number of passes — ``iters`` CTE
+    layers unroll it exactly (verified against the iterated-loop oracle in
+    tests/test_cycles.py)."""
+    ctes = [
+        f"clips AS (SELECT * FROM {clips})",
+        f"tr AS (SELECT * FROM {transcripts})",
+        """tr_base AS (
+  SELECT transcript_id, clip_id,
+    ((clip_id IS NULL OR clip_id IN (SELECT clip_id FROM clips))
+     AND coalesce(text IS NOT NULL AND length(text) > 0, TRUE)
+     AND (n_tokens IS NULL OR n_tokens >= 0)
+     AND (lang IS NULL OR lang IN ('en','de','es'))) AS base_ok
+  FROM tr)""",
+        """clip_base AS (
+  SELECT c.clip_id,
+    count(*) = 1 AS uniq,
+    bool_and(c.sr_hz IS NOT NULL) AS sr_nn,
+    bool_and(c.sr_hz IS NULL OR c.sr_hz BETWEEN 8000 AND 48000) AS sr_rng,
+    bool_and(c.dur_ms IS NULL OR c.dur_ms BETWEEN 500 AND 30000) AS dur_ok,
+    bool_and(coalesce(c.codec = 'pcm_s16le', TRUE)) AS or_codec,
+    bool_and(coalesce(c.dur_ms <= 30000, TRUE)) AS or_dur
+  FROM clips c GROUP BY c.clip_id)""",
+        """child_static AS (
+  SELECT t.clip_id, count(*) AS n_tr,
+         sum(CASE WHEN t.n_tokens >= 1 THEN 1 ELSE 0 END) AS n_tok
+  FROM tr t GROUP BY t.clip_id)""",
+        "cv0 AS (SELECT clip_id, TRUE AS ok FROM clip_base)",
+        "tv0 AS (SELECT transcript_id, clip_id, TRUE AS ok FROM tr_base)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"""cv{k} AS (
+  SELECT b.clip_id,
+    (b.uniq AND b.sr_nn AND b.sr_rng AND b.dur_ok
+     AND coalesce(s.n_tr, 0) >= 1 AND coalesce(s.n_tr, 0) <= 1
+     AND coalesce(a.n_valid, 0) >= 1
+     AND (b.or_codec OR coalesce(s.n_tok, 0) >= 1 OR b.or_dur)) AS ok
+  FROM clip_base b
+  LEFT JOIN child_static s ON s.clip_id = b.clip_id
+  LEFT JOIN (
+    SELECT t.clip_id,
+           sum(CASE WHEN coalesce(v.ok, TRUE) THEN 1 ELSE 0 END) AS n_valid
+    FROM tr t LEFT JOIN tv{p} v ON v.transcript_id = t.transcript_id
+    GROUP BY t.clip_id) a ON a.clip_id = b.clip_id)"""
+        )
+        ctes.append(
+            f"""tv{k} AS (
+  SELECT tb.transcript_id, tb.clip_id,
+    (tb.base_ok AND coalesce(cagg.n_validc, 0) >= 1) AS ok
+  FROM tr_base tb
+  LEFT JOIN (
+    SELECT c.clip_id, sum(CASE WHEN cv.ok THEN 1 ELSE 0 END) AS n_validc
+    FROM clips c LEFT JOIN cv{p} cv ON cv.clip_id = c.clip_id
+    GROUP BY c.clip_id) cagg ON cagg.clip_id = tb.clip_id)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT clip_id AS entity_id, 'ClipShape' AS shape, ok AS is_valid FROM cv{iters}
+UNION ALL
+SELECT transcript_id AS entity_id, 'TranscriptShape' AS shape, ok AS is_valid FROM tv{iters}
+"""

@@ -19,6 +19,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -97,6 +98,47 @@ def byte_histogram_features(df: DataFrame, id_col: str, bytes_col: str, n_bins: 
             yield pd.DataFrame({"id": ids, "features": feats})
 
     return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(gen, schema=schema)
+
+
+BYTE_HIST_COUNTS_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType()),
+        StructField("bin", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def byte_histogram_counts(
+    df: DataFrame, id_col: str, bytes_col: str, n_bins: int = 16
+) -> DataFrame:
+    """Exact per-row byte-value histogram counts (long rows: one per (id,
+    bin), all bins emitted incl. zeros). Same plumbing as
+    :func:`byte_histogram_features` but integer-exact, so a DuckDB oracle can
+    recompute it from hex(bytes) — full value-hash correctness check instead
+    of rows-only."""
+    assert 256 % n_bins == 0
+    shift = 256 // n_bins
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bins, counts = [], [], []
+            for cid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8) // shift
+                hist = np.bincount(arr, minlength=n_bins)
+                ids.extend([str(cid)] * n_bins)
+                bins.extend(range(n_bins))
+                counts.extend(int(x) for x in hist)
+            yield pd.DataFrame(
+                {"clip_id": ids, "bin": pd.array(bins, dtype="int32"),
+                 "n_bytes": pd.array(counts, dtype="int64")}
+            )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        gen, schema=BYTE_HIST_COUNTS_SCHEMA
+    )
 
 
 def decode_image(blob: bytes) -> "np.ndarray":

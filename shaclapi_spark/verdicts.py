@@ -28,12 +28,31 @@ def union_all(dfs: list[DataFrame]) -> DataFrame | None:
     return reduce(lambda a, b: a.unionByName(b), dfs)
 
 
+def bucket_col(entity_col: str = "entity_id", n_buckets: int = 64):
+    """Deterministic hash bucket, portable across engines: first md5 byte of
+    the entity id mod n. Stable across cluster sizes (unlike
+    spark_partition_id, a scheduling artifact) and ANSI-SQL-expressible, so
+    DuckDB oracles can recompute it (instr-over-hex-digits trick)."""
+    c = F.md5(F.col(entity_col).cast("string"))
+    hexv = (F.instr(F.lit("0123456789abcdef"), F.substring(c, 1, 1)) - 1) * 16 + (
+        F.instr(F.lit("0123456789abcdef"), F.substring(c, 2, 1)) - 1
+    )
+    return F.pmod(hexv, F.lit(n_buckets)).cast("int")
+
+
+def bucket_sql(entity_expr: str, n_buckets: int = 64) -> str:
+    """DuckDB SQL equivalent of :func:`bucket_col`."""
+    return (
+        f"(((strpos('0123456789abcdef', substr(md5({entity_expr}), 1, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr(md5({entity_expr}), 2, 1)) - 1)"
+        f" % {n_buckets})"
+    )
+
+
 def summarize(verdicts: DataFrame, n_buckets: int = 64) -> DataFrame:
     """Per-partition (hash-bucket) pass/fail summary — the north rule's
-    'per-partition pass/fail summaries'. Bucket = xxhash64(entity_id) % n,
-    deterministic and stable across cluster sizes (unlike
-    spark_partition_id, which is a scheduling artifact)."""
-    bucket = F.pmod(F.xxhash64(F.col("entity_id")), F.lit(n_buckets)).cast("int")
+    'per-partition pass/fail summaries'."""
+    bucket = bucket_col("entity_id", n_buckets)
     return (
         verdicts.groupBy(bucket.alias("bucket"), "shape")
         .agg(
