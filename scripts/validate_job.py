@@ -34,6 +34,13 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # the bench fixture is ~0.6 GB; the default 128 MB maxPartitionBytes
+        # bin-packs the scan into ~5 partitions, capping the Arrow-UDF stage
+        # at 5 cores regardless of cluster size. Size file partitions so every
+        # core gets work (at real cluster scale the input is TBs and the
+        # default is fine — this is small-input tuning, same lever either way)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
