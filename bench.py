@@ -47,6 +47,12 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.sql.files.maxPartitionBytes", "32m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # numpy scratch blocks stay on the reusable heap (this host
+        # page-faults pathologically on fresh mmaps — see BENCH.md)
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

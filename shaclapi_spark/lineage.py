@@ -26,6 +26,7 @@ from pyspark.sql import SparkSession, functions as F
 
 from shaclapi_spark import verdicts as V
 from shaclapi_spark.engine import EngineConfig, run_suite
+from shaclapi_spark.metrics import MetricsRecorder
 from shaclapi_spark.suite import Suite
 
 
@@ -114,6 +115,7 @@ def run_with_lineage(
             if n != target_shape
         }
 
+    rec = MetricsRecorder(run_id=f"lineage-{target_shape}-{int(t0)}")
     ran: list[int] = []
     for wave in range(n_waves):
         if wave in done:
@@ -125,23 +127,29 @@ def run_with_lineage(
         )
         wave_tables = dict(tables)
         wave_tables[shape.table] = tables[shape.table].filter(wave_pred)
-        res = run_suite(
-            spark,
-            wave_suite,
-            wave_tables,
-            target_shapes=[target_shape],
-            config=cfg,
-            preseeded_verdicts=preseeded,
-        )
-        res.verdicts.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "verdicts", f"wave={wave}")
-        )
-        res.violations.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "violations", f"wave={wave}")
-        )
-        res.summary.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "summary", f"wave={wave}")
-        )
+        with rec.stage(f"wave_{wave}") as h:
+            res = run_suite(
+                spark,
+                wave_suite,
+                wave_tables,
+                target_shapes=[target_shape],
+                config=cfg,
+                preseeded_verdicts=preseeded,
+            )
+            res.verdicts.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "verdicts", f"wave={wave}")
+            )
+            res.violations.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "violations", f"wave={wave}")
+            )
+            res.summary.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "summary", f"wave={wave}")
+            )
+            h.record_rows(
+                spark.read.parquet(
+                    os.path.join(out_dir, "verdicts", f"wave={wave}")
+                ).count()
+            )
         with open(_manifest_path(out_dir), "a") as fh:
             fh.write(
                 json.dumps(
@@ -155,6 +163,8 @@ def run_with_lineage(
                 + "\n"
             )
         ran.append(wave)
+    if rec.rows:
+        rec.append_parquet(spark, os.path.join(out_dir, "metrics"))
     return LineageRun(
         out_dir=out_dir,
         n_waves=n_waves,

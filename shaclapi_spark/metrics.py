@@ -1,0 +1,57 @@
+"""Run metrics — the analog of the reference's stats sink (stats.csv with
+per-stage wall clock: shaclapi/statsCalculation.py:112-170, columns
+total_execution_time / query_time / network_validation_time / join_time).
+
+Here stages are engine phases (per-shape evaluation, per-lineage-wave
+processing); rows go to an in-memory recorder that exports a DataFrame so
+callers can append it to a metrics table (Delta/Iceberg in production,
+parquet here) — SURVEY.md §2.1 S5 mapping.
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+METRICS_SCHEMA = (
+    "run_id string, stage string, wall_sec double, n_rows long, ts double"
+)
+
+
+@dataclass
+class MetricsRecorder:
+    run_id: str
+    rows: list[tuple] = field(default_factory=list)
+
+    @contextmanager
+    def stage(self, name: str, n_rows: int | None = None):
+        """Time a named phase; ``record_rows`` on the yielded handle sets the
+        row count after the fact (e.g. once an action returns)."""
+        h = _StageHandle(n_rows)
+        t0 = time.time()
+        try:
+            yield h
+        finally:
+            self.rows.append(
+                (self.run_id, name, time.time() - t0, h.n_rows, time.time())
+            )
+
+    def record(self, stage: str, wall_sec: float, n_rows: int | None = None) -> None:
+        self.rows.append((self.run_id, stage, wall_sec, n_rows, time.time()))
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.rows, schema=METRICS_SCHEMA)
+
+    def append_parquet(self, spark: SparkSession, path: str) -> None:
+        self.to_df(spark).write.mode("append").parquet(path)
+
+
+class _StageHandle:
+    def __init__(self, n_rows: int | None):
+        self.n_rows = n_rows
+
+    def record_rows(self, n: int) -> None:
+        self.n_rows = n

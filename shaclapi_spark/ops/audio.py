@@ -23,14 +23,12 @@ from shaclapi_spark import audio_codec
 
 @pandas_udf(DoubleType())
 def _snr_db_udf(blobs: pd.Series, precond: pd.Series) -> pd.Series:
-    out = np.full(len(blobs), np.nan, dtype=np.float64)
     vals = blobs.to_numpy(dtype=object)
     mask = precond.fillna(False).to_numpy(dtype=bool)
-    for k in np.nonzero(mask)[0]:
-        b = vals[k]
-        if b is not None:
-            out[k] = audio_codec.snr_db(bytes(b))
-    return pd.Series(out)
+    # batch-vectorized: one np.sin + reduceat over the concatenated batch
+    # (audio_codec.snr_db_batch); skipped rows enter as None → NaN
+    gated = np.where(mask, vals, None)
+    return pd.Series(audio_codec.snr_db_batch(list(gated)))
 
 
 def snr_column(bytes_col: str, precondition: Column | None = None) -> Column:

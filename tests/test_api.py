@@ -1,0 +1,59 @@
+"""API facade parity with the reference's entry points (SURVEY.md §3) and
+the metrics recorder (stats sink analog, statsCalculation.py:112-170)."""
+
+from shaclapi_spark import api, fixtures
+from shaclapi_spark.metrics import MetricsRecorder
+from shaclapi_spark.suite import Constraint, Shape, Suite
+
+
+def test_validation_summary_counts(spark, fixture_tables):
+    out = api.validation_summary(
+        spark,
+        fixtures.clip_suite(include_audio=False, include_drift=False),
+        fixture_tables,
+    )
+    shapes = out["shapes"]
+    assert set(shapes) == {"ClipShape", "TranscriptShape"}
+    n_clips = fixture_tables["clips"].select("clip_id").distinct().count()
+    assert shapes["ClipShape"]["valid"] + shapes["ClipShape"]["invalid"] == n_clips
+    assert shapes["ClipShape"]["invalid"] > 0
+
+
+def test_explain_reduce_analog():
+    suite = fixtures.clip_cycle_suite()
+    ex = api.explain(suite, target_shapes=["ClipShape"])
+    assert set(ex["shapes"]) == {"ClipShape", "TranscriptShape"}
+    # the 2-cycle condenses into one cyclic group (tc3 analog)
+    assert any(g["cyclic"] and set(g["shapes"]) == {"ClipShape", "TranscriptShape"} for g in ex["order"])
+
+    # constraint removal: only columns the "query" touches survive on the target
+    acyc = fixtures.clip_suite(include_audio=False, include_drift=False)
+    ex2 = api.explain(acyc, ["ClipShape"], relevant_columns={"sr_hz"})
+    kept = ex2["constraints"]["ClipShape"]
+    assert "sr_range" in kept and "sr_not_null" in kept
+    assert "dur_range" not in kept
+
+
+def test_schema_overlap():
+    a = Shape(name="A", table="t", entity_col="id", constraints=[
+        Constraint("a_ref", "qualified_shape", {"child": "t2", "fk": "fk", "shape": "B", "min": 1}),
+    ])
+    b = Shape(name="B", table="t2", entity_col="id", constraints=[])
+    c = Shape(name="C", table="t3", entity_col="id", constraints=[])
+    suite = Suite(shapes=[a, b, c])
+    # reduced(A) = {A, B}; reduced(C) = {C} → no overlap
+    assert api.schema_overlap(suite, ["A"], ["C"]) == 0.0
+    # reduced(B) = {B} ⊂ reduced(A) → overlap 1.0
+    assert api.schema_overlap(suite, ["A"], ["B"]) == 1.0
+
+
+def test_metrics_recorder(spark):
+    rec = MetricsRecorder(run_id="r1")
+    with rec.stage("phase_a") as h:
+        h.record_rows(42)
+    rec.record("phase_b", 0.5, 7)
+    df = rec.to_df(spark)
+    rows = {r.stage: r for r in df.collect()}
+    assert rows["phase_a"].n_rows == 42
+    assert rows["phase_b"].wall_sec == 0.5
+    assert all(r.run_id == "r1" for r in rows.values())
