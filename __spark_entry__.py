@@ -452,6 +452,10 @@ UNION ALL SELECT transcript_id, 'TranscriptShape', 'tr_tokens' FROM tr
   WHERE NOT (n_tokens IS NULL OR n_tokens >= 0)
 UNION ALL SELECT transcript_id, 'TranscriptShape', 'tr_lang' FROM tr
   WHERE NOT (lang IS NULL OR lang IN ('en', 'de', 'es'))
+UNION ALL SELECT tr.transcript_id, 'TranscriptShape', 'tr_text_match' FROM tr
+  LEFT JOIN (SELECT clip_id, max(transcript) AS mx FROM clips GROUP BY clip_id) p
+    ON p.clip_id = tr.clip_id
+  WHERE NOT (tr.clip_id IS NULL OR tr.text IS NULL OR p.mx IS NULL OR tr.text = p.mx)
 """
 
 

@@ -111,8 +111,8 @@ def main() -> None:
         f"clips fixture (n_clips={n_clips:,}, dup rows included). The whole process tree (JVM +",
         "Python Arrow workers) is pinned with `taskset` to N / 4N cores — unpinned local[N]",
         "would let Python workers escape to the remaining host cores and fake the N-core time.",
-        "One full untimed warm-up pass per level (JIT/codegen/worker spawn — amortized to ~0 on",
-        f"a long-running cluster), then best of {reps} timed passes (hypervisor noise ±30%).",
+        "Two full untimed warm-up passes per level (JIT/codegen/worker spawn/allocator adaptation —",
+        f"amortized to ~0 on a long-running cluster), then best of {reps} timed passes (±30% hypervisor noise).",
         "Shuffle partitions fixed at 64 for BOTH levels: strong scaling over identical task",
         "decompositions, as on a real cluster where shuffle partitioning is sized to the data.",
         "No real cluster in this sandbox → two pinned local parallelism levels stand in for",

@@ -91,7 +91,7 @@ class _ShapeEvaluator:
                     walk(b)
             elif c.kind == "audio_valid":
                 self.audio_cs.append(c)
-            elif c.kind == "fk_exists":
+            elif c.kind in ("fk_exists", "fk_match"):
                 self.fk_cs.append(c)
             elif c.kind in ROW_KINDS:
                 self.row_cs.append(c)
@@ -129,25 +129,55 @@ class _ShapeEvaluator:
             if c.id in top_level_ids:
                 precond_names.append(name)
 
-        # fk_exists: broadcast-friendly marker join against distinct parent keys
+        # parent joins: fk_exists (marker) and fk_match (parent-value
+        # equality) against the same parent/key are FUSED into one
+        # aggregated-parent join — one shuffle per (parent, key) total
+        by_parent: dict[tuple[str, str, str], list[Constraint]] = {}
         for c in self.fk_cs:
             p = c.params
-            name = f"b_{c.id}"
-            parent = self.tables[p["parent"]]
-            keys = parent.select(
-                F.col(p["parent_col"]).alias(f"__pk_{c.id}")
-            ).distinct()
+            if c.kind == "fk_exists":
+                key = (p["parent"], p["column"], p["parent_col"])
+            else:
+                key = (p["parent"], p["key"], p["parent_key"])
+            by_parent.setdefault(key, []).append(c)
+        for gi, ((parent_name, local_key, parent_key), cs) in enumerate(
+            sorted(by_parent.items())
+        ):
+            parent = self.tables[parent_name]
+            marker = f"__pex_{gi}"
+            aggs = [F.count(F.lit(1)).alias(marker)]
+            for c in cs:
+                if c.kind == "fk_match":
+                    aggs.append(
+                        F.max(F.col(c.params["parent_col"])).alias(f"__pv_{c.id}")
+                    )
+            pagg = parent.groupBy(
+                F.col(parent_key).alias(f"__pjk_{gi}")
+            ).agg(*aggs)
             df = df.join(
-                keys, df[p["column"]] == keys[f"__pk_{c.id}"], "left"
-            ).withColumn(
-                name,
-                F.when(F.col(p["column"]).isNull(), F.lit(True)).otherwise(
-                    F.col(f"__pk_{c.id}").isNotNull()
-                ),
-            ).drop(f"__pk_{c.id}")
-            row_bool_names.append(name)
-            if c.id in top_level_ids:
-                precond_names.append(name)
+                pagg, df[local_key] == pagg[f"__pjk_{gi}"], "left"
+            ).drop(f"__pjk_{gi}")
+            for c in cs:
+                name = f"b_{c.id}"
+                if c.kind == "fk_exists":
+                    b = F.when(
+                        F.col(local_key).isNull(), F.lit(True)
+                    ).otherwise(F.col(marker).isNotNull())
+                else:
+                    lv = F.col(c.params["column"])
+                    pv = F.col(f"__pv_{c.id}")
+                    b = F.when(
+                        F.col(local_key).isNull()
+                        | F.col(marker).isNull()
+                        | lv.isNull()
+                        | pv.isNull(),
+                        F.lit(True),
+                    ).otherwise(lv == pv)
+                df = df.withColumn(name, b)
+                row_bool_names.append(name)
+                if c.id in top_level_ids:
+                    precond_names.append(name)
+            df = df.drop(marker, *[f"__pv_{c.id}" for c in cs if c.kind == "fk_match"])
 
         # audio UDF — short-circuited by every cheap row bool already computed
         for c in self.audio_cs:

@@ -94,6 +94,19 @@ def transcript_shape() -> Shape:
             Constraint("tr_text", "expr", {"sql": "text IS NOT NULL AND length(text) > 0"}),
             Constraint("tr_tokens", "range", {"column": "n_tokens", "min": 0}),
             Constraint("tr_lang", "in_set", {"column": "lang", "values": ["en", "de", "es"]}),
+            # BASELINE input_hint per-row invariant: transcript equality —
+            # the transcript row's text must equal its clip's transcript
+            Constraint(
+                "tr_text_match",
+                "fk_match",
+                {
+                    "key": "clip_id",
+                    "parent": "clips",
+                    "parent_key": "clip_id",
+                    "column": "text",
+                    "parent_col": "transcript",
+                },
+            ),
         ],
     )
 

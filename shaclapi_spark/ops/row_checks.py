@@ -64,6 +64,11 @@ def describe(c: Constraint) -> str:
         )
     if c.kind == "fk_exists":
         return f"fk_exists({p['column']} -> {p['parent']}.{p['parent_col']})"
+    if c.kind == "fk_match":
+        return (
+            f"fk_match({p['column']} == {p['parent']}.{p['parent_col']}"
+            f" via {p['key']})"
+        )
     if c.kind == "qualified_shape":
         return (
             f"qualified_shape({p['child']}.{p['fk']} valid {p['shape']}"

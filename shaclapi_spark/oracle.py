@@ -15,10 +15,15 @@ from __future__ import annotations
 
 
 def transcript_verdict_sql(clips: str, transcripts: str) -> str:
-    """Per-transcript TranscriptShape verdicts (entity grain = row grain)."""
+    """Per-transcript TranscriptShape verdicts (entity grain = row grain).
+
+    tr_text_match (fk_match — the BASELINE 'transcript equality' per-row
+    invariant) is vacuous when the key, either text, or the parent row is
+    missing: those cases belong to tr_fk / tr_text."""
     return f"""
 WITH clips AS (SELECT * FROM {clips}),
-     tr    AS (SELECT * FROM {transcripts})
+     tr    AS (SELECT * FROM {transcripts}),
+par AS (SELECT clip_id, max(transcript) AS mx FROM clips GROUP BY clip_id)
 SELECT
   tr.transcript_id AS entity_id,
   'TranscriptShape' AS shape,
@@ -27,8 +32,9 @@ SELECT
     AND coalesce(tr.text IS NOT NULL AND length(tr.text) > 0, TRUE)
     AND (tr.n_tokens IS NULL OR tr.n_tokens >= 0)
     AND (tr.lang IS NULL OR tr.lang IN ('en','de','es'))
+    AND (tr.clip_id IS NULL OR tr.text IS NULL OR p.mx IS NULL OR tr.text = p.mx)
   ) AS is_valid
-FROM tr
+FROM tr LEFT JOIN par p ON p.clip_id = tr.clip_id
 """
 
 
@@ -102,13 +108,15 @@ def cycle_verdict_union_sql(clips: str, transcripts: str, iters: int = 6) -> str
     ctes = [
         f"clips AS (SELECT * FROM {clips})",
         f"tr AS (SELECT * FROM {transcripts})",
+        """par AS (SELECT clip_id, max(transcript) AS mx FROM clips GROUP BY clip_id)""",
         """tr_base AS (
-  SELECT transcript_id, clip_id,
-    ((clip_id IS NULL OR clip_id IN (SELECT clip_id FROM clips))
-     AND coalesce(text IS NOT NULL AND length(text) > 0, TRUE)
-     AND (n_tokens IS NULL OR n_tokens >= 0)
-     AND (lang IS NULL OR lang IN ('en','de','es'))) AS base_ok
-  FROM tr)""",
+  SELECT tr.transcript_id, tr.clip_id,
+    ((tr.clip_id IS NULL OR tr.clip_id IN (SELECT clip_id FROM clips))
+     AND coalesce(tr.text IS NOT NULL AND length(tr.text) > 0, TRUE)
+     AND (tr.n_tokens IS NULL OR tr.n_tokens >= 0)
+     AND (tr.lang IS NULL OR tr.lang IN ('en','de','es'))
+     AND (tr.clip_id IS NULL OR tr.text IS NULL OR p.mx IS NULL OR tr.text = p.mx)) AS base_ok
+  FROM tr LEFT JOIN par p ON p.clip_id = tr.clip_id)""",
         """clip_base AS (
   SELECT c.clip_id,
     count(*) = 1 AS uniq,

@@ -24,6 +24,11 @@ entity-level (fused into ONE groupBy per shape):
 child-level (one groupBy+join per (child_table, fk)):
   min_count / max_count(child, fk, where?)   — sh:minCount/maxCount over a path
   fk_exists(column, parent, parent_col)      — referential integrity
+  fk_match(key, parent, parent_key, column, parent_col) — cross-table value
+        equality: this row's `column` must equal the parent row's
+        `parent_col` (vacuous when either side is NULL or no parent row —
+        those are not_null's / fk_exists's jobs). The BASELINE per-row
+        invariant 'transcript equality' (input_hint) is this kind.
   qualified_shape(child, fk, shape, min, max?) — sh:qualifiedValueShape +
         qualifiedMin/MaxCount: count of child rows VALID for `shape`
 
@@ -38,7 +43,7 @@ import json
 from dataclasses import dataclass, field
 
 ROW_KINDS = {"not_null", "range", "in_set", "regex", "expr", "audio_valid"}
-CHILD_KINDS = {"min_count", "max_count", "fk_exists", "qualified_shape"}
+CHILD_KINDS = {"min_count", "max_count", "fk_exists", "fk_match", "qualified_shape"}
 DATASET_KINDS = {"drift"}
 ALL_KINDS = ROW_KINDS | CHILD_KINDS | DATASET_KINDS | {"unique", "or_group"}
 

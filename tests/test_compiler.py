@@ -36,7 +36,7 @@ def test_constraint_removal_by_columns():
     # columnless (child-level / unique) constraints always survive
     assert {"clip_unique", "tr_min1", "tr_max1", "tr_valid"} <= set(ids)
     # non-target shape untouched
-    assert len(reduced.shape("TranscriptShape").constraints) == 4
+    assert len(reduced.shape("TranscriptShape").constraints) == 5
 
 
 def test_or_collapse_to_single_branch():

@@ -25,12 +25,14 @@ def test_cycle_terminates_and_matches_oracle_fixpoint(cycle_result, fixture_dir)
     con.execute(f"CREATE VIEW tr AS SELECT * FROM {trs}")
     con.execute("""
         CREATE TABLE tr_base AS
-        SELECT transcript_id, clip_id,
-          ((clip_id IS NULL OR clip_id IN (SELECT clip_id FROM clips))
-           AND coalesce(text IS NOT NULL AND length(text)>0, TRUE)
-           AND (n_tokens IS NULL OR n_tokens >= 0)
-           AND (lang IS NULL OR lang IN ('en','de','es'))) AS base_ok
-        FROM tr""")
+        SELECT tr.transcript_id, tr.clip_id,
+          ((tr.clip_id IS NULL OR tr.clip_id IN (SELECT clip_id FROM clips))
+           AND coalesce(tr.text IS NOT NULL AND length(tr.text)>0, TRUE)
+           AND (tr.n_tokens IS NULL OR tr.n_tokens >= 0)
+           AND (tr.lang IS NULL OR tr.lang IN ('en','de','es'))
+           AND (tr.clip_id IS NULL OR tr.text IS NULL OR p.mx IS NULL OR tr.text = p.mx)) AS base_ok
+        FROM tr LEFT JOIN (SELECT clip_id, max(transcript) AS mx FROM clips GROUP BY clip_id) p
+          ON p.clip_id = tr.clip_id""")
     con.execute("""
         CREATE TABLE clip_base AS
         SELECT c.clip_id,

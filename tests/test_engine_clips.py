@@ -45,7 +45,7 @@ def test_every_seeded_violation_class_fires(suite_result):
     expected = {
         "clip_unique", "sr_not_null", "sr_range", "dur_range",
         "tr_min1", "tr_max1", "tr_valid", "clip_or", "pcm_snr",
-        "tr_fk", "tr_tokens",
+        "tr_fk", "tr_tokens", "tr_text_match",
     }
     assert expected <= cids
 
