@@ -278,8 +278,11 @@ def q_minhash_neardups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # md5_60 hash: byte-identical to the DuckDB oracle's hash, and the
+    # pigeonhole blocking is lossless, so the whole relation has an exact
+    # ANSI-SQL oracle (brute-force bit_count(xor) <= k over all pairs).
     d = _t(spark, sf_dir, "documents")
-    return dd.simhash_neardups(d, "doc_id", "text", max_hamming=3)
+    return dd.simhash_neardups(d, "doc_id", "text", max_hamming=3, bits=60, hash_fn="md5_60")
 
 
 def q_text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,6 +527,35 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
 
 
+def _simhash_sql(bits: int = 60, max_hamming: int = 3) -> str:
+    """Exact DuckDB replica of dedup.simhash_neardups(hash_fn="md5_60"):
+    same normalization/tokenization, same 60-bit md5 token hash, sign-sum
+    per bit, then brute-force all-pairs hamming (blocking in the Spark path
+    is lossless, so brute force is the correct oracle)."""
+    sums = ",\n  ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+toks AS (
+  SELECT DISTINCT doc_id AS doc, tok
+  FROM d, LATERAL (SELECT unnest(string_split(norm, ' ')) AS tok) u
+  WHERE tok <> ''
+),
+h AS (SELECT doc, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+bitsums AS (SELECT doc, {sums} FROM h GROUP BY doc),
+sig AS (SELECT doc, ({sig}) AS simhash FROM bitsums)
+SELECT a.doc AS a, b.doc AS b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
 def _text_quality_sql() -> str:
     stop = ", ".join(f"'{w}'" for w in _STOP_EN)
     return f"""
@@ -684,9 +716,33 @@ FROM ({verdict_union}) GROUP BY 1, 2
             _clips_pq("clips"), _clips_pq("transcripts"), iters=6
         ),
         "multimodal_byte_hist": _byte_hist_sql(),
-        # minhash_neardups_docs, simhash_neardups_docs, ann_lsh_topk:
-        # xxhash64 / hyperplane-LSH semantics — not ANSI-SQL-expressible;
-        # driver records rows-only checks (the exact-oracle paths for the
-        # same capability are jaccard_pairs_docs / doc_dedup_groups /
-        # topk_cosine).
+        # minhash_neardups_docs: the LSH path verifies every candidate with
+        # exact shingle Jaccard, and at this fixture LSH recall is 1.0
+        # (checked: LSH output == exact all-pairs relation), so the exact
+        # k-gram Jaccard relation IS the oracle — same SQL shape as
+        # jaccard_pairs_docs at k=5, threshold=0.5, full table.
+        "minhash_neardups_docs": f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, substring(norm, i, 5) AS shingle
+  FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i) u
+  WHERE length(substring(norm, i, 5)) >= 1
+),
+sz AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS a, b.doc AS b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, i.inter, sa.sz AS size_a, sb.sz AS size_b
+FROM inter i JOIN sz sa ON sa.doc = i.a JOIN sz sb ON sb.doc = i.b
+WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.5
+""",
+        # simhash_neardups_docs: md5_60 token hash is byte-identical across
+        # engines and pigeonhole blocking is lossless, so brute-force
+        # all-pairs hamming is an exact oracle.
+        "simhash_neardups_docs": _simhash_sql(),
+        # ann_lsh_topk: hyperplane-LSH bucket semantics — not
+        # ANSI-SQL-expressible; driver records a rows-only check (the
+        # exact-oracle path for the same capability is topk_cosine).
     }

@@ -153,16 +153,34 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc, sig: array<long>) — per-doc MinHash signature, one fused
     aggregation. The expensive string hash runs ONCE per shingle
-    (xxhash64 → 32-bit base); the n permutations are cheap affine maps
+    (xxhash64 → 61-bit base); the n permutations are cheap affine maps
     (a_i * h + b_i) mod 2^61-1 of that base — the standard universal-hash
-    construction, ~n× less string hashing than hashing per seed."""
-    sh = shingle_df(df, id_col, text_col, k).withColumn(
-        "__h32", F.xxhash64(F.col("shingle")).bitwiseAND(F.lit(0xFFFFFFFF))
+    construction, ~n× less string hashing than hashing per seed.
+
+    The base keeps the full 61-bit entropy of xxhash64 (a 32-bit base would
+    merge colliding shingles across ALL permutations on billion-shingle
+    corpora). a_i * h with a 61-bit h cannot be done directly in 64-bit
+    arithmetic, so the multiply is split: with h = h_hi*2^30 + h_lo and
+    a < 2^30,  a*h ≡ rot(pmod(a*h_hi, p)) + a*h_lo  (mod p)  where
+    rot(u) = (u >> 31) + (u & (2^31-1))*2^30 uses 2^61 ≡ 1 (mod p).
+    Every intermediate stays < 2^62 — no bigint overflow under ANSI mode."""
+    p = _MERSENNE_61
+    sh = (
+        shingle_df(df, id_col, text_col, k)
+        .withColumn("__h", F.pmod(F.xxhash64(F.col("shingle")), F.lit(p)))
+        .withColumn("__h_hi", F.shiftrightunsigned(F.col("__h"), 30))
+        .withColumn("__h_lo", F.col("__h").bitwiseAND(F.lit((1 << 30) - 1)))
     )
+
+    def _perm(a: int, b: int):
+        u = F.pmod(F.col("__h_hi") * F.lit(a), F.lit(p))
+        rot = F.shiftrightunsigned(u, 31) + (
+            u.bitwiseAND(F.lit((1 << 31) - 1)) * F.lit(1 << 30)
+        )
+        return F.pmod(rot + F.col("__h_lo") * F.lit(a) + F.lit(b), F.lit(p))
+
     aggs = [
-        F.min(
-            F.pmod(F.col("__h32") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_61))
-        ).alias(f"h{i}")
+        F.min(_perm(a, b)).alias(f"h{i}")
         for i, (a, b) in enumerate(_affine_params(n_hashes))
     ]
     wide = sh.groupBy("doc").agg(*aggs)
@@ -213,21 +231,33 @@ def minhash_lsh_neardups(
     n_bands: int = 8,
     k: int = 5,
     threshold: float = 0.5,
-    est_margin: float | None = 0.2,
+    est_margin: float | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact shingle Jaccard ≥ threshold.
     Output: (a, b, inter, size_a, size_b).
 
+    Plan shape (the part that matters at 100 TB): `sigs` is consumed up to
+    3× (band explode + both sides of the optional estimate join) and `cand`
+    up to 3× (semi-join doc set + the verification join) — both are
+    persisted before fan-out so the shingle explode + 32-agg signature
+    groupBy + band self-join each run ONCE, and unpersisted via the
+    returned DataFrame's no-op (caller materializes once; caches are
+    MEMORY_AND_DISK and evicted under pressure). The verification shingle
+    set `sh` is likewise consumed 3× (sizes, a-side, b-side) and persisted.
+
     Scale levers between candidate generation and the (expensive) exact
     verification join:
-    * signature pre-filter: estimate Jaccard as the fraction of equal
-      signature components and drop candidates with estimate <
-      threshold - est_margin (≈2.2σ at 32 hashes — <1% true-pair loss) —
-      on template-heavy corpora the band join is near-quadratic and this
-      prunes most of it for the cost of 2 small joins;
+    * signature pre-filter (opt-in, est_margin is not None): estimate
+      Jaccard as the fraction of equal signature components and drop
+      candidates with estimate < threshold - est_margin (≈2.2σ at 32
+      hashes) — on template-heavy corpora the band join is near-quadratic
+      and this prunes most of it for the cost of 2 small joins. Off by
+      default: an unlucky signature estimate can drop a true pair before
+      exact verification, so callers opt in at scale where the recall
+      trade is explicit;
     * shingle semi-join: exact verification recomputes shingles only for
       docs that actually appear in a surviving candidate pair."""
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, k)
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, k).persist()
     cand = lsh_candidate_pairs(sigs, n_bands, n_hashes)
     if est_margin is not None:
         sig_a = sigs.select(F.col("doc").alias("a"), F.col("sig").alias("__sig_a"))
@@ -245,27 +275,45 @@ def minhash_lsh_neardups(
             .filter(est >= F.lit(threshold - est_margin))
             .select("a", "b")
         )
+    cand = cand.persist()
     cand_docs = (
         cand.select(F.col("a").alias("doc"))
         .unionByName(cand.select(F.col("b").alias("doc")))
         .distinct()
     )
-    df_cand = df.join(
-        cand_docs.withColumnRenamed("doc", id_col), id_col, "leftsemi"
-    )
-    sh = shingle_df(df_cand, id_col, text_col, k)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    sa = sh.select(F.col("doc").alias("a"), F.col("shingle").alias("sh_a"))
-    sb = sh.select(F.col("doc").alias("b2"), F.col("shingle").alias("sh_b"))
-    inter = (
-        cand.join(sa, "a")
-        .join(sb, (F.col("b") == F.col("b2")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # Exact verification WITHOUT re-exploding shingles: build each candidate
+    # doc's distinct-shingle array once (a pure map — sort for deterministic
+    # plans) and intersect arrays per pair with JVM `array_intersect`. The
+    # explode-join alternative shuffles |pairs| * |shingles/doc| rows
+    # (~100-1000x more) where this moves each pair's two arrays exactly once.
+    sets = (
+        df.join(cand_docs.withColumnRenamed("doc", id_col), id_col, "leftsemi")
+        .select(F.col(id_col).alias("doc"), normalize_text(F.col(text_col)).alias("__n"))
+        .select(
+            "doc",
+            F.array_sort(
+                F.filter(
+                    F.array_distinct(
+                        F.expr(
+                            f"transform(sequence(1, greatest(length(__n) - {k - 1}, 1)),"
+                            f" i -> substring(__n, i, {k}))"
+                        )
+                    ),
+                    lambda x: F.length(x) >= 1,
+                )
+            ).alias("shset"),
+        )
     )
     out = (
-        inter.join(sizes.select(F.col("doc").alias("a"), F.col("sz").alias("size_a")), "a")
-        .join(sizes.select(F.col("doc").alias("b"), F.col("sz").alias("size_b")), "b")
+        cand.join(sets.select(F.col("doc").alias("a"), F.col("shset").alias("__sa")), "a")
+        .join(sets.select(F.col("doc").alias("b"), F.col("shset").alias("__sb")), "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("inter"),
+            F.size("__sa").alias("size_a"),
+            F.size("__sb").alias("size_b"),
+        )
         .filter(
             F.col("inter")
             / (F.col("size_a") + F.col("size_b") - F.col("inter"))
@@ -279,14 +327,34 @@ def minhash_lsh_neardups(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """(doc, simhash long): sign-sum of token-hash bits, all JVM expressions.
-    One explode + one groupBy with `bits` conditional sums."""
+    One explode + one groupBy with `bits` conditional sums.
+
+    hash_fn: "xxhash64" (default — fastest, JVM xxhash) or "md5_60" (60-bit
+    hash from the first 15 hex chars of md5; byte-identical to DuckDB's
+    ('0x' || substring(md5(tok),1,15))::BIGINT, which makes the whole
+    near-dup relation exactly reproducible in an ANSI-SQL oracle; use
+    bits<=60 with it)."""
+    if hash_fn == "md5_60" and bits > 60:
+        raise ValueError("md5_60 provides 60 hash bits; pass bits <= 60")
     norm = normalize_text(F.col(text_col))
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(F.filter(F.split(norm, " "), lambda x: x != ""))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if hash_fn == "md5_60":
+        toks = toks.withColumn(
+            "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        toks = toks.withColumn("h", F.xxhash64("tok"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -308,11 +376,16 @@ def simhash_neardups(
     text_col: str = "text",
     max_hamming: int = 3,
     bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming. Candidates via
     the pigeonhole blocking trick (split into max_hamming+1 chunks; a match
-    must agree on ≥1 chunk), verified with bit_count(a^b)."""
-    sh = simhash(df, id_col, text_col, bits)
+    must agree on ≥1 chunk — LOSSLESS recall by construction), verified with
+    bit_count(a^b), so the output equals the brute-force all-pairs relation
+    exactly. The signature DataFrame (one `bits`-agg groupBy) feeds both
+    sides of the self-join, so it is persisted — without it the whole token
+    explode + groupBy runs twice."""
+    sh = simhash(df, id_col, text_col, bits, hash_fn).persist()
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
     chunks = sh.select(
