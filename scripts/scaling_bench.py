@@ -96,22 +96,24 @@ def main() -> None:
     # several independent JVM launches per level, min across them: the
     # sandbox hypervisor has bursty multi-second noise episodes (observed
     # e.g. [60, 55, 120, 78, 57] within one process); independent processes
-    # spread the reps across time so one burst cannot poison a level
-    launches = {8: 2, 32: 3}
+    # spread the reps across time so one burst cannot poison a level.
+    # SYMMETRIC sampling: the SAME number of launches and reps per level,
+    # interleaved (8, 32, 8, 32, ...) so a noise episode hits both levels
+    # with equal probability — an asymmetric draw count would bias the
+    # min-statistic toward the level with more draws and inflate the ratio.
+    n_launches = 3
     results: dict[int, dict] = {}
-    for threads in (8, 32):
-        best = None
-        all_walls: list[float] = []
-        for _ in range(launches[threads]):
+    for launch in range(n_launches):
+        for threads in (8, 32):
             r = run_once(threads, fixture_dir, zpath, reps)
-            all_walls.extend(r["walls"])
-            if best is None or r["wall_sec"] < best["wall_sec"]:
-                best = r
-            print(f"local[{threads}] pinned to {threads} cores: {r}")
-        best["walls"] = all_walls
-        best["wall_sec"] = min(all_walls)
+            print(f"launch {launch}: local[{threads}] pinned to {threads} cores: {r}", flush=True)
+            if threads not in results:
+                results[threads] = r
+            else:
+                results[threads]["walls"].extend(r["walls"])
+    for threads, best in results.items():
+        best["wall_sec"] = min(best["walls"])
         best["clips_per_sec"] = round(best["n_clips"] / best["wall_sec"], 1)
-        results[threads] = best
 
     t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
     speedup = t8 / t32
@@ -126,9 +128,11 @@ def main() -> None:
         "Python Arrow workers) is pinned with `taskset` to N / 4N cores — unpinned local[N]",
         "would let Python workers escape to the remaining host cores and fake the N-core time.",
         "Two full untimed warm-up passes per JVM launch (JIT/codegen/worker spawn/allocator",
-        "adaptation — amortized to ~0 on a long-running cluster); several independent launches",
-        f"per level ({launches[8]}×8-core, {launches[32]}×32-core), {reps} timed passes each, min over all — the",
-        "hypervisor has bursty multi-second noise episodes that independent launches ride out.",
+        "adaptation — amortized to ~0 on a long-running cluster); SYMMETRIC sampling:",
+        f"{n_launches} independent launches per level, interleaved (8, 32, 8, 32, ...), {reps} timed",
+        "passes each, min over all — the hypervisor has bursty multi-second noise episodes",
+        "that interleaved launches spread equally across both levels, and equal draw counts",
+        "keep the min-statistic unbiased between the two sides of the ratio.",
         "Shuffle partitions fixed at 64 for BOTH levels: strong scaling over identical task",
         "decompositions, as on a real cluster where shuffle partitioning is sized to the data.",
         "No real cluster in this sandbox → two pinned local parallelism levels stand in for",
