@@ -456,9 +456,11 @@ UNION ALL SELECT transcript_id, 'TranscriptShape', 'tr_tokens' FROM tr
 UNION ALL SELECT transcript_id, 'TranscriptShape', 'tr_lang' FROM tr
   WHERE NOT (lang IS NULL OR lang IN ('en', 'de', 'es'))
 UNION ALL SELECT tr.transcript_id, 'TranscriptShape', 'tr_text_match' FROM tr
-  LEFT JOIN (SELECT clip_id, max(transcript) AS mx FROM clips GROUP BY clip_id) p
+  LEFT JOIN (SELECT clip_id, count(DISTINCT transcript) AS nd, max(transcript) AS mx
+             FROM clips GROUP BY clip_id) p
     ON p.clip_id = tr.clip_id
-  WHERE NOT (tr.clip_id IS NULL OR tr.text IS NULL OR p.mx IS NULL OR tr.text = p.mx)
+  WHERE NOT (tr.clip_id IS NULL OR tr.text IS NULL OR p.nd IS NULL OR p.nd = 0
+             OR (p.nd = 1 AND tr.text = p.mx))
 """
 
 

@@ -66,8 +66,12 @@ def _clip_meta_df(spark: SparkSession, n_clips: int) -> DataFrame:
     """All metadata columns (everything but bytes), JVM-side only."""
     shift_from = int(0.9 * n_clips)
     df = spark.range(0, n_clips, 1).withColumnRenamed("id", "i")
-    # uniqueness violations: rows i % 997 == 0 appear twice with identical values
-    dup = df.filter((F.col("i") % 997) == 0)
+    # uniqueness violations: rows i % 997 == 0 appear twice; the duplicate
+    # carries a CONFLICTING transcript value (exercises fk_match's
+    # multi-parent bool_and semantics: disagreeing parent rows ⇒ no child
+    # value can match them all)
+    df = df.withColumn("__dup", F.lit(False))
+    dup = df.filter((F.col("i") % 997) == 0).withColumn("__dup", F.lit(True))
     df = df.unionAll(dup)
     sr_nominal = F.element_at(
         F.array(*[F.lit(v) for v in SR_CYCLE]), (F.col("i") % 5 + 1).cast("int")
@@ -85,7 +89,11 @@ def _clip_meta_df(spark: SparkSession, n_clips: int) -> DataFrame:
         F.array(*[F.lit(c) for c in CODEC_BY_MOD10]), (F.col("i") % 10 + 1).cast("int")
     )
     transcript = F.when(F.col("i") % 13 == 0, F.lit(None).cast("string")).otherwise(
-        F.concat(F.lit("transcript of clip "), F.col("i").cast("string"))
+        F.concat(
+            F.lit("transcript of clip "),
+            F.col("i").cast("string"),
+            F.when(F.col("__dup"), F.lit(" (alt)")).otherwise(F.lit("")),
+        )
     )
     return df.select(
         F.col("i"),

@@ -148,6 +148,16 @@ class _ShapeEvaluator:
             aggs = [F.count(F.lit(1)).alias(marker)]
             for c in cs:
                 if c.kind == "fk_match":
+                    # multi-parent semantics: the child value must equal EVERY
+                    # parent row's (non-null) value — bool_and over parent
+                    # rows, computed as (distinct-count, any-value) fused into
+                    # the same single parent shuffle:  nd == 0 ⇒ vacuous,
+                    # nd == 1 ⇒ compare, nd >= 2 ⇒ unsatisfiable.
+                    aggs.append(
+                        F.count_distinct(F.col(c.params["parent_col"])).alias(
+                            f"__pnd_{c.id}"
+                        )
+                    )
                     aggs.append(
                         F.max(F.col(c.params["parent_col"])).alias(f"__pv_{c.id}")
                     )
@@ -166,18 +176,23 @@ class _ShapeEvaluator:
                 else:
                     lv = F.col(c.params["column"])
                     pv = F.col(f"__pv_{c.id}")
+                    nd = F.col(f"__pnd_{c.id}")
                     b = F.when(
                         F.col(local_key).isNull()
                         | F.col(marker).isNull()
                         | lv.isNull()
-                        | pv.isNull(),
+                        | (nd == 0),  # all parent values NULL ⇒ vacuous
                         F.lit(True),
-                    ).otherwise(lv == pv)
+                    ).otherwise((nd == 1) & (lv == pv))
                 df = df.withColumn(name, b)
                 row_bool_names.append(name)
                 if c.id in top_level_ids:
                     precond_names.append(name)
-            df = df.drop(marker, *[f"__pv_{c.id}" for c in cs if c.kind == "fk_match"])
+            df = df.drop(
+                marker,
+                *[f"__pv_{c.id}" for c in cs if c.kind == "fk_match"],
+                *[f"__pnd_{c.id}" for c in cs if c.kind == "fk_match"],
+            )
 
         # audio UDF — short-circuited by every cheap row bool already computed
         for c in self.audio_cs:

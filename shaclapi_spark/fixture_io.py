@@ -64,8 +64,17 @@ def clips_pdf(n_clips: int, with_bytes: bool = True) -> pd.DataFrame:
     sr[ii % 127 == 0] = None
     dur = 500 + (ii * 37) % 29500 + np.where(ii >= shift_from, 15000, 0)
     codec = np.asarray(CODEC_BY_MOD10, dtype=object)[ii % 10]
+    # duplicate copies (the tail beyond n_clips) carry a CONFLICTING
+    # transcript — fk_match multi-parent seed, same as datagen._clip_meta_df
+    is_dup = np.concatenate(
+        [np.zeros(len(base), dtype=bool), np.ones(len(dup), dtype=bool)]
+    )
     transcript = np.asarray(
-        [f"transcript of clip {i}" for i in ii], dtype=object
+        [
+            f"transcript of clip {i}" + (" (alt)" if d else "")
+            for i, d in zip(ii, is_dup)
+        ],
+        dtype=object,
     )
     transcript[ii % 13 == 0] = None
 

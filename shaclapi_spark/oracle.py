@@ -19,11 +19,14 @@ def transcript_verdict_sql(clips: str, transcripts: str) -> str:
 
     tr_text_match (fk_match — the BASELINE 'transcript equality' per-row
     invariant) is vacuous when the key, either text, or the parent row is
-    missing: those cases belong to tr_fk / tr_text."""
+    missing: those cases belong to tr_fk / tr_text. Multi-parent semantics
+    are bool_and over parent rows: 0 non-null parent values ⇒ vacuous,
+    1 distinct ⇒ compare, >=2 distinct ⇒ unsatisfiable."""
     return f"""
 WITH clips AS (SELECT * FROM {clips}),
      tr    AS (SELECT * FROM {transcripts}),
-par AS (SELECT clip_id, max(transcript) AS mx FROM clips GROUP BY clip_id)
+par AS (SELECT clip_id, count(DISTINCT transcript) AS nd, max(transcript) AS mx
+        FROM clips GROUP BY clip_id)
 SELECT
   tr.transcript_id AS entity_id,
   'TranscriptShape' AS shape,
@@ -32,7 +35,8 @@ SELECT
     AND coalesce(tr.text IS NOT NULL AND length(tr.text) > 0, TRUE)
     AND (tr.n_tokens IS NULL OR tr.n_tokens >= 0)
     AND (tr.lang IS NULL OR tr.lang IN ('en','de','es'))
-    AND (tr.clip_id IS NULL OR tr.text IS NULL OR p.mx IS NULL OR tr.text = p.mx)
+    AND (tr.clip_id IS NULL OR tr.text IS NULL OR p.nd IS NULL OR p.nd = 0
+         OR (p.nd = 1 AND tr.text = p.mx))
   ) AS is_valid
 FROM tr LEFT JOIN par p ON p.clip_id = tr.clip_id
 """
@@ -108,14 +112,16 @@ def cycle_verdict_union_sql(clips: str, transcripts: str, iters: int = 6) -> str
     ctes = [
         f"clips AS (SELECT * FROM {clips})",
         f"tr AS (SELECT * FROM {transcripts})",
-        """par AS (SELECT clip_id, max(transcript) AS mx FROM clips GROUP BY clip_id)""",
+        """par AS (SELECT clip_id, count(DISTINCT transcript) AS nd, max(transcript) AS mx
+        FROM clips GROUP BY clip_id)""",
         """tr_base AS (
   SELECT tr.transcript_id, tr.clip_id,
     ((tr.clip_id IS NULL OR tr.clip_id IN (SELECT clip_id FROM clips))
      AND coalesce(tr.text IS NOT NULL AND length(tr.text) > 0, TRUE)
      AND (tr.n_tokens IS NULL OR tr.n_tokens >= 0)
      AND (tr.lang IS NULL OR tr.lang IN ('en','de','es'))
-     AND (tr.clip_id IS NULL OR tr.text IS NULL OR p.mx IS NULL OR tr.text = p.mx)) AS base_ok
+     AND (tr.clip_id IS NULL OR tr.text IS NULL OR p.nd IS NULL OR p.nd = 0
+          OR (p.nd = 1 AND tr.text = p.mx))) AS base_ok
   FROM tr LEFT JOIN par p ON p.clip_id = tr.clip_id)""",
         """clip_base AS (
   SELECT c.clip_id,

@@ -25,10 +25,12 @@ child-level (one groupBy+join per (child_table, fk)):
   min_count / max_count(child, fk, where?)   — sh:minCount/maxCount over a path
   fk_exists(column, parent, parent_col)      — referential integrity
   fk_match(key, parent, parent_key, column, parent_col) — cross-table value
-        equality: this row's `column` must equal the parent row's
-        `parent_col` (vacuous when either side is NULL or no parent row —
-        those are not_null's / fk_exists's jobs). The BASELINE per-row
-        invariant 'transcript equality' (input_hint) is this kind.
+        equality: this row's `column` must equal EVERY matching parent
+        row's `parent_col` (bool_and over parent rows; when duplicated
+        parent keys disagree the constraint is unsatisfiable). Vacuous when
+        the local value is NULL, no parent row exists, or all parent values
+        are NULL — those are not_null's / fk_exists's jobs. The BASELINE
+        per-row invariant 'transcript equality' (input_hint) is this kind.
   qualified_shape(child, fk, shape, min, max?) — sh:qualifiedValueShape +
         qualifiedMin/MaxCount: count of child rows VALID for `shape`
 
