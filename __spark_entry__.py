@@ -164,6 +164,24 @@ def q_clip_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.verdicts.select("entity_id", "shape", "is_valid")
 
 
+def q_clip_verdicts_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # query-driven target restriction (Reduction.replace_target_query analog):
+    # validate only the flac sub-population; helper verdicts restricted by
+    # propagation, output filtered to the target shape
+    t = _clip_tables(spark, sf_dir)
+    res = run_suite(
+        spark,
+        fixtures.clip_suite(include_audio=True, include_drift=False),
+        t,
+        target_shapes=["ClipShape"],
+        target_population="codec = 'flac'",
+        config=_CFG,
+    )
+    return res.verdicts.filter(F.col("shape") == "ClipShape").select(
+        "entity_id", "shape", "is_valid"
+    )
+
+
 def q_clip_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _clip_tables(spark, sf_dir)
     res = run_suite(
@@ -363,6 +381,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "clip_verdicts": q_clip_verdicts,
+        "clip_verdicts_pop": q_clip_verdicts_pop,
         "clip_violations": q_clip_violations,
         "verdict_counts": q_verdict_counts,
         "clip_summary": q_clip_summary,
@@ -645,6 +664,15 @@ def oracle_sql() -> dict[str, str]:
     verdict_union = _clip_verdict_union_sql()
     return {
         "clip_verdicts": verdict_union,
+        # restricted run: verdict VALUES are population-independent (helper
+        # propagation covers every transcript a restricted clip needs), so
+        # the oracle is the full verdict relation filtered to the restricted
+        # entity set
+        "clip_verdicts_pop": f"""
+SELECT * FROM ({verdict_union})
+WHERE shape = 'ClipShape'
+  AND entity_id IN (SELECT clip_id FROM {c} WHERE codec = 'flac')
+""",
         "clip_violations": _clip_violations_sql(),
         "verdict_counts": f"""
 SELECT shape,

@@ -68,6 +68,7 @@ class _ShapeEvaluator:
         prereq_verdicts: dict[str, DataFrame],
         config: EngineConfig,
         entity_col_by_shape: dict[str, str] | None = None,
+        population: DataFrame | None = None,
     ):
         self.spark = spark
         self.shape = shape
@@ -75,6 +76,9 @@ class _ShapeEvaluator:
         self.prereq = prereq_verdicts
         self.cfg = config
         self._ref_entity_cols = entity_col_by_shape or {}
+        # entity-id restriction (one column `__pop_id`): validate only these
+        # entities — the batch analog of the reference's replaced target query
+        self.population = population
         self.row_cs: list[Constraint] = []
         self.audio_cs: list[Constraint] = []
         self.fk_cs: list[Constraint] = []
@@ -118,6 +122,14 @@ class _ShapeEvaluator:
         df = self.tables[shape.table]
         if shape.target_filter:
             df = df.filter(F.expr(shape.target_filter))
+        if self.population is not None:
+            # entity-grain semi-join: ALL rows of each restricted entity
+            # survive (a row filter would corrupt uniqueness/count semantics)
+            df = df.join(
+                self.population,
+                df[shape.entity_col] == self.population["__pop_id"],
+                "leftsemi",
+            )
 
         top_level_ids = {c.id for c in shape.constraints}
         row_bool_names: list[str] = []
@@ -251,6 +263,15 @@ class _ShapeEvaluator:
             by_child.setdefault(key, []).append(c)
         for (child_name, fk, local_key), cs in sorted(by_child.items()):
             child = self.tables[child_name]
+            if self.population is not None and local_key == shape.entity_col:
+                # population pushdown: don't aggregate child rows of parents
+                # outside the restricted target set (semi-join prunes the
+                # child scan before the groupBy shuffle)
+                child = child.join(
+                    self.population,
+                    child[fk] == self.population["__pop_id"],
+                    "leftsemi",
+                )
             ref_shapes = {
                 c.params["shape"] for c in cs if c.kind == "qualified_shape"
             }
@@ -414,28 +435,65 @@ def run_suite(
     config: EngineConfig | None = None,
     prune: bool = True,
     preseeded_verdicts: dict[str, DataFrame] | None = None,
+    target_population: "str | DataFrame | None" = None,
+    order_strategy: str = "heuristic",
+    seed_shape: str | None = None,
 ) -> SuiteResult:
     """Validate `tables` against `suite`; returns verdicts + violations +
     per-bucket summary for the target shapes (all shapes if None).
 
     ``preseeded_verdicts``: shape → verdict DF computed by an earlier run
     (lineage waves reuse helper-shape verdicts this way — the batch analog of
-    the reference's early verdict reuse)."""
+    the reference's early verdict reuse).
+
+    ``target_population``: the batch analog of the reference's query-driven
+    target-query replacement (Reduction.replace_target_query,
+    ref shaclapi/reduction/Reduction.py:25-64 + shaclapi/query.py:194-244
+    Query.intersect): restrict validation to the entities the caller's query
+    names, intersected with each target shape's own target_filter. Either a
+    SQL boolean over the target shape's table (an entity belongs to the
+    population iff ANY of its rows satisfies it — every row of a selected
+    entity is then validated, so uniqueness/count semantics are unchanged),
+    or a single-column DataFrame of entity ids. The restriction propagates
+    to referenced helper shapes via (child, fk) semi-joins — helper verdicts
+    are computed only for the child entities the restricted targets can
+    reach; shapes inside cyclic groups stay unrestricted (fixpoint feedback
+    makes per-population pruning unsafe there).
+
+    ``order_strategy`` / ``seed_shape``: see compiler.evaluation_order."""
     cfg = config or EngineConfig()
     targets = target_shapes or suite.names()
     reduced, groups = compile_suite(
-        suite, targets, relevant_columns=relevant_columns, prune=prune
+        suite,
+        targets,
+        relevant_columns=relevant_columns,
+        prune=prune,
+        strategy=order_strategy,
+        seed_shape=seed_shape,
     )
     _check_unique_ids(reduced)
     shape_by_name = {s.name: s for s in reduced.shapes}
     entity_col_by_shape = {s.name: s.entity_col for s in reduced.shapes}
+
+    pop_by_shape: dict[str, DataFrame] = {}
+    target_pops: dict[str, DataFrame] = {}
+    if target_population is not None:
+        pop_by_shape, target_pops = _propagate_population(
+            reduced, groups, targets, target_population, tables
+        )
 
     verdicts_by_shape: dict[str, DataFrame] = dict(preseeded_verdicts or {})
     violations_by_shape: dict[str, DataFrame] = {}
 
     def eval_one(name: str, prereq: dict[str, DataFrame]):
         ev = _ShapeEvaluator(
-            spark, shape_by_name[name], tables, prereq, cfg, entity_col_by_shape
+            spark,
+            shape_by_name[name],
+            tables,
+            prereq,
+            cfg,
+            entity_col_by_shape,
+            population=pop_by_shape.get(name),
         )
         return ev.evaluate()
 
@@ -478,6 +536,25 @@ def run_suite(
                 verdicts_by_shape[n] = current[n]
                 violations_by_shape[n] = last_viol[n]
 
+    # targets that had to evaluate unrestricted (cyclic groups, unrestricted
+    # co-referrers) still emit only the requested population: post-filter
+    # their verdict/violation outputs by the target population
+    for name in targets:
+        if (
+            name in target_pops
+            and name not in pop_by_shape
+            and name in verdicts_by_shape
+            and name not in (preseeded_verdicts or {})
+        ):
+            ids = target_pops[name].select(
+                F.col("__pop_id").cast("string").alias("__pop_id")
+            )
+            for d in (verdicts_by_shape, violations_by_shape):
+                if name in d:
+                    d[name] = d[name].join(
+                        ids, d[name]["entity_id"] == ids["__pop_id"], "leftsemi"
+                    )
+
     # dataset-level drift constraints (any shape)
     drift_vd, drift_vl = drift_ops.evaluate_drift_constraints(
         spark, reduced, tables
@@ -500,6 +577,103 @@ def run_suite(
         shapes_evaluated=keep,
         verdicts_by_shape=dict(verdicts_by_shape),
     )
+
+
+def _propagate_population(
+    reduced: Suite,
+    groups: list[EvalGroup],
+    targets: list[str],
+    restriction: "str | DataFrame",
+    tables: dict[str, DataFrame],
+) -> tuple[dict[str, DataFrame], dict[str, DataFrame]]:
+    """(eval populations, raw target populations), both shape → entity-id
+    DataFrame (column `__pop_id`), for the restricted run.
+
+    Target shapes get the user restriction (∩ their own target_filter);
+    referenced shapes get exactly the child entities reachable from a
+    restricted parent through each qualified_shape's (child, fk) link —
+    the semi-join-pushdown analog of the reference's per-shape query
+    extension (ref shaclapi/config.py:326-331). Populations are persisted:
+    each feeds 2-3 consumers (entity semi-join, child-agg pushdown,
+    downstream propagation)."""
+    shape_by_name = {s.name: s for s in reduced.shapes}
+    entity_col_by_shape = {s.name: s.entity_col for s in reduced.shapes}
+
+    target_pops: dict[str, DataFrame] = {}
+    for name in targets:
+        s = shape_by_name.get(name)
+        if s is None:
+            continue
+        df = tables[s.table]
+        if s.target_filter:
+            df = df.filter(F.expr(s.target_filter))
+        if isinstance(restriction, str):
+            df = df.filter(F.expr(restriction))
+        else:
+            ids = restriction.select(
+                F.col(restriction.columns[0]).alias("__pop_id")
+            )
+            df = df.join(
+                ids, df[s.entity_col] == ids["__pop_id"], "leftsemi"
+            )
+        target_pops[name] = (
+            df.select(F.col(s.entity_col).alias("__pop_id")).distinct()
+        )
+
+    def walk_refs(c: Constraint):
+        if c.kind == "qualified_shape":
+            yield c
+        for b in c.branches:
+            yield from walk_refs(b)
+
+    # dependents → prerequisites (groups is prerequisites-first ⇒ walk it
+    # reversed, so every referrer's own status is final before it pushes a
+    # need to its referenced shapes). A shape evaluates restricted only if
+    # EVERY evaluated referrer is itself restricted (an unrestricted
+    # referrer needs helper verdicts for its full population) and it is not
+    # in a cyclic group (fixpoint feedback makes population pruning unsafe).
+    pops: dict[str, DataFrame] = dict(target_pops)
+    unrestricted: set[str] = set()
+    for group in reversed(groups):
+        for name in group.shapes:
+            restricted_here = (
+                name in pops and name not in unrestricted and not group.cyclic
+            )
+            if not restricted_here:
+                unrestricted.add(name)
+            s = shape_by_name[name]
+            for c0 in s.constraints:
+                for c in walk_refs(c0):
+                    ref = c.params["shape"]
+                    if not restricted_here or c.params.get("local_key") not in (
+                        None,
+                        s.entity_col,
+                    ):
+                        # unrestricted referrer, or an inverse-path link that
+                        # joins on a non-entity local column: the referenced
+                        # shape must cover its full population
+                        unrestricted.add(ref)
+                        continue
+                    child = tables[c.params["child"]]
+                    need = (
+                        child.join(
+                            pops[name],
+                            child[c.params["fk"]] == pops[name]["__pop_id"],
+                            "leftsemi",
+                        )
+                        .select(
+                            F.col(entity_col_by_shape[ref]).alias("__pop_id")
+                        )
+                        .distinct()
+                    )
+                    pops[ref] = (
+                        pops[ref].unionByName(need).distinct()
+                        if ref in pops
+                        else need
+                    )
+    for n in unrestricted:
+        pops.pop(n, None)
+    return {n: df.persist() for n, df in pops.items()}, target_pops
 
 
 def _is_referenced(suite: Suite, name: str) -> bool:

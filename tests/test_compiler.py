@@ -101,3 +101,83 @@ def test_self_cycle():
     )
     (g,) = evaluation_order(suite)
     assert g.cyclic and g.shapes == ["S"]
+
+
+# ---------------------------------------------------------------------------
+# ordering strategies (TARGET IN BIG analog, DFS/BFS, seed override —
+# ref config.py:192-250, reduction/travshacl/ReducedShapeSchema.py:64-83)
+# ---------------------------------------------------------------------------
+
+def _q(cid, ref):
+    return Constraint(
+        cid, "qualified_shape", {"child": "t", "fk": "fk", "shape": ref, "min": 1}
+    )
+
+
+def _diamond():
+    return Suite(
+        shapes=[
+            Shape("A", "t", "id", constraints=[_q("a_b", "B"), _q("a_c", "C")]),
+            Shape("B", "t", "id", constraints=[_q("b_d", "D")]),
+            Shape("C", "t", "id", constraints=[_q("c_d", "D")]),
+            Shape("D", "t", "id", constraints=[]),
+        ]
+    )
+
+
+def test_heuristic_order_diamond():
+    order = [g.shapes[0] for g in evaluation_order(_diamond(), ["A"])]
+    assert order == ["D", "B", "C", "A"]
+
+
+def test_heuristic_prefers_helpers_over_targets():
+    # C is a pure helper: at the same ready level it runs before target B
+    order = [g.shapes[0] for g in evaluation_order(_diamond(), ["A", "B"])]
+    assert order == ["D", "C", "B", "A"]
+
+
+def test_heuristic_higher_dependent_count_first():
+    suite = Suite(
+        shapes=[
+            Shape("A", "t", "id", constraints=[_q("a_b", "B"), _q("a_c", "C")]),
+            Shape("B", "t", "id", constraints=[_q("b_e", "E"), _q("b_f", "F")]),
+            Shape("C", "t", "id", constraints=[_q("c_e", "E")]),
+            Shape("E", "t", "id", constraints=[]),
+            Shape("F", "t", "id", constraints=[]),
+        ]
+    )
+    order = [g.shapes[0] for g in evaluation_order(suite, ["A"])]
+    # E has 2 dependents, F has 1 → E first among the initially-ready helpers
+    assert order.index("E") < order.index("F")
+    assert order.index("E") < order.index("B") and order.index("F") < order.index("B")
+
+
+def test_dfs_order():
+    order = [g.shapes[0] for g in evaluation_order(_diamond(), ["A"], strategy="dfs")]
+    assert order == ["D", "B", "C", "A"]
+
+
+def test_bfs_order():
+    order = [g.shapes[0] for g in evaluation_order(_diamond(), ["A"], strategy="bfs")]
+    assert order == ["D", "B", "C", "A"]
+
+
+def test_seed_shape_override():
+    order = [
+        g.shapes[0]
+        for g in evaluation_order(_diamond(), ["A"], seed_shape="C")
+    ]
+    # C's prerequisite downset {C, D} is scheduled as early as topology allows
+    assert order == ["D", "C", "B", "A"]
+
+
+def test_all_strategies_are_topological():
+    suite = clip_cycle_suite()
+    for strategy in ("heuristic", "dfs", "bfs"):
+        groups = evaluation_order(suite, strategy=strategy)
+        seen = set()
+        for g in groups:
+            for n in g.shapes:
+                deps = suite.shape(n).shape_refs() - set(g.shapes)
+                assert deps <= seen, (strategy, n)
+            seen |= set(g.shapes)
