@@ -152,6 +152,13 @@ def snr_db(blob: bytes) -> float:
         hdr, samples = decode_clip(blob)
     except ValueError:
         return float("-inf")
+    if hdr["n_samples"] == 0:
+        # zero-sample clip ⇒ -inf (no evidence of a valid signal) — pinned to
+        # agree with snr_db_batch, which hits its n == 0 branch before the
+        # power checks; previously this fell through to the p_noise <= 0
+        # branch and returned +inf, flipping the verdict between the two
+        # implementations
+        return float("-inf")
     ref = reference_signal(hdr["freq_hz"], hdr["sr_hz"], hdr["n_samples"], hdr["amp"])
     noise = samples.astype(np.float64) - ref
     p_sig = float(np.sum(ref * ref))

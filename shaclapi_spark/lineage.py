@@ -22,7 +22,7 @@ import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import Observation, SparkSession, functions as F
 
 from shaclapi_spark import verdicts as V
 from shaclapi_spark.engine import EngineConfig, run_suite
@@ -37,6 +37,9 @@ class LineageRun:
     completed: list[int]
     ran: list[int]
     wall_sec: float
+    # anytime-delivery metric: seconds until the first verdict wave was
+    # durably written (None when every wave was already complete on entry)
+    first_verdict_sec: float | None = None
 
 
 def _manifest_path(out_dir: str) -> str:
@@ -136,20 +139,24 @@ def run_with_lineage(
                 config=cfg,
                 preseeded_verdicts=preseeded,
             )
-            res.verdicts.write.mode("overwrite").parquet(
-                os.path.join(out_dir, "verdicts", f"wave={wave}")
-            )
+            # row count piggybacks on the write job via the Observation API —
+            # no extra count job, no re-read of the just-written parquet
+            obs = Observation(f"lineage_wave_{wave}")
+            res.verdicts.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, "verdicts", f"wave={wave}"))
             res.violations.write.mode("overwrite").parquet(
                 os.path.join(out_dir, "violations", f"wave={wave}")
             )
             res.summary.write.mode("overwrite").parquet(
                 os.path.join(out_dir, "summary", f"wave={wave}")
             )
-            h.record_rows(
-                spark.read.parquet(
-                    os.path.join(out_dir, "verdicts", f"wave={wave}")
-                ).count()
-            )
+            n_rows = int(obs.get["n"])
+            h.record_rows(n_rows)
+        # first-emission latency: how long until the FIRST verdict wave was
+        # durably available to a consumer (anytime-delivery metric, the
+        # analog of the reference's first-result timestamp)
+        rec.mark_first("first_verdict_sec", since_ts=t0, n_rows=n_rows)
         with open(_manifest_path(out_dir), "a") as fh:
             fh.write(
                 json.dumps(
@@ -171,6 +178,7 @@ def run_with_lineage(
         completed=sorted(done | set(ran)),
         ran=ran,
         wall_sec=time.time() - t0,
+        first_verdict_sec=rec.get("first_verdict_sec"),
     )
 
 

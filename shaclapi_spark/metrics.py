@@ -42,6 +42,20 @@ class MetricsRecorder:
     def record(self, stage: str, wall_sec: float, n_rows: int | None = None) -> None:
         self.rows.append((self.run_id, stage, wall_sec, n_rows, time.time()))
 
+    def mark_first(self, stage: str, since_ts: float, n_rows: int | None = None) -> None:
+        """Record a first-emission latency row (e.g. first verdict wave /
+        micro-batch landing — the analog of the reference's first-result
+        timestamp, ValidationResultTransmitter.py:21-24) exactly once."""
+        if any(r[1] == stage for r in self.rows):
+            return
+        self.record(stage, time.time() - since_ts, n_rows)
+
+    def get(self, stage: str) -> float | None:
+        for r in self.rows:
+            if r[1] == stage:
+                return r[2]
+        return None
+
     def to_df(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(self.rows, schema=METRICS_SCHEMA)
 

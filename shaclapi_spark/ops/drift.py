@@ -74,27 +74,105 @@ def evaluate_drift_constraints(
     spark: SparkSession, suite: Suite, tables: dict[str, DataFrame]
 ):
     """Dataset-level verdict rows (entity_id='__dataset__') for every `drift`
-    constraint in the suite. Returns (verdicts_df|None, violations_df|None)."""
-    vrows, xrows = [], []
+    constraint in the suite. Returns (verdicts_df|None, violations_df|None).
+
+    ALL drift constraints over the same (table, target_filter) source run in
+    ONE Spark job: per-row the bin of every profiled column is emitted via a
+    single explode, then one groupBy(column, bin) — an N-constraint suite
+    costs one scan + one (n_columns × n_bins)-row shuffle, not N sequential
+    jobs."""
+    # gather specs first: (shape, constraint, column, lo, hi, ref_fracs)
+    specs = []  # (source_key, shape, c, column, lo, hi, ref)
+    ref_cache: dict[int, dict[str, tuple[float, float, np.ndarray]]] = {}
     for shape in suite.shapes:
-        df = tables[shape.table]
-        if shape.target_filter:
-            df = df.filter(F.expr(shape.target_filter))
         for c in shape.constraints:
             if c.kind != "drift":
                 continue
             p = c.params
-            ref = tables[p.get("ref_table", "ref_histograms")]
-            ks, psi = drift_metrics(df, p["column"], ref)
-            ok = True
-            if p.get("max_psi") is not None and psi > float(p["max_psi"]):
-                ok = False
-            if p.get("max_ks") is not None and ks > float(p["max_ks"]):
-                ok = False
-            detail = f"drift({p['column']}) ks={ks:.4f} psi={psi:.4f}"
-            vrows.append(("__dataset__", shape.name, ok, None if ok else c.id))
-            if not ok:
-                xrows.append(("__dataset__", shape.name, c.id, detail))
+            ref_df = tables[p.get("ref_table", "ref_histograms")]
+            key = id(ref_df)
+            if key not in ref_cache:
+                by_col: dict[str, tuple[float, float, np.ndarray]] = {}
+                rows = ref_df.collect()  # tiny: n_bins rows per column
+                cols = sorted({r.column_name for r in rows})
+                for cn in cols:
+                    rs = sorted(
+                        (r for r in rows if r.column_name == cn),
+                        key=lambda r: r.bin_lo,
+                    )
+                    by_col[cn] = (
+                        float(rs[0].bin_lo),
+                        float(rs[-1].bin_hi),
+                        np.array([r.ref_frac for r in rs], dtype=np.float64),
+                    )
+                ref_cache[key] = by_col
+            if p["column"] not in ref_cache[key]:
+                raise ValueError(
+                    f"no reference histogram for column {p['column']!r}"
+                )
+            lo, hi, ref = ref_cache[key][p["column"]]
+            specs.append(
+                ((shape.table, shape.target_filter), shape, c, p["column"], lo, hi, ref)
+            )
+
+    # one fused histogram job per distinct source
+    obs_by_spec: dict[tuple, np.ndarray] = {}
+    by_source: dict[tuple, list] = {}
+    for s in specs:
+        by_source.setdefault(s[0], []).append(s)
+    for (table, tfilter), ss in by_source.items():
+        df = tables[table]
+        if tfilter:
+            df = df.filter(F.expr(tfilter))
+        structs = []
+        for _, _shape, c, column, lo, hi, ref in ss:
+            n_bins = len(ref)
+            col = F.col(column).cast("double")
+            bin_expr = F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((col - F.lit(lo)) / F.lit((hi - lo) / n_bins)).cast("int"),
+                ),
+            )
+            structs.append(
+                F.struct(
+                    F.lit(c.id).alias("cid"),
+                    F.when(col.isNotNull(), bin_expr).alias("bin"),
+                )
+            )
+        rows = (
+            df.select(F.explode(F.array(*structs)).alias("p"))
+            .select("p.cid", "p.bin")
+            .filter(F.col("bin").isNotNull())
+            .groupBy("cid", "bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        for _, _shape, c, column, lo, hi, ref in ss:
+            counts = np.zeros(len(ref), dtype=np.float64)
+            for r in rows:
+                if r.cid == c.id:
+                    counts[int(r.bin)] = float(r.n)
+            total = counts.sum()
+            obs_by_spec[(table, tfilter, c.id)] = (
+                counts / total if total > 0 else counts
+            )
+
+    vrows, xrows = [], []
+    for (table, tfilter), shape, c, column, lo, hi, ref in specs:
+        p = c.params
+        obs = obs_by_spec[(table, tfilter, c.id)]
+        ks, psi = ks_psi(obs, ref)
+        ok = True
+        if p.get("max_psi") is not None and psi > float(p["max_psi"]):
+            ok = False
+        if p.get("max_ks") is not None and ks > float(p["max_ks"]):
+            ok = False
+        detail = f"drift({column}) ks={ks:.4f} psi={psi:.4f}"
+        vrows.append(("__dataset__", shape.name, ok, None if ok else c.id))
+        if not ok:
+            xrows.append(("__dataset__", shape.name, c.id, detail))
     if not vrows:
         return None, None
     vd = spark.createDataFrame(

@@ -32,13 +32,16 @@ from shaclapi_spark.suite import ROW_KINDS, Constraint, Shape, Suite
 
 def _row_constraints(shape: Shape) -> list[Constraint]:
     """Top-level constraints decidable on a single row (no OR-groups with
-    non-row branches, no entity aggregation)."""
+    non-row branches, no entity aggregation). audio_valid branches are
+    excluded from OR-group admissibility: row_predicate cannot evaluate the
+    Arrow-UDF check inside a disjunction (it is handled as a standalone
+    column via with_audio_check only)."""
     out: list[Constraint] = []
     for c in shape.constraints:
         if c.kind in ROW_KINDS or c.kind == "audio_valid":
             out.append(c)
         elif c.kind == "or_group" and all(
-            b.kind in ROW_KINDS for b in c.branches
+            b.kind in ROW_KINDS and b.kind != "audio_valid" for b in c.branches
         ):
             out.append(c)
     return out
@@ -131,6 +134,44 @@ def row_verdict_stream(
     return verdicts, violations
 
 
+def write_batch_outputs(
+    out_dir: str,
+    batch_df: DataFrame,
+    shape: Shape,
+    batch_id: int,
+    config: EngineConfig | None = None,
+) -> None:
+    """IDEMPOTENT per-batch output: foreachBatch gives at-least-once
+    delivery (a crash after the write but before the checkpoint commit
+    re-runs the micro-batch on restart), so every output is partitioned by
+    batch_id and written with DYNAMIC partition overwrite — a replay
+    replaces its own batch_id partition instead of appending duplicate
+    rows, yielding exactly-once output."""
+    vd, vl = row_verdict_stream(batch_df, shape, config)
+    vd = vd.withColumn("batch_id", F.lit(batch_id))
+    vl = vl.withColumn("batch_id", F.lit(batch_id))
+
+    def write(df: DataFrame, sub: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(out_dir, sub))
+        )
+
+    write(vd, "verdicts")
+    write(vl, "violations")
+    write(
+        vd.groupBy("shape")
+        .agg(
+            F.sum(F.col("is_valid").cast("long")).alias("n_valid"),
+            F.sum((~F.col("is_valid")).cast("long")).alias("n_invalid"),
+        )
+        .withColumn("batch_id", F.lit(batch_id)),
+        "batch_summary",
+    )
+
+
 def validate_stream(
     spark: SparkSession,
     suite: Suite,
@@ -140,6 +181,7 @@ def validate_stream(
     out_dir: str,
     config: EngineConfig | None = None,
     max_files_per_trigger: int | None = None,
+    metrics: "MetricsRecorder | None" = None,
 ) -> int:
     """Drain all currently-available files under ``source_dir`` through
     micro-batch row validation (Trigger.AvailableNow), appending
@@ -148,30 +190,28 @@ def validate_stream(
     progress: a later call only processes files added since — idempotent
     incremental catch-up, resumable after a crash mid-stream.
 
+    ``metrics``: optional MetricsRecorder — records a per-batch stage row
+    plus `first_verdict_sec`, the wall time from stream start until the
+    first micro-batch's verdicts were durably written (the reference's
+    first-result timestamp, ValidationResultTransmitter.py:21-24).
+
     Returns the number of micro-batches executed in this call."""
+    import time as _time
+
     shape = suite.shape(shape_name)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
     n_batches = {"n": 0}
+    t0 = _time.time()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        vd, vl = row_verdict_stream(batch_df, shape, config)
-        vd = vd.withColumn("batch_id", F.lit(batch_id))
-        vl = vl.withColumn("batch_id", F.lit(batch_id))
-        vd.write.mode("append").parquet(os.path.join(out_dir, "verdicts"))
-        vl.write.mode("append").parquet(os.path.join(out_dir, "violations"))
-        (
-            vd.groupBy("shape")
-            .agg(
-                F.sum(F.col("is_valid").cast("long")).alias("n_valid"),
-                F.sum((~F.col("is_valid")).cast("long")).alias("n_invalid"),
-            )
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(os.path.join(out_dir, "batch_summary"))
-        )
+        tb = _time.time()
+        write_batch_outputs(out_dir, batch_df, shape, batch_id, config)
+        if metrics is not None:
+            metrics.record(f"batch_{batch_id}", _time.time() - tb)
+            metrics.mark_first("first_verdict_sec", since_ts=t0)
         n_batches["n"] += 1
 
     query = (

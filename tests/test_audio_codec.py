@@ -39,3 +39,15 @@ def test_malformed_blob():
 def test_external_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         ac.decode_external(b"\x00", "opus")
+
+
+def test_zero_sample_clip_scalar_and_batch_agree():
+    # n_samples == 0: both implementations must pin the same verdict (-inf,
+    # "no evidence of a valid signal"); previously the scalar fell through
+    # to the p_noise <= 0 branch and returned +inf
+    blob = ac.encode_clip(440.0, 16000, 0, 0.8, "pcm_s16le")
+    scalar = ac.snr_db(blob)
+    (batch,) = ac.snr_db_batch([blob])
+    assert scalar == float("-inf")
+    assert batch == float("-inf")
+    assert scalar == batch

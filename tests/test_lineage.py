@@ -61,3 +61,25 @@ def test_cyclic_target_rejected(spark, fixture_tables, out_dir):
             out_dir,
             n_waves=2,
         )
+
+
+def test_first_verdict_latency_recorded(spark, fixture_tables, tmp_path):
+    from shaclapi_spark import fixtures
+    from shaclapi_spark.lineage import run_with_lineage
+
+    out = str(tmp_path / "lat")
+    run = run_with_lineage(
+        spark,
+        fixtures.clip_suite(include_audio=False, include_drift=False),
+        fixture_tables,
+        "ClipShape",
+        out,
+        n_waves=4,
+    )
+    # first wave landed strictly before the full run finished
+    assert run.first_verdict_sec is not None
+    assert 0 < run.first_verdict_sec <= run.wall_sec
+    # and it is persisted in the metrics table
+    m = spark.read.parquet(out + "/metrics")
+    rows = m.filter(m.stage == "first_verdict_sec").collect()
+    assert len(rows) == 1 and rows[0].wall_sec == run.first_verdict_sec

@@ -97,3 +97,69 @@ def test_stream_checkpoint_resume_only_new_files(spark, stream_dirs):
     # batch summaries accumulated per micro-batch (anytime delivery)
     bs = spark.read.parquet(os.path.join(out, "batch_summary"))
     assert bs.count() >= 2
+
+
+def test_batch_replay_is_idempotent(spark, stream_dirs):
+    # at-least-once replay: re-running the SAME micro-batch (crash between
+    # parquet write and checkpoint commit) must not duplicate output rows
+    from shaclapi_spark.streaming.incremental import write_batch_outputs
+
+    src, out, clips = stream_dirs
+    suite = fixtures.clip_suite(include_audio=False, include_drift=False)
+    shape = suite.shape("ClipShape")
+    batch = clips.limit(500)
+    write_batch_outputs(out, batch, shape, batch_id=0)
+    first = spark.read.parquet(os.path.join(out, "verdicts")).count()
+    write_batch_outputs(out, batch, shape, batch_id=0)  # replay
+    again = spark.read.parquet(os.path.join(out, "verdicts")).count()
+    assert first == again
+    # a different batch id still appends its own partition
+    write_batch_outputs(out, batch, shape, batch_id=1)
+    assert spark.read.parquet(os.path.join(out, "verdicts")).count() == 2 * first
+
+
+def test_or_group_with_audio_branch_not_claimed_row_decidable():
+    # an OR-group containing an audio branch must be excluded from the
+    # streaming row-decidable subset (row_predicate cannot evaluate the
+    # Arrow UDF inside a disjunction) instead of crashing at plan time
+    from shaclapi_spark.streaming.incremental import _row_constraints
+    from shaclapi_spark.suite import Constraint, Shape
+
+    shape = Shape(
+        name="S",
+        table="clips",
+        entity_col="clip_id",
+        constraints=[
+            Constraint("plain", "not_null", {"column": "sr_hz"}),
+            Constraint(
+                "mixed_or",
+                "or_group",
+                branches=[
+                    Constraint("o_a", "audio_valid", {"column": "bytes"}),
+                    Constraint("o_b", "expr", {"sql": "dur_ms <= 30000"}),
+                ],
+            ),
+        ],
+    )
+    ids = [c.id for c in _row_constraints(shape)]
+    assert ids == ["plain"]
+
+
+def test_streaming_first_verdict_latency(spark, stream_dirs):
+    from shaclapi_spark.metrics import MetricsRecorder
+
+    src, out, clips = stream_dirs
+    suite = fixtures.clip_suite(include_audio=False, include_drift=False)
+    rec = MetricsRecorder(run_id="stream-lat")
+    n = validate_stream(
+        spark, suite, "ClipShape", src, clips.schema, out,
+        max_files_per_trigger=1, metrics=rec,
+    )
+    assert n >= 2
+    first = rec.get("first_verdict_sec")
+    batch_stages = [r for r in rec.rows if r[1].startswith("batch_")]
+    assert first is not None and first > 0
+    assert len(batch_stages) == n
+    # anytime semantics: the first verdicts were available before the later
+    # batches finished (first latency < total of all batch walls)
+    assert first < sum(r[2] for r in batch_stages) + first
