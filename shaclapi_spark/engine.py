@@ -272,22 +272,33 @@ class _ShapeEvaluator:
                     child[fk] == self.population["__pop_id"],
                     "leftsemi",
                 )
-            ref_shapes = {
-                c.params["shape"] for c in cs if c.kind == "qualified_shape"
-            }
-            for rs in sorted(ref_shapes):
+            # (referenced shape, child column holding the referenced entity):
+            # by default the child table IS the referenced shape's table, so
+            # its entity column is the join key; `ref_key` overrides it for
+            # edge-table children (e.g. SHACL graph links, shacl.LinkBinding)
+            ref_pairs = sorted(
+                {
+                    (
+                        c.params["shape"],
+                        c.params.get("ref_key")
+                        or self._ref_entity_col(c.params["shape"], child_name),
+                    )
+                    for c in cs
+                    if c.kind == "qualified_shape"
+                }
+            )
+            for rs, rk in ref_pairs:
                 vd = self.prereq[rs].select(
-                    F.col("entity_id").alias(f"__ve_{rs}"),
-                    F.col("is_valid").alias(f"__v_{rs}"),
+                    F.col("entity_id").alias(f"__ve_{rs}_{rk}"),
+                    F.col("is_valid").alias(f"__v_{rs}_{rk}"),
                 )
-                ref_entity_col = self._ref_entity_col(rs, child_name)
                 # verdict entity_id is string; cast the child key so integer
                 # keys join exactly (no numeric widening) at any key domain
                 child = child.join(
                     vd,
-                    child[ref_entity_col].cast("string") == vd[f"__ve_{rs}"],
+                    child[rk].cast("string") == vd[f"__ve_{rs}_{rk}"],
                     "left",
-                ).drop(f"__ve_{rs}")
+                ).drop(f"__ve_{rs}_{rk}")
             aggs = []
             for c in cs:
                 cond = F.lit(True)
@@ -297,7 +308,12 @@ class _ShapeEvaluator:
                     )
                 if c.kind == "qualified_shape":
                     rs = c.params["shape"]
-                    cond = cond & F.coalesce(F.col(f"__v_{rs}"), F.lit(True))
+                    rk = c.params.get("ref_key") or self._ref_entity_col(
+                        rs, child_name
+                    )
+                    cond = cond & F.coalesce(
+                        F.col(f"__v_{rs}_{rk}"), F.lit(True)
+                    )
                 aggs.append(
                     F.sum(F.when(cond, 1).otherwise(0)).alias(f"cnt_{c.id}")
                 )
@@ -655,15 +671,14 @@ def _propagate_population(
                         unrestricted.add(ref)
                         continue
                     child = tables[c.params["child"]]
+                    ref_col = c.params.get("ref_key") or entity_col_by_shape[ref]
                     need = (
                         child.join(
                             pops[name],
                             child[c.params["fk"]] == pops[name]["__pop_id"],
                             "leftsemi",
                         )
-                        .select(
-                            F.col(entity_col_by_shape[ref]).alias("__pop_id")
-                        )
+                        .select(F.col(ref_col).alias("__pop_id"))
                         .distinct()
                     )
                     pops[ref] = (

@@ -1,0 +1,382 @@
+"""SHACL (Turtle) shape ingestion → Suite.
+
+The reference parses shape directories in SHACL Turtle alongside its JSON
+format (ref shaclapi/reduction/travshacl/ReducedShapeParser.py:28-58,
+format switch shaclapi/config.py:128-139; fixtures
+/root/reference/tests/tc1..tc6/shapes/*.ttl). This module lets users with
+existing ``sh:`` shape files migrate: a minimal, dependency-free parser for
+the Turtle subset those shape files use, an intermediate representation,
+and a relational *binding* that maps RDF predicates onto the engine's
+table/column/link model.
+
+Supported constructs (the complete inventory used by the reference's
+fixtures): ``@prefix``, ``<name> a sh:NodeShape``, ``sh:targetClass``,
+``sh:targetQuery`` (SPARQL string; ``VALUES`` target lists are extracted),
+``sh:property [ sh:path p | [ sh:inversePath p ] ; sh:minCount /
+sh:maxCount ; sh:qualifiedValueShape [ sh:node :Ref ] ;
+sh:qualifiedMinCount / sh:qualifiedMaxCount ]`` and ``sh:or ( ... )``.
+
+Mapping onto constraint kinds (SURVEY.md §2.10a):
+
+==========================================  ================================
+SHACL                                       suite.Constraint
+==========================================  ================================
+path→column, minCount ≥ 1                   not_null(column)
+path→column, maxCount 0                     expr(column IS NULL)
+path→link,   minCount n                     min_count(child, fk, min=n)
+path→link,   maxCount n                     max_count(child, fk, max=n)
+qualifiedValueShape + qualifiedMin/Max      qualified_shape(child, fk,
+                                              shape, min, max)
+sh:inversePath                              same link kinds; the binding's
+                                            LinkBinding carries local_key
+sh:or (...)                                 or_group(branches)
+sh:targetClass C                            target_filter
+                                              "<class_column> = '<C>'"
+sh:targetQuery VALUES list                  target_filter
+                                              "<entity_col> IN (...)"
+==========================================  ================================
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+from shaclapi_spark.suite import Constraint, Shape, Suite
+
+SH = "http://www.w3.org/ns/shacl#"
+
+
+# ---------------------------------------------------------------------------
+# Turtle-subset tokenizer + parser
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r'"(?:[^"\\]|\\.)*"'      # string literal
+    r"|<[^>]*>"               # IRI
+    r"|@prefix"
+    r"|[\[\]();,]"            # structural
+    r"|\.(?=\s|$)"            # statement terminator (never inside a CURIE)
+    r"|[^\s\[\]();,]+"        # CURIE / number / 'a'
+)
+
+
+def _tokenize(text: str) -> list[str]:
+    # strip comments (no '#' inside IRIs/strings in the supported subset is
+    # a hash-terminated prefix IRI — keep it by only stripping '# ' comments
+    # that start a line or follow whitespace outside <> and "")
+    out: list[str] = []
+    for m in _TOKEN_RE.finditer(text):
+        out.append(m.group(0))
+    return out
+
+
+class _Parser:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse(self) -> list[tuple[str, dict]]:
+        """Returns [(subject, {pred: [objects]})] with blank nodes as dicts
+        and collections as lists."""
+        subjects: list[tuple[str, dict]] = []
+        while self.peek() is not None:
+            if self.peek() == "@prefix":
+                self.next()
+                pfx = self.next().rstrip(":")
+                iri = self.next().strip("<>")
+                term = self.next()
+                if term != ".":
+                    raise ValueError(f"malformed @prefix near {term!r}")
+                self.prefixes[pfx] = iri
+                continue
+            subj = self.next()
+            po = self._po_list(stop={"."})
+            if self.next() != ".":  # pragma: no cover
+                raise ValueError("expected '.' after subject block")
+            subjects.append((subj, po))
+        return subjects
+
+    def _po_list(self, stop: set[str]) -> dict:
+        po: dict[str, list] = {}
+        while True:
+            nxt = self.peek()
+            if nxt is None or nxt in stop:
+                return po
+            pred = self.next()
+            objs = [self._object()]
+            while self.peek() == ",":
+                self.next()
+                objs.append(self._object())
+            po.setdefault(pred, []).extend(objs)
+            if self.peek() == ";":
+                self.next()
+                continue
+            return po
+
+    def _object(self):
+        t = self.peek()
+        if t == "[":
+            self.next()
+            po = self._po_list(stop={"]"})
+            if self.next() != "]":  # pragma: no cover
+                raise ValueError("unterminated blank node")
+            return po
+        if t == "(":
+            self.next()
+            items = []
+            while self.peek() != ")":
+                items.append(self._object())
+            self.next()
+            return items
+        t = self.next()
+        if t.startswith('"'):
+            return t[1:-1].replace('\\"', '"')
+        if re.fullmatch(r"-?\d+", t):
+            return int(t)
+        return t  # CURIE / IRI / 'a'
+
+
+def local_name(term: str) -> str:
+    """Local part of an IRI/CURIE (after '#', '/', or ':')."""
+    t = term.strip("<>")
+    for sep in ("#", "/"):
+        if sep in t:
+            t = t.rsplit(sep, 1)[1]
+    if ":" in t:
+        t = t.rsplit(":", 1)[1]
+    return t
+
+
+# ---------------------------------------------------------------------------
+# intermediate representation
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ShaclProperty:
+    path: str                      # predicate local name
+    inverse: bool = False
+    min_count: int | None = None
+    max_count: int | None = None
+    qualified_shape: str | None = None  # referenced shape local name
+    qualified_min: int | None = None
+    qualified_max: int | None = None
+
+
+@dataclass
+class ShaclShape:
+    name: str
+    target_class: str | None = None
+    target_query: str | None = None
+    properties: list[ShaclProperty] = field(default_factory=list)
+    or_groups: list[list[ShaclProperty]] = field(default_factory=list)
+
+    def target_values(self) -> list[str] | None:
+        """Entity local names from a ``VALUES ?x { <iri> ... }`` target
+        query (the tc2 shapeB pattern), else None."""
+        if not self.target_query:
+            return None
+        m = re.search(r"VALUES\s+\?\w+\s*\{([^}]*)\}", self.target_query)
+        if not m:
+            return None
+        return [local_name(t) for t in re.findall(r"<[^>]*>", m.group(1))]
+
+
+def _prop_from_po(po: dict) -> ShaclProperty:
+    def one(key: str):
+        vals = [v for k, v in po.items() if local_name(k) == key for v in v]
+        return vals[0] if vals else None
+
+    path = one("path")
+    inverse = False
+    if isinstance(path, dict):  # [ sh:inversePath p ]
+        inner = [v for k, v in path.items() if local_name(k) == "inversePath"]
+        if not inner:
+            raise ValueError(f"unsupported path expression {path!r}")
+        path, inverse = inner[0][0], True
+    qshape = one("qualifiedValueShape")
+    qname = None
+    if isinstance(qshape, dict):
+        nodes = [v for k, v in qshape.items() if local_name(k) == "node"]
+        qname = local_name(nodes[0][0]) if nodes else None
+    return ShaclProperty(
+        path=local_name(path),
+        inverse=inverse,
+        min_count=one("minCount"),
+        max_count=one("maxCount"),
+        qualified_shape=qname,
+        qualified_min=one("qualifiedMinCount"),
+        qualified_max=one("qualifiedMaxCount"),
+    )
+
+
+def parse_shacl(text: str) -> list[ShaclShape]:
+    """Parse one Turtle document into ShaclShape IR records."""
+    p = _Parser(_tokenize(text))
+    shapes: list[ShaclShape] = []
+    for subj, po in p.parse():
+        types = [local_name(t) for t in po.get("a", [])]
+        if "NodeShape" not in types:
+            continue
+        shape = ShaclShape(name=local_name(subj))
+        for pred, objs in po.items():
+            key = local_name(pred)
+            if key == "targetClass":
+                shape.target_class = local_name(objs[0])
+            elif key == "targetQuery":
+                shape.target_query = objs[0]
+            elif key == "property":
+                for o in objs:
+                    shape.properties.append(_prop_from_po(o))
+            elif key == "or":
+                for o in objs:  # each obj is a collection (list of blocks)
+                    shape.or_groups.append([_prop_from_po(b) for b in o])
+        shapes.append(shape)
+    return shapes
+
+
+def parse_shacl_dir(path: str) -> list[ShaclShape]:
+    """Parse every .ttl file in a directory (the reference's shape-dir
+    layout, one shape per file)."""
+    shapes: list[ShaclShape] = []
+    for fname in sorted(os.listdir(path)):
+        if fname.endswith(".ttl"):
+            with open(os.path.join(path, fname)) as fh:
+                shapes.extend(parse_shacl(fh.read()))
+    return shapes
+
+
+# ---------------------------------------------------------------------------
+# relational binding → Suite
+# ---------------------------------------------------------------------------
+
+@dataclass
+class LinkBinding:
+    """A predicate that lands in a child table: child rows reference the
+    validated entity through ``fk``. For inverse paths where the link key on
+    the shape's own table is not its entity column, set ``local_key``.
+    For qualified refs through an EDGE table, ``ref_key`` names the child
+    column holding the referenced shape's entity id (default: the
+    referenced shape's own entity column — correct when the child table IS
+    the referenced shape's table)."""
+
+    child: str
+    fk: str
+    local_key: str | None = None
+    ref_key: str | None = None
+
+
+@dataclass
+class ShapeBinding:
+    table: str
+    entity_col: str
+    columns: dict[str, str] = field(default_factory=dict)  # path → row column
+    links: dict[str, LinkBinding] = field(default_factory=dict)  # path → link
+    class_column: str | None = None   # realizes sh:targetClass as a filter
+    target_filter: str | None = None  # explicit override
+
+
+def _constraints_for(
+    prop: ShaclProperty, cid: str, b: ShapeBinding
+) -> list[Constraint]:
+    out: list[Constraint] = []
+    if prop.path in b.columns:
+        col = b.columns[prop.path]
+        if prop.min_count is not None:
+            if prop.min_count > 1:
+                raise ValueError(
+                    f"minCount {prop.min_count} on single-valued column "
+                    f"{col!r}; bind path {prop.path!r} as a link instead"
+                )
+            if prop.min_count >= 1:
+                out.append(Constraint(f"{cid}_min", "not_null", {"column": col}))
+        if prop.max_count is not None:
+            if prop.max_count == 0:
+                out.append(
+                    Constraint(f"{cid}_max", "expr", {"sql": f"{col} IS NULL"})
+                )
+            # maxCount >= 1 on a single-valued column is vacuous
+        if prop.qualified_shape:
+            raise ValueError(
+                f"qualifiedValueShape needs a link binding for {prop.path!r}"
+            )
+        return out
+    if prop.path not in b.links:
+        raise ValueError(
+            f"no binding for path {prop.path!r} (add it to columns or links)"
+        )
+    ln = b.links[prop.path]
+    base = {"child": ln.child, "fk": ln.fk}
+    if ln.local_key:
+        base["local_key"] = ln.local_key
+    if prop.min_count is not None:
+        out.append(
+            Constraint(f"{cid}_min", "min_count", dict(base, min=prop.min_count))
+        )
+    if prop.max_count is not None:
+        out.append(
+            Constraint(f"{cid}_max", "max_count", dict(base, max=prop.max_count))
+        )
+    if prop.qualified_shape:
+        params = dict(base, shape=prop.qualified_shape)
+        if ln.ref_key:
+            params["ref_key"] = ln.ref_key
+        if prop.qualified_min is not None:
+            params["min"] = prop.qualified_min
+        if prop.qualified_max is not None:
+            params["max"] = prop.qualified_max
+        out.append(Constraint(f"{cid}_q", "qualified_shape", params))
+    return out
+
+
+def to_suite(shapes: list[ShaclShape], bindings: dict[str, ShapeBinding]) -> Suite:
+    """Bind parsed SHACL shapes onto tables, producing an engine Suite."""
+    out: list[Shape] = []
+    for s in shapes:
+        b = bindings[s.name]
+        target_filter = b.target_filter
+        if target_filter is None:
+            values = s.target_values()
+            if values is not None:
+                ids = ", ".join(f"'{v}'" for v in values)
+                target_filter = f"{b.entity_col} IN ({ids})"
+            elif s.target_class and b.class_column:
+                target_filter = f"{b.class_column} = '{s.target_class}'"
+        cs: list[Constraint] = []
+        for i, prop in enumerate(s.properties):
+            cs.extend(_constraints_for(prop, f"{s.name}_p{i}_{prop.path}", b))
+        for gi, branches in enumerate(s.or_groups):
+            bcs: list[Constraint] = []
+            for bi, prop in enumerate(branches):
+                got = _constraints_for(
+                    prop, f"{s.name}_or{gi}_{bi}_{prop.path}", b
+                )
+                if len(got) != 1:
+                    raise ValueError(
+                        "each sh:or branch must map to exactly one "
+                        f"constraint, got {len(got)} for {prop!r}"
+                    )
+                bcs.append(got[0])
+            cs.append(
+                Constraint(f"{s.name}_or{gi}", "or_group", branches=bcs)
+            )
+        out.append(
+            Shape(
+                name=s.name,
+                table=b.table,
+                entity_col=b.entity_col,
+                target_filter=target_filter,
+                constraints=cs,
+            )
+        )
+    return Suite(shapes=out)

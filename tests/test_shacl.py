@@ -1,0 +1,210 @@
+"""SHACL Turtle ingestion: parse the reference's own shape fixtures
+(/root/reference/tests/tc*/shapes/*.ttl) into the IR, bind them onto
+tables, and check the compiled Suite structure matches hand-built
+fixtures — the tc6-style structural assertions of the reference
+(tests/test_main.py:296-403)."""
+
+import os
+
+import pytest
+
+from shaclapi_spark import engine
+from shaclapi_spark.shacl import (
+    LinkBinding,
+    ShapeBinding,
+    parse_shacl,
+    parse_shacl_dir,
+    to_suite,
+)
+
+REF = "/root/reference/tests"
+
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference fixtures not available"
+)
+
+
+@needs_ref
+def test_parse_tc1_shapes():
+    shapes = {s.name: s for s in parse_shacl_dir(f"{REF}/tc1/shapes/test1_2_3")}
+    a, e = shapes["ShapeA"], shapes["ShapeE"]
+    assert a.target_class == "classA"
+    has, belongs = a.properties
+    assert (has.path, has.min_count, has.max_count) == ("has", 1, 1)
+    assert belongs.path == "belongsTo" and not belongs.inverse
+    assert belongs.qualified_shape == "ShapeE"
+    assert (belongs.qualified_min, belongs.qualified_max) == (1, 1)
+    (ehas,) = e.properties
+    assert (ehas.min_count, ehas.max_count) == (2, 2)
+
+
+@needs_ref
+def test_parse_tc4_inverse_path():
+    shapes = {s.name: s for s in parse_shacl_dir(f"{REF}/tc4/shapes")}
+    (p,) = shapes["ShapeA"].properties
+    assert p.inverse and p.path == "refersTo"
+    assert p.qualified_shape == "ShapeB" and p.qualified_min == 2
+    assert p.qualified_max is None
+    assert shapes["ShapeC"].properties == []  # target-only shape
+
+
+@needs_ref
+def test_parse_tc6_or_group():
+    shapes = {s.name: s for s in parse_shacl_dir(f"{REF}/tc6/shapes")}
+    a = shapes["ShapeA"]
+    (branches,) = a.or_groups
+    assert [b.path for b in branches] == ["property0", "property1", "property2"]
+    assert branches[1].min_count == 3
+    assert branches[2].inverse and branches[2].max_count == 0
+    assert [p.path for p in a.properties] == ["property3", "belongsTo"]
+
+
+@needs_ref
+def test_parse_tc2_target_query_values():
+    shapes = {s.name: s for s in parse_shacl_dir(f"{REF}/tc2/shapes")}
+    b = shapes["ShapeB"]
+    assert b.target_query is not None
+    assert b.target_values() == ["nodeB_1", "nodeB_0"]
+
+
+@needs_ref
+def test_tc1_binding_produces_expected_suite():
+    shapes = parse_shacl_dir(f"{REF}/tc1/shapes/test1_2_3")
+    bindings = {
+        "ShapeA": ShapeBinding(
+            table="nodes",
+            entity_col="id",
+            class_column="cls",
+            links={
+                "has": LinkBinding(child="has_edges", fk="src"),
+                "belongsTo": LinkBinding(
+                    child="belongs_edges", fk="src", ref_key="dst"
+                ),
+            },
+        ),
+        "ShapeE": ShapeBinding(
+            table="nodes",
+            entity_col="id",
+            class_column="cls",
+            links={"has": LinkBinding(child="has_edges", fk="src")},
+        ),
+    }
+    suite = to_suite(shapes, bindings)
+    a = suite.shape("ShapeA")
+    assert a.target_filter == "cls = 'classA'"
+    assert a.constraints[2].params["ref_key"] == "dst"
+    kinds = [(c.kind, c.params.get("min"), c.params.get("max")) for c in a.constraints]
+    assert kinds == [
+        ("min_count", 1, None),
+        ("max_count", None, 1),
+        ("qualified_shape", 1, 1),
+    ]
+    assert a.constraints[2].params["shape"] == "ShapeE"
+    e = suite.shape("ShapeE")
+    assert [(c.kind, c.params.get("min"), c.params.get("max")) for c in e.constraints] == [
+        ("min_count", 2, None),
+        ("max_count", None, 2),
+    ]
+
+
+@needs_ref
+def test_tc4_binding_inverse_local_key():
+    shapes = parse_shacl_dir(f"{REF}/tc4/shapes")
+    bindings = {
+        "ShapeA": ShapeBinding(
+            table="nodes",
+            entity_col="id",
+            class_column="cls",
+            # inverse path: A is validated through edges POINTING AT it
+            # (fk=dst); the referring B node is in the src column
+            links={"refersTo": LinkBinding(child="edges", fk="dst", ref_key="src")},
+        ),
+        "ShapeB": ShapeBinding(
+            table="nodes",
+            entity_col="id",
+            class_column="cls",
+            links={"refersTo": LinkBinding(child="edges", fk="src", ref_key="dst")},
+        ),
+        "ShapeC": ShapeBinding(table="nodes", entity_col="id", class_column="cls"),
+    }
+    suite = to_suite(shapes, bindings)
+    (qa,) = suite.shape("ShapeA").constraints
+    assert qa.kind == "qualified_shape" and qa.params["min"] == 2
+    assert qa.params["child"] == "edges" and qa.params["fk"] == "dst"
+    assert suite.shape("ShapeC").constraints == []
+
+
+@needs_ref
+def test_tc1_end_to_end_validation(spark):
+    """Validate a tiny hand-built graph against the parsed tc1 shapes:
+    ShapeA targets need exactly one `has` edge and exactly one `belongsTo`
+    edge to a VALID ShapeE node (which itself needs exactly two `has`)."""
+    shapes = parse_shacl_dir(f"{REF}/tc1/shapes/test1_2_3")
+    bindings = {
+        "ShapeA": ShapeBinding(
+            table="nodes",
+            entity_col="id",
+            class_column="cls",
+            links={
+                "has": LinkBinding(child="has_edges", fk="src"),
+                "belongsTo": LinkBinding(
+                    child="belongs_edges", fk="src", ref_key="dst"
+                ),
+            },
+        ),
+        "ShapeE": ShapeBinding(
+            table="nodes",
+            entity_col="id",
+            class_column="cls",
+            links={"has": LinkBinding(child="has_edges", fk="src")},
+        ),
+    }
+    suite = to_suite(shapes, bindings)
+    nodes = spark.createDataFrame(
+        [
+            ("a_good", "classA"),
+            ("a_no_has", "classA"),
+            ("a_bad_e", "classA"),
+            ("e_good", "classE"),
+            ("e_one_has", "classE"),
+        ],
+        ["id", "cls"],
+    )
+    has_edges = spark.createDataFrame(
+        [
+            ("a_good", "x1"),
+            ("a_bad_e", "x2"),
+            ("e_good", "x3"),
+            ("e_good", "x4"),
+            ("e_one_has", "x5"),
+        ],
+        ["src", "dst"],
+    )
+    belongs_edges = spark.createDataFrame(
+        [("a_good", "e_good"), ("a_no_has", "e_good"), ("a_bad_e", "e_one_has")],
+        ["src", "dst"],
+    )
+    res = engine.run_suite(
+        spark,
+        suite,
+        {"nodes": nodes, "has_edges": has_edges, "belongs_edges": belongs_edges},
+    )
+    got = {
+        (r.entity_id, r.shape): r.is_valid for r in res.verdicts.collect()
+    }
+    assert got[("a_good", "ShapeA")] is True
+    assert got[("a_no_has", "ShapeA")] is False      # no `has` edge
+    assert got[("e_good", "ShapeE")] is True
+    assert got[("e_one_has", "ShapeE")] is False     # needs exactly 2 `has`
+    assert got[("a_bad_e", "ShapeA")] is False       # belongsTo an invalid E
+
+
+def test_parser_rejects_unbound_path():
+    shapes = parse_shacl(
+        """@prefix : <http://example.org/> .
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+:S a sh:NodeShape ;
+  sh:property [ sh:path :unknown ; sh:minCount 1 ] ."""
+    )
+    with pytest.raises(ValueError, match="no binding"):
+        to_suite(shapes, {"S": ShapeBinding(table="t", entity_col="id")})
