@@ -12,8 +12,11 @@
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _dot(a, b):
@@ -107,3 +110,93 @@ def ann_lsh_topk(
     bucketed = df.withColumn("__bucket", lsh_bucket_column(vec_col, planes))
     cand = bucketed.filter(F.col("__bucket").isin(*sorted(probe)))
     return brute_force_topk(cand, id_col, vec_col, query, k)
+
+
+# ---------------------------------------------------------------------------
+# persisted ANN index: bucket ONCE, probe via partition pruning
+# ---------------------------------------------------------------------------
+
+def _probe_set(query: list[float], planes: np.ndarray, multiprobe: int) -> list[int]:
+    n_planes = len(planes)
+    qbits = int(
+        sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, query)) >= 0)
+    )
+    probe = {qbits}
+    if multiprobe >= 1:
+        probe |= {qbits ^ (1 << i) for i in range(n_planes)}
+    if multiprobe >= 2:
+        probe |= {
+            qbits ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
+    return sorted(probe)
+
+
+def build_ann_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_path: str,
+    dim: int,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> None:
+    """One-time index build: bucket the corpus with the hyperplane LSH and
+    write it PARTITIONED BY the bucket column. This is the 100-TB path the
+    on-the-fly `ann_lsh_topk` cannot offer: a query probes |probe| of the
+    2^n_planes directory partitions and the scan never touches the rest
+    (partition pruning — PartitionFilters in the plan, no data files read
+    outside the probed buckets). Hyperplanes are a pure function of
+    (seed, n_planes, dim), recorded in `_ann_meta.json`, so any session can
+    recompute the query's probe set without reading the index."""
+    planes = _hyperplanes(seed, n_planes, dim)
+    (
+        df.withColumn("__bucket", lsh_bucket_column(vec_col, planes))
+        .write.partitionBy("__bucket")
+        .mode("overwrite")
+        .parquet(out_path)
+    )
+    with open(os.path.join(out_path, "_ann_meta.json"), "w") as fh:
+        json.dump(
+            {
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "dim": dim,
+                "n_planes": n_planes,
+                "seed": seed,
+            },
+            fh,
+        )
+
+
+def ann_index_probe(
+    spark: SparkSession,
+    index_path: str,
+    query: list[float],
+    multiprobe: int = 1,
+) -> DataFrame:
+    """The pruned candidate scan for one query: only the probed `__bucket`
+    partitions are read."""
+    with open(os.path.join(index_path, "_ann_meta.json")) as fh:
+        meta = json.load(fh)
+    planes = _hyperplanes(meta["seed"], meta["n_planes"], meta["dim"])
+    probe = _probe_set(query, planes, multiprobe)
+    idx = spark.read.parquet(index_path)
+    return idx.filter(F.col("__bucket").isin(*probe))
+
+
+def ann_index_topk(
+    spark: SparkSession,
+    index_path: str,
+    query: list[float],
+    k: int = 10,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k against a persisted index — identical semantics to
+    `ann_lsh_topk` built with the same (seed, n_planes), but per-query cost
+    is |probe|/2^n_planes of the corpus instead of a full scan + hash."""
+    with open(os.path.join(index_path, "_ann_meta.json")) as fh:
+        meta = json.load(fh)
+    cand = ann_index_probe(spark, index_path, query, multiprobe)
+    return brute_force_topk(cand, meta["id_col"], meta["vec_col"], query, k)

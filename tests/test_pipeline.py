@@ -222,3 +222,50 @@ def test_decode_stubs():
         multimodal.decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         multimodal.sample_video_frames(b"\x00\x00")
+
+
+def test_ann_index_matches_on_the_fly(spark, emb, tmp_path):
+    q = [float(np.sin(i)) for i in range(64)]
+    idx = str(tmp_path / "ann_idx")
+    similarity.build_ann_index(
+        emb, "vec_id", "embedding", idx, dim=64, n_planes=5, seed=42
+    )
+    from_index = [
+        (r.vec_id, round(r.cosine, 9))
+        for r in similarity.ann_index_topk(spark, idx, q, k=10, multiprobe=2).collect()
+    ]
+    on_the_fly = [
+        (r.vec_id, round(r.cosine, 9))
+        for r in similarity.ann_lsh_topk(
+            emb, "vec_id", "embedding", q, k=10, n_planes=5, seed=42, multiprobe=2
+        ).collect()
+    ]
+    assert from_index == on_the_fly
+
+
+def test_ann_index_probe_prunes_partitions(spark, emb, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    q = [float(np.sin(i)) for i in range(64)]
+    idx = str(tmp_path / "ann_idx2")
+    similarity.build_ann_index(
+        emb, "vec_id", "embedding", idx, dim=64, n_planes=5, seed=42
+    )
+    n_parts = len([d for d in os.listdir(idx) if d.startswith("__bucket=")])
+    cand = similarity.ann_index_probe(spark, idx, q, multiprobe=1)
+    # partition pruning is visible in the physical plan...
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__bucket" in plan
+    # ...and at runtime only the probed partitions' files are touched
+    touched = {
+        os.path.basename(os.path.dirname(r[0]))
+        for r in cand.select(F.input_file_name()).distinct().collect()
+    }
+    probed_buckets = {
+        int(b.split("=")[1]) for b in touched if b.startswith("__bucket=")
+    }
+    assert len(touched) <= 6  # |probe| = 1 + n_planes at multiprobe=1
+    assert len(probed_buckets) == len(touched)
+    assert 6 <= n_parts  # the index has more partitions than we probed
