@@ -31,11 +31,56 @@ def run(
     target_shapes: list[str] | None = None,
     relevant_columns: set[str] | None = None,
     config: EngineConfig | None = None,
-) -> SuiteResult:
+    target_population: "str | DataFrame | None" = None,
+    order_strategy: str = "heuristic",
+    seed_shape: str | None = None,
+    mode: str = "blocking",
+    out_dir: str | None = None,
+    n_waves: int = 8,
+):
     """Flagship entry point (POST /multiprocessing analog): validate the
     target shapes, with the reference's metadata reductions applied
     (reachability pruning always; query-driven constraint removal when
-    ``relevant_columns`` is given — ReducedShapeParser.py:78-110 analog)."""
+    ``relevant_columns`` is given — ReducedShapeParser.py:78-110 analog;
+    query-driven target restriction when ``target_population`` is given —
+    Reduction.replace_target_query analog).
+
+    ``mode`` — the collect_all_validation_results toggle
+    (ref shaclapi/config.py:312-317):
+
+    * "blocking" (default): evaluate everything, return a SuiteResult.
+    * "anytime": durable incremental emission — verdicts land wave by wave
+      under ``out_dir`` (consumable while later waves still run, resumable
+      from the manifest; first-wave latency on the result). Requires
+      exactly one target shape and ``out_dir``; a CYCLIC target forces the
+      blocking path instead (the batch analog of the reference's forced-
+      blocking fallback, ref shaclapi/api.py:144-166) and returns a
+      SuiteResult. Returns a lineage.LineageRun otherwise.
+    """
+    if mode not in ("blocking", "anytime"):
+        raise ValueError(f"unknown mode {mode!r} (blocking|anytime)")
+    if mode == "anytime":
+        from shaclapi_spark import lineage
+
+        targets = target_shapes or suite.names()
+        if len(targets) != 1 or out_dir is None:
+            raise ValueError(
+                "mode='anytime' needs exactly one target shape and out_dir"
+            )
+        try:
+            return lineage.run_with_lineage(
+                spark,
+                suite,
+                tables,
+                targets[0],
+                out_dir,
+                n_waves=n_waves,
+                config=config,
+            )
+        except ValueError as e:
+            if "cyclic" not in str(e):
+                raise
+            # forced-blocking fallback: cross-wave fixpoints are impossible
     return run_suite(
         spark,
         suite,
@@ -43,6 +88,9 @@ def run(
         target_shapes=target_shapes,
         relevant_columns=relevant_columns,
         config=config,
+        target_population=target_population,
+        order_strategy=order_strategy,
+        seed_shape=seed_shape,
     )
 
 

@@ -292,13 +292,21 @@ class _ShapeEvaluator:
                     F.col("entity_id").alias(f"__ve_{rs}_{rk}"),
                     F.col("is_valid").alias(f"__v_{rs}_{rk}"),
                 )
-                # verdict entity_id is string; cast the child key so integer
-                # keys join exactly (no numeric widening) at any key domain
-                child = child.join(
-                    vd,
-                    child[rk].cast("string") == vd[f"__ve_{rs}_{rk}"],
-                    "left",
-                ).drop(f"__ve_{rs}_{rk}")
+                # verdict entity_id is string (output contract). For integral
+                # child keys, cast the SMALL verdict side back to the native
+                # type — the big child side then shuffles fixed-width 8-byte
+                # keys instead of strings (verdict ids round-trip exactly:
+                # they were produced by casting this very column to string).
+                # Non-integral keys fall back to casting the child side.
+                kt = dict(child.dtypes).get(rk, "string")
+                if kt in ("bigint", "int", "smallint", "tinyint"):
+                    vd = vd.withColumn(
+                        f"__ve_{rs}_{rk}", F.col(f"__ve_{rs}_{rk}").cast(kt)
+                    )
+                    cond = child[rk] == vd[f"__ve_{rs}_{rk}"]
+                else:
+                    cond = child[rk].cast("string") == vd[f"__ve_{rs}_{rk}"]
+                child = child.join(vd, cond, "left").drop(f"__ve_{rs}_{rk}")
             aggs = []
             for c in cs:
                 cond = F.lit(True)

@@ -57,3 +57,42 @@ def test_metrics_recorder(spark):
     assert rows["phase_a"].n_rows == 42
     assert rows["phase_b"].wall_sec == 0.5
     assert all(r.run_id == "r1" for r in rows.values())
+
+
+def test_run_anytime_mode(spark, fixture_tables, tmp_path):
+    from shaclapi_spark import api, fixtures
+    from shaclapi_spark.lineage import LineageRun
+
+    out = str(tmp_path / "anytime")
+    res = api.run(
+        spark,
+        fixtures.clip_suite(include_audio=False, include_drift=False),
+        fixture_tables,
+        target_shapes=["ClipShape"],
+        mode="anytime",
+        out_dir=out,
+        n_waves=4,
+    )
+    assert isinstance(res, LineageRun)
+    assert res.ran == [0, 1, 2, 3] and res.first_verdict_sec is not None
+    got = spark.read.parquet(out + "/verdicts/wave=*")
+    n_entities = fixture_tables["clips"].select("clip_id").distinct().count()
+    assert got.filter(got.shape == "ClipShape").count() == n_entities
+
+
+def test_run_anytime_cyclic_forces_blocking(spark, fixture_tables, tmp_path):
+    # the reference forces blocking when anytime semantics are impossible
+    # (shaclapi/api.py:144-166); a cyclic target does the same here
+    from shaclapi_spark import api, fixtures
+    from shaclapi_spark.engine import SuiteResult
+
+    res = api.run(
+        spark,
+        fixtures.clip_cycle_suite(),
+        fixture_tables,
+        target_shapes=["ClipShape"],
+        mode="anytime",
+        out_dir=str(tmp_path / "cyc"),
+    )
+    assert isinstance(res, SuiteResult)
+    assert res.verdicts.filter(res.verdicts.shape == "ClipShape").count() > 0
