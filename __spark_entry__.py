@@ -190,6 +190,26 @@ def q_clip_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.violations.select("entity_id", "shape", "constraint_id")
 
 
+def q_violation_evidence_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # binding-level explanation (ref functions.py:127-151 analog): the
+    # dangling source rows behind every tr_fk referential violation
+    from shaclapi_spark import explain
+
+    t = _clip_tables(spark, sf_dir)
+    suite = fixtures.clip_suite(include_audio=False, include_drift=False)
+    res = run_suite(spark, suite, t, config=_CFG)
+    ev = explain.violation_evidence(
+        spark, suite, t, res.violations, constraint_ids=["tr_fk"]
+    )
+    return ev.select(
+        "entity_id",
+        "shape",
+        "constraint_id",
+        "source_table",
+        F.get_json_object("evidence", "$.clip_id").alias("dangling_clip_id"),
+    )
+
+
 def q_verdict_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         q_clip_verdicts(spark, sf_dir)
@@ -382,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "clip_verdicts": q_clip_verdicts,
         "clip_verdicts_pop": q_clip_verdicts_pop,
+        "violation_evidence_fk": q_violation_evidence_fk,
         "clip_violations": q_clip_violations,
         "verdict_counts": q_verdict_counts,
         "clip_summary": q_clip_summary,
@@ -672,6 +693,14 @@ def oracle_sql() -> dict[str, str]:
 SELECT * FROM ({verdict_union})
 WHERE shape = 'ClipShape'
   AND entity_id IN (SELECT clip_id FROM {c} WHERE codec = 'flac')
+""",
+        "violation_evidence_fk": f"""
+SELECT transcript_id AS entity_id, 'TranscriptShape' AS shape,
+  'tr_fk' AS constraint_id, 'transcripts' AS source_table,
+  clip_id AS dangling_clip_id
+FROM {_clips_pq("transcripts")}
+WHERE clip_id IS NOT NULL
+  AND clip_id NOT IN (SELECT clip_id FROM {c})
 """,
         "clip_violations": _clip_violations_sql(),
         "verdict_counts": f"""
