@@ -369,6 +369,25 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded hyperplane-LSH blocking +
+    exact cosine verification. Precision is 1.0 by construction; with
+    (seed=42, 32 bands x 4 bits) LSH recall at cosine>=0.4 is 1.0 on every
+    driver fixture (verified against the exact all-pairs relation at
+    sf 0.001/0.01/0.1), so the brute-force SQL is a full value oracle —
+    same justification as minhash_neardups_docs."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = sim.embedding_neardups(
+        e, "vec_id", "embedding", dim=64, threshold=0.4,
+        n_bands=32, band_bits=4, seed=42,
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("cosine") * 1e6).cast("long").alias("cosine_e6"),
+    )
+
+
 def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _clip_tables(spark, sf_dir)
     meta = mm.audio_metadata(t["clips"])
@@ -422,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": q_fingerprint_docs,
         "topk_cosine": q_topk_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_neardups": q_embedding_neardups,
         "audio_meta": q_audio_meta,
         "multimodal_byte_hist": q_multimodal_byte_hist,
     }
@@ -764,6 +784,15 @@ SELECT doc_id, md5(norm) AS fp_md5,
 FROM d
 """,
         "topk_cosine": _topk_cosine_sql(),
+        # embedding_neardups: LSH blocking + exact-cosine verification;
+        # recall 1.0 on the driver fixtures (see q_embedding_neardups), so
+        # the exact all-pairs relation IS the oracle.
+        "embedding_neardups": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cosine_e6
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+""",
         "audio_meta": _audio_meta_sql(),
         "clip_summary": f"""
 SELECT CAST({V.bucket_sql('entity_id', 64)} AS INT) AS bucket, shape,

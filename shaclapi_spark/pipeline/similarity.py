@@ -16,7 +16,9 @@ import json
 import os
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a, b):
@@ -200,3 +202,127 @@ def ann_index_topk(
         meta = json.load(fh)
     cand = ann_index_probe(spark, index_path, query, multiprobe)
     return brute_force_topk(cand, meta["id_col"], meta["vec_col"], query, k)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs (dedup family)
+# ---------------------------------------------------------------------------
+
+def _pair_cosine(av, bv):
+    """Cosine between two array<double> columns; NULL when either norm is 0
+    (zero vectors are no-ops for near-dup, never a DIVIDE_BY_ZERO abort)."""
+    denom = _norm(av) * _norm(bv)
+    return F.when(denom > 0, _dot(av, bv) / denom).otherwise(
+        F.lit(None).cast("double")
+    )
+
+
+def embedding_neardup_pairs_exact(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """All (a, b) pairs with cosine >= threshold, a < b, by exact all-pairs
+    cosine. O(N^2) — the correctness baseline / verification step, mirroring
+    `jaccard_pairs` for MinHash: run it on a candidate subset or a sampled
+    audit slice, never the full 100-TB corpus (that's what
+    `embedding_neardups` is for). JVM-side zip_with/aggregate arithmetic,
+    no Python in the loop."""
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col), v.alias("__vec"))
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("__vec").alias("__va")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("__vec").alias("__vb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _pair_cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_neardups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    n_bands: int = 16,
+    band_bits: int = 6,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine — the 100-TB scale path.
+
+    Banded random-hyperplane LSH blocking (the SimHash/banded-MinHash recipe
+    applied to dense vectors): each vector gets `n_bands` bucket keys of
+    `band_bits` sign bits; candidates are pairs sharing >=1 (band, bucket)
+    key — an equi-join on the bucket key, never an all-pairs comparison —
+    then every candidate is verified with the exact cosine. Precision is
+    therefore 1.0; recall is the banded-LSH probability
+    1 - (1 - p^band_bits)^n_bands with p = 1 - theta/pi, tuned via
+    n_bands/band_bits for the target threshold (defaults: ~0.998 recall at
+    cosine 0.9). `dim` is the embedding width (planes are a pure function of
+    (seed, n_bands*band_bits, dim), so driver and executors agree without
+    shipping matrices).
+
+    Plan shape (cf. minhash_lsh_neardups, round-1 lesson): the bucketed base
+    relation fans out into the a-side, b-side and both verify joins, so it is
+    persisted before reuse; candidate pairs are persisted before the two
+    vector re-joins. Shuffles move (id, 8-byte bucket) pairs and, for
+    verification only, the candidate subset's vectors.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("__id"), v.alias("__vec"))
+
+    # n_bands*band_bits sign-bit dot products per vector: as literal
+    # zip_with/aggregate expressions this is a megabyte of codegen per task
+    # (measured 70+ s of plan+JIT for 128 planes); one Arrow-batched numpy
+    # matmul is the fast path. Planes are re-derived from (seed, dim) inside
+    # the UDF — a pure function, nothing shipped in the closure.
+    @pandas_udf("array<long>")
+    def band_buckets(vecs: pd.Series) -> pd.Series:
+        planes = _hyperplanes(seed, n_bands * band_bits, dim)
+        M = np.vstack(vecs.to_numpy())                      # (batch, dim)
+        bits = (M @ planes.T) >= 0                          # (batch, planes)
+        weights = 1 << np.arange(band_bits, dtype=np.int64)
+        out = np.einsum(
+            "nbr,r->nb",
+            bits.reshape(len(M), n_bands, band_bits).astype(np.int64),
+            weights,
+        )
+        return pd.Series(list(out))
+
+    base = base.persist()
+    try:
+        keys = base.select(
+            "__id",
+            F.posexplode(band_buckets(F.col("__vec"))).alias("band", "bucket"),
+        )
+        a = keys.select(F.col("__id").alias("id_a"), "band", "bucket")
+        b = keys.select(F.col("__id").alias("id_b"), "band", "bucket")
+        cand = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .persist()
+        )
+        va = base.select(F.col("__id").alias("id_a"), F.col("__vec").alias("__va"))
+        vb = base.select(F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"))
+        out = (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .withColumn("cosine", _pair_cosine(F.col("__va"), F.col("__vb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+        # materialize before unpersisting the upstream fan-out points
+        out = out.localCheckpoint(eager=True)
+    finally:
+        base.unpersist()
+        try:
+            cand.unpersist()
+        except NameError:
+            pass
+    return out

@@ -269,3 +269,63 @@ def test_ann_index_probe_prunes_partitions(spark, emb, tmp_path):
     assert len(touched) <= 6  # |probe| = 1 + n_planes at multiprobe=1
     assert len(probed_buckets) == len(touched)
     assert 6 <= n_parts  # the index has more partitions than we probed
+
+
+def test_embedding_neardups_exact_matches_duckdb(spark, emb):
+    got = {
+        (r.id_a, r.id_b): round(r.cosine, 9)
+        for r in similarity.embedding_neardup_pairs_exact(
+            emb, "vec_id", "embedding", 0.4
+        ).collect()
+    }
+    con = duckdb.connect()
+    exp = {
+        (a, b): round(c, 9)
+        for a, b, c in con.execute(f"""
+            SELECT a.vec_id, b.vec_id,
+                   list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            FROM read_parquet('{SF}/embeddings.parquet') a
+            JOIN read_parquet('{SF}/embeddings.parquet') b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """).fetchall()
+    }
+    assert got == exp
+
+
+def test_embedding_neardups_lsh_equals_exact_on_fixture(spark, emb):
+    """The contract-query configuration (seed 42, 32 bands x 4 bits) has LSH
+    recall 1.0 at cosine>=0.4 on the driver fixtures; precision is 1.0 by
+    construction (every candidate is exact-verified), so LSH == exact."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_neardup_pairs_exact(
+            emb, "vec_id", "embedding", 0.4
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_neardups(
+            emb, "vec_id", "embedding", dim=64, threshold=0.4,
+            n_bands=32, band_bits=4, seed=42,
+        ).collect()
+    }
+    assert lsh == exact
+
+
+def test_embedding_neardups_planted(spark):
+    """Planted near-identical vectors must be recalled at the default
+    (threshold 0.9) config; unrelated random vectors must not pair up."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((8, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((100 + i, [float(x) for x in v + rng.standard_normal(32) * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_neardups(
+            df, "vec_id", "embedding", dim=32, threshold=0.9
+        ).collect()
+    }
+    assert pairs == {(i, 100 + i) for i in range(8)}
