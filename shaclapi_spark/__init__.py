@@ -19,5 +19,6 @@ from shaclapi_spark.suite import (  # noqa: F401
     Suite,
 )
 from shaclapi_spark.engine import run_suite  # noqa: F401
+from shaclapi_spark.sources import load_tables, read_table  # noqa: F401
 
 __version__ = "0.1.0"
