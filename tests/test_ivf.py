@@ -1,0 +1,89 @@
+"""IVF ANN index: build, probe pruning, recall, exact-degenerate oracle."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from shaclapi_spark.pipeline import ivf, similarity
+
+SF = "/root/testdata/sf0.001"
+DIM = 64
+N_CELLS = 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def index(spark, emb, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("ivf") / "ivf_idx")
+    ivf.build_ivf_index(
+        emb, "vec_id", "embedding", idx, dim=DIM, n_cells=N_CELLS, train_rows=500
+    )
+    return idx
+
+
+def _query():
+    return [float(np.sin(i)) for i in range(DIM)]
+
+
+def test_centroids_deterministic_and_unit(emb):
+    c1 = ivf.train_centroids(emb, "embedding", DIM, N_CELLS, train_rows=500)
+    c2 = ivf.train_centroids(emb, "embedding", DIM, N_CELLS, train_rows=500)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_index_partitioned_by_cell(index):
+    cells = [d for d in os.listdir(index) if d.startswith("__cell=")]
+    assert len(cells) >= N_CELLS // 2  # most cells non-empty on 500 vecs
+    assert os.path.exists(os.path.join(index, "_ivf_meta.json"))
+
+
+def test_probe_prunes_partitions(spark, index):
+    cand = ivf.ivf_index_probe(spark, index, _query(), nprobe=3)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__cell" in plan
+    touched = {
+        os.path.basename(os.path.dirname(r[0]))
+        for r in cand.select(F.input_file_name()).distinct().collect()
+    }
+    assert len(touched) <= 3
+
+
+def test_full_probe_equals_brute_force(spark, emb, index):
+    """nprobe=n_cells degenerates to exact top-k — the oracle identity."""
+    q = _query()
+    exact = [
+        r.vec_id
+        for r in similarity.brute_force_topk(emb, "vec_id", "embedding", q, k=10).collect()
+    ]
+    full = [
+        r.vec_id
+        for r in ivf.ivf_index_topk(spark, index, q, k=10, nprobe=N_CELLS).collect()
+    ]
+    assert full == exact
+
+
+def test_small_probe_recall(spark, emb, index):
+    """nprobe=4 of 16 cells keeps >=6/10 of the exact top-10 on the fixture
+    (the synthetic embeddings are near-uniform on the sphere — the hard case
+    for IVF; 6/10 at a 4/16 scan fraction still beats the ~2.5/10 a random
+    4-cell scan would give), and recall grows with nprobe."""
+    q = _query()
+    exact = {
+        r.vec_id
+        for r in similarity.brute_force_topk(emb, "vec_id", "embedding", q, k=10).collect()
+    }
+    r4 = {
+        r.vec_id for r in ivf.ivf_index_topk(spark, index, q, k=10, nprobe=4).collect()
+    }
+    r8 = {
+        r.vec_id for r in ivf.ivf_index_topk(spark, index, q, k=10, nprobe=8).collect()
+    }
+    assert len(exact & r4) >= 6
+    assert len(exact & r8) >= len(exact & r4)
