@@ -90,6 +90,7 @@ def run_once(threads: int, fixture_dir: str, zpath: str, reps: int) -> dict:
 def main() -> None:
     n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    n_launches = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     fixture_dir = ensure_fixture(n_clips)
     zpath = build_zip()
 
@@ -101,7 +102,6 @@ def main() -> None:
     # interleaved (8, 32, 8, 32, ...) so a noise episode hits both levels
     # with equal probability — an asymmetric draw count would bias the
     # min-statistic toward the level with more draws and inflate the ratio.
-    n_launches = 3
     results: dict[int, dict] = {}
     for launch in range(n_launches):
         for threads in (8, 32):

@@ -162,13 +162,19 @@ class _ShapeEvaluator:
                 if c.kind == "fk_match":
                     # multi-parent semantics: the child value must equal EVERY
                     # parent row's (non-null) value — bool_and over parent
-                    # rows, computed as (distinct-count, any-value) fused into
-                    # the same single parent shuffle:  nd == 0 ⇒ vacuous,
-                    # nd == 1 ⇒ compare, nd >= 2 ⇒ unsatisfiable.
+                    # rows, fused into the same single parent shuffle. Encoded
+                    # with single-phase aggregates only (count/min/max — NOT
+                    # count_distinct, whose partial-distinct expand doubles
+                    # the shuffle over the big parent):  count == 0 ⇒ vacuous,
+                    # min == max ⇒ exactly one distinct value ⇒ compare,
+                    # min != max ⇒ >=2 distinct values ⇒ unsatisfiable.
                     aggs.append(
-                        F.count_distinct(F.col(c.params["parent_col"])).alias(
-                            f"__pnd_{c.id}"
+                        F.count(F.col(c.params["parent_col"])).alias(
+                            f"__pnn_{c.id}"
                         )
+                    )
+                    aggs.append(
+                        F.min(F.col(c.params["parent_col"])).alias(f"__plo_{c.id}")
                     )
                     aggs.append(
                         F.max(F.col(c.params["parent_col"])).alias(f"__pv_{c.id}")
@@ -188,14 +194,15 @@ class _ShapeEvaluator:
                 else:
                     lv = F.col(c.params["column"])
                     pv = F.col(f"__pv_{c.id}")
-                    nd = F.col(f"__pnd_{c.id}")
+                    lo = F.col(f"__plo_{c.id}")
+                    nn = F.col(f"__pnn_{c.id}")
                     b = F.when(
                         F.col(local_key).isNull()
                         | F.col(marker).isNull()
                         | lv.isNull()
-                        | (nd == 0),  # all parent values NULL ⇒ vacuous
+                        | (nn == 0),  # all parent values NULL ⇒ vacuous
                         F.lit(True),
-                    ).otherwise((nd == 1) & (lv == pv))
+                    ).otherwise((lo == pv) & (lv == pv))
                 df = df.withColumn(name, b)
                 row_bool_names.append(name)
                 if c.id in top_level_ids:
@@ -203,7 +210,8 @@ class _ShapeEvaluator:
             df = df.drop(
                 marker,
                 *[f"__pv_{c.id}" for c in cs if c.kind == "fk_match"],
-                *[f"__pnd_{c.id}" for c in cs if c.kind == "fk_match"],
+                *[f"__plo_{c.id}" for c in cs if c.kind == "fk_match"],
+                *[f"__pnn_{c.id}" for c in cs if c.kind == "fk_match"],
             )
 
         # audio UDF — short-circuited by every cheap row bool already computed
