@@ -13,6 +13,7 @@ parquet files* via read_parquet(); it is materialized at import time.
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -369,6 +370,31 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k through the IVF-Flat index (pipeline/ivf.py): spherical
+    k-means cells, corpus written partitioned by cell, probes read only the
+    probed cells' files. Registered at nprobe=n_cells, where IVF provably
+    degenerates to exact brute force over the index — so the brute-force SQL
+    is a full value oracle for the whole build→assign→partition→probe→top-k
+    machinery. Small-nprobe approximation quality is pinned in
+    tests/test_ivf.py (recall + partition-pruning plan assertions)."""
+    import tempfile
+
+    from shaclapi_spark.pipeline import ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    idx = os.path.join(
+        tempfile.gettempdir(), f"ivf_idx_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    ivf.build_ivf_index(
+        e, "vec_id", "embedding", idx, dim=64, n_cells=16, train_rows=20_000
+    )
+    top = ivf.ivf_index_topk(spark, idx, _QUERY_VEC, k=10, nprobe=16)
+    return top.select(
+        "vec_id", F.round(F.col("cosine") * 1e6).cast("long").alias("cosine_e6")
+    )
+
+
 def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded hyperplane-LSH blocking +
     exact cosine verification. Precision is 1.0 by construction; with
@@ -441,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": q_fingerprint_docs,
         "topk_cosine": q_topk_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_neardups": q_embedding_neardups,
         "audio_meta": q_audio_meta,
         "multimodal_byte_hist": q_multimodal_byte_hist,
@@ -784,6 +811,9 @@ SELECT doc_id, md5(norm) AS fp_md5,
 FROM d
 """,
         "topk_cosine": _topk_cosine_sql(),
+        # ivf_topk runs at nprobe=n_cells (exact-degenerate, see q_ivf_topk):
+        # the brute-force ranking is the oracle for the index machinery.
+        "ivf_topk": _topk_cosine_sql(),
         # embedding_neardups: LSH blocking + exact-cosine verification;
         # recall 1.0 on the driver fixtures (see q_embedding_neardups), so
         # the exact all-pairs relation IS the oracle.

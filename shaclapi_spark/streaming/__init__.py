@@ -2,3 +2,7 @@ from shaclapi_spark.streaming.incremental import (  # noqa: F401
     row_verdict_stream,
     validate_stream,
 )
+from shaclapi_spark.streaming.windows import (  # noqa: F401
+    streaming_entity_counts,
+    windowed_event_counts,
+)

@@ -1,0 +1,170 @@
+"""Event-time windows + watermark and applyInPandasWithState entity counts
+(streaming/windows.py). File-source streams driven with availableNow."""
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from shaclapi_spark.streaming.windows import (
+    streaming_entity_counts,
+    windowed_event_counts,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType()),
+        StructField("etype", StringType()),
+        StructField("v", IntegerType()),
+    ]
+)
+
+
+@pytest.fixture()
+def event_src(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def rows_for(hours):
+        rows = []
+        for h in hours:
+            for k in ("click", "view"):
+                for i in range(h + 1):  # h+1 rows per (hour, etype)
+                    rows.append(
+                        Row(
+                            ts=base + dt.timedelta(hours=h, minutes=i % 60),
+                            etype=k,
+                            v=i,
+                        )
+                    )
+        return rows
+
+    # two files → two micro-batches (maxFilesPerTrigger=1): the watermark
+    # computed from file 1 closes its early windows during batch 2 — with a
+    # single batch, append mode would terminate before any window closes
+    for hours in (range(0, 3), range(3, 6)):
+        spark.createDataFrame(rows_for(hours), EVENTS_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    return src
+
+
+def test_windowed_counts_match_batch_oracle(spark, event_src, tmp_path):
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(event_src)
+    )
+    agg = windowed_event_counts(stream, ts_col="ts", key_col="etype")
+    out = str(tmp_path / "win_out")
+    ck = str(tmp_path / "win_ck")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.win_start, r.etype): r.n
+        for r in spark.read.parquet(out).collect()
+    }
+    exp = {
+        (r.ws, r.etype): r.n
+        for r in (
+            spark.read.parquet(event_src)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "etype")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "etype", "n")
+        ).collect()
+    }
+    # append mode emits only windows the watermark has closed; every emitted
+    # window must match the batch oracle, and the closed prefix is non-empty
+    assert got
+    assert all(exp[k] == v for k, v in got.items())
+
+
+def test_stateful_entity_counts_accumulate_across_batches(spark, tmp_path):
+    src = str(tmp_path / "tr_src")
+    out = str(tmp_path / "tr_out")
+    ck = str(tmp_path / "tr_ck")
+    schema = StructType([StructField("clip_id", StringType())])
+
+    def feed(rows):
+        spark.createDataFrame([Row(clip_id=c) for c in rows], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run_pass():
+        stream = spark.readStream.schema(schema).parquet(src)
+        counts = streaming_entity_counts(
+            stream, "clip_id", min_count=1, max_count=2
+        )
+        # parquet sinks reject update mode — append each batch's update rows
+        # via foreachBatch (downstream consumers upsert on entity_id)
+        q = (
+            counts.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    feed(["a", "a", "b"])
+    run_pass()
+    first = {
+        r.entity_id: (r.n_rows, r.min_status, r.max_status)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert first["a"] == (2, "satisfied", "ok_so_far")
+    assert first["b"] == (1, "satisfied", "ok_so_far")
+
+    # second batch: state persists via checkpoint; 'a' crosses max_count=2
+    feed(["a", "c"])
+    run_pass()
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in rows:  # keep the max-count row per entity (monotone n_rows)
+        cur = latest.get(r.entity_id)
+        if cur is None or r.n_rows > cur[0]:
+            latest[r.entity_id] = (r.n_rows, r.min_status, r.max_status)
+    assert latest["a"] == (3, "satisfied", "violated")  # early-fail, mid-stream
+    assert latest["b"] == (1, "satisfied", "ok_so_far")
+    assert latest["c"] == (1, "satisfied", "ok_so_far")
+
+
+def test_stateful_min_pending_until_reached(spark, tmp_path):
+    src = str(tmp_path / "m_src")
+    out = str(tmp_path / "m_out")
+    ck = str(tmp_path / "m_ck")
+    schema = StructType([StructField("clip_id", StringType())])
+    spark.createDataFrame([Row(clip_id="x")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    counts = streaming_entity_counts(stream, "clip_id", min_count=3)
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    [r] = spark.read.parquet(out).collect()
+    # min violation is NOT emitted mid-stream — undecidable before EOF
+    assert (r.entity_id, r.n_rows, r.min_status) == ("x", 1, "pending")
