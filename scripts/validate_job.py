@@ -34,6 +34,7 @@ def main() -> None:
     ap.add_argument("--threads", type=int, required=True)
     ap.add_argument("--include-audio", default="1")
     ap.add_argument("--shuffle-partitions", type=int, default=64)
+    ap.add_argument("--max-partition-bytes", default="256m")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--warmups", type=int, default=2)
     args = ap.parse_args()
@@ -56,7 +57,7 @@ def main() -> None:
         # ~140 scan tasks at 36 GB: big enough to amortize the per-task
         # Python-worker round trip (measured dominant at 32 MB partitions),
         # small enough to load-balance 32 cores
-        .config("spark.sql.files.maxPartitionBytes", "256m")
+        .config("spark.sql.files.maxPartitionBytes", args.max_partition_bytes)
         # python workers: keep numpy's large scratch blocks on the reusable
         # heap — this sandbox host page-faults pathologically on fresh mmaps
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")

@@ -42,6 +42,12 @@ class EngineConfig:
     max_fixpoint_iters: int = 10
     cache_shared_verdicts: bool = True  # persist verdicts reused by dependent shapes
     min_snr_db: float = 30.0
+    # fk_match equality via xxhash64 of both sides: the parent agg and the
+    # child-side join then shuffle fixed 8-byte hashes instead of raw payload
+    # values (transcripts are ~100-300 B each — at 10^12 rows the raw-string
+    # min/max shuffle IS the job). False-accept probability per comparison is
+    # ~2^-64 (xxhash64 collision); set False for exact raw-value comparison.
+    fk_match_by_hash: bool = True
 
 
 @dataclass
@@ -141,6 +147,68 @@ class _ShapeEvaluator:
             if c.id in top_level_ids:
                 precond_names.append(name)
 
+        # audio UDF runs SCAN-SIDE, before any join/shuffle — the payload
+        # bytes column is consumed here and pruned from everything downstream
+        # (shuffling 10^12 audio blobs through a join would be the whole job).
+        # Short-circuited by the cheap top-level row bools; parent-join bools
+        # don't exist yet, so rows failing only an fk constraint do decode —
+        # their entity verdict is already invalid either way, and the scan-side
+        # placement is the 100-TB win.
+        for c in self.audio_cs:
+            name = f"b_{c.id}"
+            pre = F.lit(True)
+            if self.cfg.short_circuit:
+                for rb in precond_names:
+                    pre = pre & _bool_col(rb)
+            df = audio_ops.with_audio_check(
+                df,
+                name,
+                c.params["column"],
+                float(c.params.get("min_snr_db", self.cfg.min_snr_db)),
+                precondition=pre,
+            )
+
+        # child-side join keys that live on the shape's own table (inverse-path
+        # refs, tc4 sh:inversePath analog) must survive the entity groupBy
+        local_keys = sorted(
+            {
+                c.params.get("local_key")
+                for c in self.child_cs
+                if c.params.get("local_key") not in (None, shape.entity_col)
+            }
+        )
+
+        # ---- narrow projection: everything after this point shuffles (parent
+        # joins, entity groupBy) — keep only the entity id, join keys, the
+        # fk_match comparison values (hashed to 8 bytes by default), and the
+        # boolean columns. Payload columns (audio bytes, transcript text)
+        # never cross a shuffle.
+        fk_keys = set()
+        for c in self.fk_cs:
+            fk_keys.add(
+                c.params["column"] if c.kind == "fk_exists" else c.params["key"]
+            )
+        keep = {shape.entity_col, *fk_keys, *local_keys}
+        proj: list[Column] = [F.col(n) for n in sorted(keep)]
+        match_col: dict[str, Column] = {}  # constraint id -> child-side value
+        for c in self.fk_cs:
+            if c.kind != "fk_match":
+                continue
+            raw = F.col(c.params["column"])
+            if self.cfg.fk_match_by_hash:
+                proj.append(
+                    F.when(raw.isNotNull(), F.xxhash64(raw)).alias(f"__lh_{c.id}")
+                )
+                match_col[c.id] = F.col(f"__lh_{c.id}")
+            else:
+                if c.params["column"] not in keep:
+                    keep.add(c.params["column"])
+                    proj.append(raw)
+                match_col[c.id] = raw
+        all_row_names = row_bool_names + [f"b_{c.id}" for c in self.audio_cs]
+        proj += [F.col(n) for n in all_row_names]
+        df = df.select(*proj)
+
         # parent joins: fk_exists (marker) and fk_match (parent-value
         # equality) against the same parent/key are FUSED into one
         # aggregated-parent join — one shuffle per (parent, key) total
@@ -168,17 +236,18 @@ class _ShapeEvaluator:
                     # the shuffle over the big parent):  count == 0 ⇒ vacuous,
                     # min == max ⇒ exactly one distinct value ⇒ compare,
                     # min != max ⇒ >=2 distinct values ⇒ unsatisfiable.
-                    aggs.append(
-                        F.count(F.col(c.params["parent_col"])).alias(
-                            f"__pnn_{c.id}"
-                        )
+                    # By default the aggregated value is xxhash64(parent_col):
+                    # the parent shuffle carries 3×8 B per key instead of two
+                    # raw payload values (see EngineConfig.fk_match_by_hash).
+                    pv_raw = F.col(c.params["parent_col"])
+                    pv_val = (
+                        F.when(pv_raw.isNotNull(), F.xxhash64(pv_raw))
+                        if self.cfg.fk_match_by_hash
+                        else pv_raw
                     )
-                    aggs.append(
-                        F.min(F.col(c.params["parent_col"])).alias(f"__plo_{c.id}")
-                    )
-                    aggs.append(
-                        F.max(F.col(c.params["parent_col"])).alias(f"__pv_{c.id}")
-                    )
+                    aggs.append(F.count(pv_val).alias(f"__pnn_{c.id}"))
+                    aggs.append(F.min(pv_val).alias(f"__plo_{c.id}"))
+                    aggs.append(F.max(pv_val).alias(f"__pv_{c.id}"))
             pagg = parent.groupBy(
                 F.col(parent_key).alias(f"__pjk_{gi}")
             ).agg(*aggs)
@@ -192,7 +261,7 @@ class _ShapeEvaluator:
                         F.col(local_key).isNull(), F.lit(True)
                     ).otherwise(F.col(marker).isNotNull())
                 else:
-                    lv = F.col(c.params["column"])
+                    lv = match_col[c.id]
                     pv = F.col(f"__pv_{c.id}")
                     lo = F.col(f"__plo_{c.id}")
                     nn = F.col(f"__pnn_{c.id}")
@@ -205,41 +274,15 @@ class _ShapeEvaluator:
                     ).otherwise((lo == pv) & (lv == pv))
                 df = df.withColumn(name, b)
                 row_bool_names.append(name)
-                if c.id in top_level_ids:
-                    precond_names.append(name)
             df = df.drop(
                 marker,
                 *[f"__pv_{c.id}" for c in cs if c.kind == "fk_match"],
                 *[f"__plo_{c.id}" for c in cs if c.kind == "fk_match"],
                 *[f"__pnn_{c.id}" for c in cs if c.kind == "fk_match"],
-            )
-
-        # audio UDF — short-circuited by every cheap row bool already computed
-        for c in self.audio_cs:
-            name = f"b_{c.id}"
-            pre = F.lit(True)
-            if self.cfg.short_circuit:
-                for rb in precond_names:
-                    pre = pre & _bool_col(rb)
-            df = audio_ops.with_audio_check(
-                df,
-                name,
-                c.params["column"],
-                float(c.params.get("min_snr_db", self.cfg.min_snr_db)),
-                precondition=pre,
+                *[f"__lh_{c.id}" for c in cs if c.kind == "fk_match"],
             )
 
         all_row_names = row_bool_names + [f"b_{c.id}" for c in self.audio_cs]
-
-        # child-side join keys that live on the shape's own table (inverse-path
-        # refs, tc4 sh:inversePath analog) must survive the entity groupBy
-        local_keys = sorted(
-            {
-                c.params.get("local_key")
-                for c in self.child_cs
-                if c.params.get("local_key") not in (None, shape.entity_col)
-            }
-        )
 
         # entity-grain reduction: one shuffle, or zero if no uniqueness demanded
         entity = shape.entity_col
