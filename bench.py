@@ -132,6 +132,11 @@ def main() -> None:
     )
     timed("topk_cosine", lambda: force(entry_mod.q_topk_cosine(spark, sf_dir)))
     timed("ann_lsh_topk", lambda: force(entry_mod.q_ann_lsh_topk(spark, sf_dir)))
+    timed("ivf_topk", lambda: force(entry_mod.q_ivf_topk(spark, sf_dir)))
+    timed(
+        "embedding_neardups",
+        lambda: force(entry_mod.q_embedding_neardups(spark, sf_dir)),
+    )
 
     total = round(sum(timings.values()), 3)
     clips_per_sec = round(n_clips / timings["clip_validation"], 1)

@@ -73,6 +73,11 @@ def run_once(threads: int, fixture_dir: str, zpath: str, reps: int) -> dict:
         str(threads),
         "--reps",
         str(reps),
+        # identical decomposition at both levels; 128 gives the 32-core level
+        # 4 waves per shuffle stage (a straggler wastes ≤1/4 wave, not 1/2 as
+        # at 64) while the 8-core level load-balances at any count ≥ 8
+        "--shuffle-partitions",
+        "128",
     ]
     env = dict(
         os.environ,
@@ -111,6 +116,13 @@ def main() -> None:
                 results[threads] = r
             else:
                 results[threads]["walls"].extend(r["walls"])
+        # both levels sampled at least once → write the running result, so a
+        # mid-protocol interruption still leaves a complete BENCH.md on disk
+        if 8 in results and 32 in results:
+            write_bench(results, n_clips, launch + 1, reps)
+
+
+def write_bench(results: dict[int, dict], n_clips: int, n_launches: int, reps: int) -> None:
     for threads, best in results.items():
         best["wall_sec"] = min(best["walls"])
         best["clips_per_sec"] = round(best["n_clips"] / best["wall_sec"], 1)
@@ -133,7 +145,7 @@ def main() -> None:
         "passes each, min over all — the hypervisor has bursty multi-second noise episodes",
         "that interleaved launches spread equally across both levels, and equal draw counts",
         "keep the min-statistic unbiased between the two sides of the ratio.",
-        "Shuffle partitions fixed at 64 for BOTH levels: strong scaling over identical task",
+        "Shuffle partitions fixed at 128 for BOTH levels: strong scaling over identical task",
         "decompositions, as on a real cluster where shuffle partitioning is sized to the data.",
         "No real cluster in this sandbox → two pinned local parallelism levels stand in for",
         "N and 4N executors per the driver protocol.",
