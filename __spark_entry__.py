@@ -342,6 +342,17 @@ def q_text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # token counting both ways: plain whitespace tokens and the BPE-ish
+    # sub-word proxy (whitespace + punctuation + digit boundaries)
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        tx.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", tx.lang_id(F.col("text")).alias("lang_pred"))
@@ -463,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardups_docs": q_minhash_neardups_docs,
         "simhash_neardups_docs": q_simhash_neardups_docs,
         "text_quality_docs": q_text_quality_docs,
+        "token_stats_docs": q_token_stats_docs,
         "lang_id_docs": q_lang_id_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "topk_cosine": q_topk_cosine,
@@ -659,6 +671,23 @@ FROM documents
 """
 
 
+def _token_stats_sql() -> str:
+    # whitespace tokens: Spark counts split(trim(text), '\s+') elements with
+    # an explicit 0 for all-whitespace text; BPE-ish tokens: split on
+    # whitespace + ASCII punctuation + digits (Java \p{Punct} == RE2
+    # [:punct:] — both are the ASCII punctuation set), drop empties.
+    bpe = (
+        "list_filter(string_split_regex(trim(lower(text)),"
+        " '[\\s[:punct:][:digit:]]+'), x -> x <> '')"
+    )
+    return f"""
+SELECT doc_id,
+  CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_ws_tokens,
+  CAST(len({bpe}) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def _lang_id_sql() -> str:
     score = {
         lang: f"len(list_filter({_TOKS}, x -> list_contains(["
@@ -803,6 +832,7 @@ FROM inter i JOIN sz sa ON sa.doc = i.a JOIN sz sb ON sb.doc = i.b
 WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.2
 """,
         "text_quality_docs": _text_quality_sql(),
+        "token_stats_docs": _token_stats_sql(),
         "lang_id_docs": _lang_id_sql(),
         "fingerprint_docs": f"""
 WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents)

@@ -56,6 +56,24 @@ def test_token_counts_match_duckdb(spark, docs):
     assert got == exp
 
 
+def test_bpe_ish_token_count_matches_duckdb(spark, docs):
+    got = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", text.bpe_ish_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    exp = dict(
+        con.execute(
+            "SELECT doc_id, len(list_filter(string_split_regex("
+            "trim(lower(text)), '[\\s[:punct:][:digit:]]+'), x -> x <> ''))"
+            f" FROM read_parquet('{SF}/documents.parquet')"
+        ).fetchall()
+    )
+    assert got == exp
+
+
 def test_quality_columns(spark, docs):
     out = text.with_quality(docs).select(
         "doc_id", "n_chars", "n_tokens", "n_punct", "n_stopword_en", "max_token_len"
