@@ -23,7 +23,9 @@ from shaclapi_spark import verdicts as V
 from shaclapi_spark.datagen import fixture_n_clips
 from shaclapi_spark.engine import EngineConfig, run_suite
 from shaclapi_spark.ops import stats as stats_ops
+from shaclapi_spark.pipeline import cluster as cl
 from shaclapi_spark.pipeline import dedup as dd
+from shaclapi_spark.pipeline import sampling as sp
 from shaclapi_spark.pipeline import multimodal as mm
 from shaclapi_spark.pipeline import similarity as sim
 from shaclapi_spark.pipeline import text as tx
@@ -311,6 +313,38 @@ def q_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.2)
 
 
+def q_dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup pairs → connected components → (doc, survivor, cluster size);
+    # pairs come from the same exact-Jaccard relation as jaccard_pairs_docs
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    pairs = dd.jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.2)
+    return cl.dedup_clusters(pairs).select(
+        "doc",
+        "cluster_rep",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # data-mixing knob: per-language keep rates, deterministic by md5 hash
+    d = _t(spark, sf_dir, "documents")
+    return sp.hash_sample(
+        d,
+        "doc_id",
+        rate=0.5,
+        strata_col="lang",
+        strata_rates={"en": 0.1, "zh": 1.0},
+    ).select("doc_id", "lang")
+
+
+def q_stratified_quota_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exactly 20 docs per language, deterministic uniform draw by hash rank
+    d = _t(spark, sf_dir, "documents")
+    return sp.stratified_quota(d, "doc_id", "lang", quota=20).select(
+        "doc_id", "lang"
+    )
+
+
 def q_minhash_neardups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return dd.minhash_lsh_neardups(d, "doc_id", "text", n_hashes=32, n_bands=8, k=5, threshold=0.5)
@@ -471,6 +505,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "doc_dedup_groups": q_doc_dedup_groups,
         "jaccard_pairs_docs": q_jaccard_pairs_docs,
+        "dedup_clusters_docs": q_dedup_clusters_docs,
+        "stratified_sample_docs": q_stratified_sample_docs,
+        "stratified_quota_docs": q_stratified_quota_docs,
         "minhash_neardups_docs": q_minhash_neardups_docs,
         "simhash_neardups_docs": q_simhash_neardups_docs,
         "text_quality_docs": q_text_quality_docs,
@@ -830,6 +867,55 @@ inter AS (
 SELECT i.a, i.b, i.inter, sa.sz AS size_a, sb.sz AS size_b
 FROM inter i JOIN sz sa ON sa.doc = i.a JOIN sz sb ON sb.doc = i.b
 WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.2
+""",
+        "dedup_clusters_docs": f"""
+WITH RECURSIVE d AS (SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 120),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, substring(norm, i, 5) AS shingle
+  FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i) u
+  WHERE length(substring(norm, i, 5)) >= 1
+),
+sz AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS a, b.doc AS b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sz sa ON sa.doc = i.a JOIN sz sb ON sb.doc = i.b
+  WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.2
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, min(comp) AS cluster_rep FROM reach GROUP BY node)
+SELECT c.node AS doc, c.cluster_rep,
+  CAST(s.n AS BIGINT) AS cluster_size
+FROM comp c
+JOIN (SELECT cluster_rep, count(*) AS n FROM comp GROUP BY 1) s USING (cluster_rep)
+""",
+        "stratified_sample_docs": f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT <
+  CASE lang WHEN 'en' THEN {int(0.1 * (1 << 60))}
+            WHEN 'zh' THEN {int(1.0 * (1 << 60))}
+            ELSE {int(0.5 * (1 << 60))} END
+""",
+        "stratified_quota_docs": """
+WITH h AS (
+  SELECT doc_id, lang,
+    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM documents
+), r AS (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+  FROM h
+)
+SELECT doc_id, lang FROM r WHERE rk <= 20
 """,
         "text_quality_docs": _text_quality_sql(),
         "token_stats_docs": _token_stats_sql(),

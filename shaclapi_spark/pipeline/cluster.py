@@ -1,0 +1,134 @@
+"""Connected components over near-dup pair relations → dedup clusters.
+
+The step between pair generation (``jaccard_pairs`` / ``minhash_lsh_neardups``
+/ ``simhash_neardups`` / ``embedding_neardups``) and actual deduplication:
+group the pair graph into components and keep one survivor per component.
+(The reference engine has no dedup layer — this extends the training-data
+pipeline; its closest analog is the inter-shape dependency graph,
+shaclapi/core.py:24-41, which it walks on the driver because shape counts
+are tiny. Duplicate graphs over web corpora have billions of nodes, so the
+walk must itself be a dataflow.)
+
+Scale notes (the part that matters at 100 TB):
+
+* Driver-side union-find needs the whole edge list on one machine — a
+  non-starter. This is distributed min-label propagation: per round, each
+  node takes the min of its own label and its neighbors' labels — ONE
+  shuffle (groupBy node) per round, edge relation reused unchanged from a
+  persisted cache.
+* Rounds needed = graph diameter. Near-dup graphs are star-shaped
+  (a template/boilerplate hub plus leaves; diameter ~2-4), so label
+  propagation finishes in a handful of rounds; the O(log^2 n)
+  large-star/small-star alternation (Kiveris et al., SoCC'14) only wins
+  on long-chain graphs that dedup workloads don't produce.
+* Each round ends in `localCheckpoint(eager=True)` — without it the
+  lineage doubles per round and the planner chokes by round ~8 (same
+  device as the engine's cyclic fixpoint, engine.py).
+* Convergence is a LIMIT-1 existence probe on changed labels (stops at
+  the first changed row), not a full diff.
+* Labels are node ids (min id wins): deterministic output, join-able back
+  to the corpus with no second pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component): min-id label per connected component of the
+    undirected pair graph."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    # symmetric neighbor relation: one cached edge scan feeds every round
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("component").alias("__nl")
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("__nl").alias("__nm"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("__nm", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """(doc, cluster_rep, cluster_size): one row per document that appears
+    in any near-dup pair; cluster_rep is the minimum doc id of its
+    connected component (the survivor), cluster_size the component size.
+    Pair-free docs are their own singleton cluster and are omitted —
+    callers keep them as-is (anti-join on this relation = the dedup)."""
+    comp = connected_components(pairs, a_col, b_col)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc"),
+            F.col("component").alias("cluster_rep"),
+            "cluster_size",
+        )
+    )
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """The deduplicated corpus: drop every doc in a near-dup cluster except
+    its minimum-id representative. Anti-join keeps the (dominant) pair-free
+    population without shuffling it against the cluster relation."""
+    losers = dedup_clusters(pairs, a_col, b_col).filter(
+        F.col("doc") != F.col("cluster_rep")
+    )
+    return df.join(
+        losers.select(F.col("doc").alias(id_col)), id_col, "left_anti"
+    )

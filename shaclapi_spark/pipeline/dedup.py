@@ -144,6 +144,54 @@ def _affine_params(n_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
+def _perm_col(h, a: int, b: int):
+    """Affine permutation (a*h + b) mod 2^61-1 of a 61-bit base hash h,
+    computed entirely in 64-bit arithmetic. a*h with a 61-bit h cannot be
+    done directly, so the multiply is split: with h = h_hi*2^30 + h_lo and
+    a < 2^30,  a*h ≡ rot(pmod(a*h_hi, p)) + a*h_lo  (mod p)  where
+    rot(u) = (u >> 31) + (u & (2^31-1))*2^30 uses 2^61 ≡ 1 (mod p).
+    Every intermediate stays < 2^62 — no bigint overflow under ANSI mode."""
+    p = _MERSENNE_61
+    hi = F.shiftrightunsigned(h, 30)
+    lo = h.bitwiseAND(F.lit((1 << 30) - 1))
+    u = F.pmod(hi * F.lit(a), F.lit(p))
+    rot = F.shiftrightunsigned(u, 31) + (
+        u.bitwiseAND(F.lit((1 << 31) - 1)) * F.lit(1 << 30)
+    )
+    return F.pmod(rot + lo * F.lit(a) + F.lit(b), F.lit(p))
+
+
+def shingle_hash_array(text_col, k: int = 5):
+    """array<long> of 61-bit hashes of the distinct k-shingles of a
+    normalized text column — a pure per-row expression (no explode)."""
+    p = _MERSENNE_61
+    norm = normalize_text(text_col)
+    sh = F.filter(
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))
+                ),
+                lambda i: norm.substr(i, F.lit(k)),
+            )
+        ),
+        lambda x: F.length(x) >= 1,
+    )
+    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin a low-partition input across the cluster before an
+    expensive per-row map. A small corpus arrives as ONE parquet split and a
+    pure map never reshuffles, so without this the whole computation
+    serializes on one core. At real scale this is a no-op: 100 TB arrives in
+    ~million splits, already ≥ default parallelism."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -153,34 +201,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc, sig: array<long>) — per-doc MinHash signature, one fused
     aggregation. The expensive string hash runs ONCE per shingle
-    (xxhash64 → 61-bit base); the n permutations are cheap affine maps
-    (a_i * h + b_i) mod 2^61-1 of that base — the standard universal-hash
-    construction, ~n× less string hashing than hashing per seed.
+    (xxhash64 → 61-bit base, full entropy — a 32-bit base would merge
+    colliding shingles across ALL permutations on billion-shingle
+    corpora); the n permutations are cheap affine maps (a_i*h + b_i) mod
+    2^61-1 of that base (``_perm_col``), the standard universal-hash
+    construction — ~n× less string hashing than hashing per seed.
 
-    The base keeps the full 61-bit entropy of xxhash64 (a 32-bit base would
-    merge colliding shingles across ALL permutations on billion-shingle
-    corpora). a_i * h with a 61-bit h cannot be done directly in 64-bit
-    arithmetic, so the multiply is split: with h = h_hi*2^30 + h_lo and
-    a < 2^30,  a*h ≡ rot(pmod(a*h_hi, p)) + a*h_lo  (mod p)  where
-    rot(u) = (u >> 31) + (u & (2^31-1))*2^30 uses 2^61 ≡ 1 (mod p).
-    Every intermediate stays < 2^62 — no bigint overflow under ANSI mode."""
+    Plan shape: explode shingles → groupBy(doc) with n fused `min` aggs.
+    The exchange is NOT 300×|docs| wide: min is map-combinable and a doc's
+    shingles are born co-located (same input row), so the partial
+    aggregate collapses to ~1 row/doc per partition before the shuffle —
+    only |docs| signature rows cross the wire. The pure-map alternative
+    (array transform + array_min per permutation) moves zero rows but
+    loses whole-stage codegen — Spark evaluates higher-order-function
+    lambdas interpreted per element; measured 3-5× more CPU here."""
     p = _MERSENNE_61
-    sh = (
-        shingle_df(df, id_col, text_col, k)
-        .withColumn("__h", F.pmod(F.xxhash64(F.col("shingle")), F.lit(p)))
-        .withColumn("__h_hi", F.shiftrightunsigned(F.col("__h"), 30))
-        .withColumn("__h_lo", F.col("__h").bitwiseAND(F.lit((1 << 30) - 1)))
-    )
-
-    def _perm(a: int, b: int):
-        u = F.pmod(F.col("__h_hi") * F.lit(a), F.lit(p))
-        rot = F.shiftrightunsigned(u, 31) + (
-            u.bitwiseAND(F.lit((1 << 31) - 1)) * F.lit(1 << 30)
-        )
-        return F.pmod(rot + F.col("__h_lo") * F.lit(a) + F.lit(b), F.lit(p))
-
+    sh = shingle_df(_spread(df.select(id_col, text_col)), id_col, text_col, k)
+    sh = sh.withColumn("__h", F.pmod(F.xxhash64(F.col("shingle")), F.lit(p)))
     aggs = [
-        F.min(_perm(a, b)).alias(f"h{i}")
+        F.min(_perm_col(F.col("__h"), a, b)).alias(f"h{i}")
         for i, (a, b) in enumerate(_affine_params(n_hashes))
     ]
     wide = sh.groupBy("doc").agg(*aggs)
@@ -282,26 +321,19 @@ def minhash_lsh_neardups(
         .distinct()
     )
     # Exact verification WITHOUT re-exploding shingles: build each candidate
-    # doc's distinct-shingle array once (a pure map — sort for deterministic
-    # plans) and intersect arrays per pair with JVM `array_intersect`. The
-    # explode-join alternative shuffles |pairs| * |shingles/doc| rows
-    # (~100-1000x more) where this moves each pair's two arrays exactly once.
+    # doc's distinct-shingle-HASH array once (a pure map — sorted 8-byte longs,
+    # ~2.5x narrower in the join shuffle than the 5-char strings) and intersect
+    # arrays per pair with JVM `array_intersect`. Counts equal the string-set
+    # counts unless two distinct shingles collide in 64-bit xxhash64 (~1e-14
+    # per pair — ignorable). The explode-join alternative shuffles
+    # |pairs| * |shingles/doc| rows (~100-1000x more) where this moves each
+    # pair's two arrays exactly once.
     sets = (
-        df.join(cand_docs.withColumnRenamed("doc", id_col), id_col, "leftsemi")
-        .select(F.col(id_col).alias("doc"), normalize_text(F.col(text_col)).alias("__n"))
+        _spread(df.select(id_col, text_col))
+        .join(cand_docs.withColumnRenamed("doc", id_col), id_col, "leftsemi")
         .select(
-            "doc",
-            F.array_sort(
-                F.filter(
-                    F.array_distinct(
-                        F.expr(
-                            f"transform(sequence(1, greatest(length(__n) - {k - 1}, 1)),"
-                            f" i -> substring(__n, i, {k}))"
-                        )
-                    ),
-                    lambda x: F.length(x) >= 1,
-                )
-            ).alias("shset"),
+            F.col(id_col).alias("doc"),
+            F.array_sort(shingle_hash_array(F.col(text_col), k)).alias("shset"),
         )
     )
     out = (

@@ -1,0 +1,107 @@
+"""Deterministic sampling for training-data mixing.
+
+Two primitives a 100-TB corpus pipeline needs constantly:
+
+* ``hash_sample`` — Bernoulli-by-hash. Keep a row iff a stable hash of its
+  id falls under the rate cutoff. It is a pure scan-side FILTER: no
+  shuffle, no RNG state, pushes down to the parquet scan, and the same
+  row is kept in every rerun / on every cluster size (unlike
+  ``df.sample``, whose output depends on partitioning and seed plumbing).
+  Per-stratum rates make it a data-mixing knob ("keep 100% of de, 10% of
+  en").
+* ``stratified_quota`` — exactly-n-per-stratum. Deterministic rank by
+  (hash, id) inside each stratum. The naive form is one window over each
+  full stratum — a skew bomb when one language is 90% of the corpus — so
+  a ``prefilter_rate`` lets callers cheaply pre-thin dominant strata with
+  the shuffle-free hash filter first and only window the survivors
+  (two-phase: approximate cut scan-side, exact cut on the small remnant).
+
+Both use the md5-derived 60-bit hash (first 15 hex chars) rather than
+xxhash64 so the exact relation is reproducible in any engine with md5 —
+the DuckDB oracle computes the identical sample.
+
+Reference parity: the reference has no sampler; its closest notion is the
+target-set restriction (shaclapi/reduction/Reduction.py:25-64) which picks
+WHICH entities to validate — these operators pick which rows to keep, the
+training-pipeline analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# 60-bit hash space; cutoffs are computed in exact integer arithmetic so
+# Spark and DuckDB agree bit-for-bit (no float rounding at the boundary).
+_HASH_SPACE = 1 << 60
+
+
+def md5_60(col: Column) -> Column:
+    """Stable 60-bit integer hash: first 15 hex chars of md5. Identical to
+    DuckDB's ('0x' || substring(md5(x), 1, 15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def _cutoff(rate: float) -> int:
+    return int(rate * _HASH_SPACE)
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    rate: float | None = None,
+    strata_col: str | None = None,
+    strata_rates: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows with
+    md5_60(salt || id) < rate * 2^60.
+
+    ``strata_rates`` maps stratum value → rate (rows in unlisted strata
+    use ``rate``, or are dropped if ``rate`` is None). ``salt`` decorrelates
+    independent samples of the same corpus (e.g. train/eval splits)."""
+    h = md5_60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    if strata_rates is not None:
+        if strata_col is None:
+            raise ValueError("strata_rates requires strata_col")
+        default = F.lit(_cutoff(rate)) if rate is not None else F.lit(-1)
+        cut = default
+        for value, r in strata_rates.items():
+            cut = F.when(
+                F.col(strata_col) == F.lit(value), F.lit(_cutoff(r))
+            ).otherwise(cut)
+        return df.filter(h < cut)
+    if rate is None:
+        raise ValueError("pass rate or strata_rates")
+    return df.filter(h < F.lit(_cutoff(rate)))
+
+
+def stratified_quota(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    quota: int,
+    prefilter_rate: float | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly min(quota, |stratum|) rows per stratum, chosen by ascending
+    (md5_60(salt || id), id) — a deterministic uniform draw.
+
+    ``prefilter_rate``: optionally hash-filter to ~rate of each stratum
+    BEFORE the window (shuffle-free). Because the window ranks by the SAME
+    hash, a prefilter that keeps ≥ quota rows of a stratum yields the
+    IDENTICAL final sample as no prefilter (the quota lowest hashes all
+    survive any cutoff above them) — it only changes the result where it
+    under-keeps, so size the rate with headroom (quota/|stratum| × ~2).
+    """
+    h = md5_60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    work = df.withColumn("__h", h)
+    if prefilter_rate is not None:
+        work = work.filter(F.col("__h") < F.lit(_cutoff(prefilter_rate)))
+    w = Window.partitionBy(strata_col).orderBy("__h", id_col)
+    return (
+        work.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= quota)
+        .drop("__h", "__rk")
+    )

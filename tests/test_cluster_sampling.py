@@ -1,0 +1,153 @@
+"""Connected-components dedup clustering + deterministic sampling."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from shaclapi_spark.pipeline import cluster, dedup, sampling
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+def test_connected_components_chain_and_star(spark):
+    # component {1,2,3,4} (chain — needs >1 propagation round),
+    # component {10,11,12} (star), pair (20,21) isolated
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (10, 12), (20, 21)],
+        "a long, b long",
+    )
+    got = {
+        r.node: r.component
+        for r in cluster.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain(spark):
+    # diameter 12: exercises multi-round convergence + lineage checkpointing
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a long, b long"
+    )
+    got = cluster.connected_components(pairs)
+    assert {r.component for r in got.collect()} == {0}
+    assert got.count() == 13
+
+
+def test_dedup_clusters_sizes(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "a long, b long"
+    )
+    got = {
+        r.doc: (r.cluster_rep, r.cluster_size)
+        for r in cluster.dedup_clusters(pairs).collect()
+    }
+    assert got == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        7: (7, 2), 8: (7, 2),
+    }
+
+
+def test_dedup_survivors_anti_join(spark):
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "a long, b long")
+    kept = sorted(r.doc_id for r in cluster.dedup_survivors(df, pairs, "doc_id").collect())
+    # clusters {0,1,2} → keep 0; {4,5} → keep 4; 3 untouched
+    assert kept == [0, 3, 4]
+
+
+def test_cluster_of_real_jaccard_pairs(spark, docs):
+    # every clustered doc appears in some pair, rep is min of its cluster,
+    # and every pair's endpoints land in the same component
+    d = docs.filter(F.col("doc_id") < 120)
+    pairs = dedup.jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.2)
+    cl = cluster.dedup_clusters(pairs)
+    rows = cl.collect()
+    by_doc = {r.doc: r.cluster_rep for r in rows}
+    for p in pairs.collect():
+        assert by_doc[p.a] == by_doc[p.b]
+    reps = {}
+    for r in rows:
+        reps.setdefault(r.cluster_rep, []).append(r.doc)
+    for rep, members in reps.items():
+        assert rep == min(members)
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+def test_hash_sample_matches_duckdb(spark, docs):
+    got = sorted(
+        r.doc_id
+        for r in sampling.hash_sample(docs, "doc_id", rate=0.3).collect()
+    )
+    cut = int(0.3 * (1 << 60))
+    con = duckdb.connect()
+    exp = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM read_parquet(?) WHERE "
+            "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+            f" < {cut}",
+            [f"{SF}/documents.parquet"],
+        ).fetchall()
+    )
+    assert got == exp
+    assert 0 < len(got) < docs.count()
+
+
+def test_hash_sample_strata_rates(spark, docs):
+    out = sampling.hash_sample(
+        docs, "doc_id", rate=0.0, strata_col="lang", strata_rates={"en": 1.0}
+    )
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert out.count() == n_en  # rate 1.0 keeps every en row
+
+
+def test_hash_sample_salt_decorrelates(spark, docs):
+    a = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", rate=0.5).collect()}
+    b = {
+        r.doc_id
+        for r in sampling.hash_sample(docs, "doc_id", rate=0.5, salt="eval/").collect()
+    }
+    assert a != b  # different salts draw different subsets
+
+
+def test_stratified_quota_exact_counts(spark, docs):
+    out = sampling.stratified_quota(docs, "doc_id", "lang", quota=5)
+    counts = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    full = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {lang: min(5, n) for lang, n in full.items()}
+
+
+def test_stratified_quota_prefilter_identical_when_headroom(spark, docs):
+    base = {
+        r.doc_id
+        for r in sampling.stratified_quota(docs, "doc_id", "lang", quota=3).collect()
+    }
+    pre = {
+        r.doc_id
+        for r in sampling.stratified_quota(
+            docs, "doc_id", "lang", quota=3, prefilter_rate=0.9
+        ).collect()
+    }
+    assert base == pre
