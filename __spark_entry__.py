@@ -470,6 +470,24 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # frame-sample every clip into 20 ms windows with integer-exact
+    # features; the oracle re-decodes all three codecs (pcm passthrough,
+    # flac cumulative-XOR, opus dequantize x64) from the container bytes
+    # in pure SQL. Restricted to non-duplicated clip_ids: the operator is
+    # per physical row, but SQL's GROUP BY clip_id would merge the
+    # fixture's seeded duplicate rows.
+    t = _clip_tables(spark, sf_dir)
+    c = t["clips"]
+    uniq = (
+        c.groupBy("clip_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") == 1)
+        .select("clip_id")
+    )
+    return mm.audio_frame_features(c.join(uniq, "clip_id"), frame_ms=20)
+
+
 def q_multimodal_byte_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _clip_tables(spark, sf_dir)
     per_row = mm.byte_histogram_counts(t["clips"], "clip_id", "bytes", n_bins=16)
@@ -519,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embedding_neardups": q_embedding_neardups,
         "audio_meta": q_audio_meta,
+        "audio_frames": q_audio_frames,
         "multimodal_byte_hist": q_multimodal_byte_hist,
     }
 
@@ -793,6 +812,77 @@ LEFT JOIN cnt ON cnt.clip_id = g.clip_id AND cnt.bin = b.bin
 """
 
 
+def _audio_frames_sql() -> str:
+    """Decode SGA1 containers and recompute 20 ms frame features in pure
+    SQL: header fields from little-endian hex bytes, samples as u16 pairs,
+    codec decode (0=pcm passthrough, 1=flac cumulative-XOR window,
+    2=opus dequantize *64 — q in [-512,511] so no int16 wrap), then one
+    grouped pass per (clip, frame). Integer-exact: matches the Spark
+    mapInPandas output value-for-value."""
+    c = _clips_pq("clips")
+    return f"""
+WITH uniq AS (
+  SELECT clip_id FROM {c} GROUP BY 1 HAVING count(*) = 1
+),
+c AS (
+  SELECT clip_id, upper(hex(bytes)) AS h
+  FROM {c} JOIN uniq USING (clip_id)
+  WHERE bytes IS NOT NULL AND substr(upper(hex(bytes)), 1, 8) = '53474131'
+),
+hdr AS (
+  SELECT clip_id, h,
+    ('0x' || substr(h, 9, 2))::INT AS codec_id,
+    ('0x' || substr(h, 17, 2) || substr(h, 15, 2)
+          || substr(h, 13, 2) || substr(h, 11, 2))::BIGINT AS sr,
+    ('0x' || substr(h, 25, 2) || substr(h, 23, 2)
+          || substr(h, 21, 2) || substr(h, 19, 2))::BIGINT AS n
+  FROM c
+),
+raw AS (
+  -- decode_clip parity: reject unknown codec ids and truncated payloads
+  SELECT clip_id, codec_id, (sr * 20) // 1000 AS flen,
+    unnest(range(0, n)) AS i,
+    unnest(list_transform(range(0, n), i ->
+      ('0x' || substr(h, CAST(45 + 4 * i AS INT), 2)
+            || substr(h, CAST(43 + 4 * i AS INT), 2))::BIGINT)) AS u16
+  FROM hdr
+  WHERE codec_id IN (0, 1, 2) AND length(h) >= 42 + 4 * n
+),
+dec0 AS (
+  SELECT clip_id, codec_id, flen, i, u16,
+    bit_xor(u16) OVER (PARTITION BY clip_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM raw
+),
+dec AS (
+  -- opus dequantize wraps like numpy's (q << 6).astype(int16): x64 then
+  -- mod 2^16 (sign-agnostic), THEN sign-extend
+  SELECT clip_id, flen, i,
+    CASE WHEN m >= 32768 THEN m - 65536 ELSE m END AS val
+  FROM (
+    SELECT clip_id, flen, i,
+      (CASE WHEN codec_id = 1 THEN cum ELSE u16 END
+       * CASE WHEN codec_id = 2 THEN 64 ELSE 1 END) % 65536 AS m
+    FROM dec0
+  )
+),
+p AS (
+  SELECT clip_id, i // flen AS frame_idx, i % flen AS pos, val,
+    lag(val) OVER (PARTITION BY clip_id ORDER BY i) AS pv
+  FROM dec
+)
+SELECT clip_id,
+  CAST(frame_idx AS INT) AS frame_idx,
+  CAST(count(*) AS INT) AS n_samples,
+  CAST(sum(abs(val)) AS BIGINT) AS sum_abs,
+  CAST(max(abs(val)) AS INT) AS peak_abs,
+  CAST(sum(val * val) AS BIGINT) AS sum_sq,
+  CAST(sum(CASE WHEN pos <> 0 AND (val < 0) <> (pv < 0) THEN 1 ELSE 0 END)
+       AS INT) AS zero_crossings
+FROM p GROUP BY 1, 2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     c = _clips_pq("clips")
     verdict_union = _clip_verdict_union_sql()
@@ -950,6 +1040,7 @@ FROM ({verdict_union}) GROUP BY 1, 2
             _clips_pq("clips"), _clips_pq("transcripts"), iters=6
         ),
         "multimodal_byte_hist": _byte_hist_sql(),
+        "audio_frames": _audio_frames_sql(),
         # minhash_neardups_docs: the LSH path verifies every candidate with
         # exact shingle Jaccard, and at this fixture LSH recall is 1.0
         # (checked: LSH output == exact all-pairs relation), so the exact

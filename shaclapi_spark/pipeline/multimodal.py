@@ -141,6 +141,146 @@ def byte_histogram_counts(
     )
 
 
+AUDIO_FRAME_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sum_abs", LongType()),
+        StructField("peak_abs", IntegerType()),
+        StructField("sum_sq", LongType()),
+        StructField("zero_crossings", IntegerType()),
+    ]
+)
+
+
+def audio_frame_features(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    frame_ms: int = 20,
+) -> DataFrame:
+    """Frame-sample opaque audio blobs into fixed-length analysis windows
+    (the multimodal "frame-sample" op): one output row per
+    (clip, frame_idx) with INTEGER-EXACT per-frame features —
+    sum_abs / peak_abs / sum_sq of the decoded int16 samples and
+    zero_crossings (sign changes between adjacent samples inside the
+    frame). Integer outputs make the whole relation reproducible in any
+    engine that can parse the container bytes, so correctness is a full
+    value-hash oracle rather than a float-tolerance check; dB-scale
+    loudness lives on top (``loudness_stats``).
+
+    Frame length = sr_hz * frame_ms // 1000 samples (per-clip, from the
+    container header); the last frame may be partial. Frame SELECTION
+    (every n-th frame, random-by-hash, etc.) composes downstream as a
+    plain filter on frame_idx.
+
+    Scale shape: a pure Arrow-batched map (mapInPandas) — no shuffle; the
+    per-clip loop is unavoidable (variable-length blobs) but all frame
+    math is vectorized numpy (reduceat over frame starts). Undecodable or
+    NULL blobs are skipped."""
+    from shaclapi_spark import audio_codec as ac
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            fidx: list = []
+            nsamp: list = []
+            sabs: list = []
+            pabs: list = []
+            ssq: list = []
+            zcs: list = []
+            for cid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                try:
+                    hdr, s = ac.decode_clip(bytes(blob))
+                except (ValueError, TypeError):
+                    continue
+                L = hdr["sr_hz"] * frame_ms // 1000
+                n = len(s)
+                if L <= 0 or n == 0:
+                    continue
+                s64 = s.astype(np.int64)
+                starts = np.arange(0, n, L)
+                a = np.abs(s64)
+                sum_abs = np.add.reduceat(a, starts)
+                peak = np.maximum.reduceat(a, starts)
+                sum_sq = np.add.reduceat(s64 * s64, starts)
+                # sign changes between adjacent samples; pairs straddling a
+                # frame boundary belong to neither frame
+                neg = s64 < 0
+                z = np.zeros(n, dtype=np.int64)
+                z[: n - 1] = (neg[:-1] != neg[1:]).astype(np.int64)
+                z[L - 1 :: L] = 0
+                zc = np.add.reduceat(z, starts)
+                lens = np.diff(np.append(starts, n))
+                k = len(starts)
+                ids.extend([str(cid)] * k)
+                fidx.extend(range(k))
+                nsamp.extend(int(x) for x in lens)
+                sabs.extend(int(x) for x in sum_abs)
+                pabs.extend(int(x) for x in peak)
+                ssq.extend(int(x) for x in sum_sq)
+                zcs.extend(int(x) for x in zc)
+            yield pd.DataFrame(
+                {
+                    "clip_id": ids,
+                    "frame_idx": pd.array(fidx, dtype="int32"),
+                    "n_samples": pd.array(nsamp, dtype="int32"),
+                    "sum_abs": pd.array(sabs, dtype="int64"),
+                    "peak_abs": pd.array(pabs, dtype="int32"),
+                    "sum_sq": pd.array(ssq, dtype="int64"),
+                    "zero_crossings": pd.array(zcs, dtype="int32"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        gen, schema=AUDIO_FRAME_SCHEMA
+    )
+
+
+def loudness_stats(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    frame_ms: int = 20,
+    silence_db: float = -40.0,
+) -> DataFrame:
+    """Per-clip loudness rollup on top of the frame relation: overall
+    rms_db / peak_dbfs (relative to int16 full scale) plus silence_ratio
+    (fraction of frames whose own RMS is below ``silence_db``). The rollup
+    is a plain JVM-side groupBy over integer frame features — the Python
+    UDF work happened once in ``audio_frame_features``; frames of a clip
+    are born co-located, so the map-side partial aggregate collapses to
+    one row per clip before the shuffle."""
+    frames = audio_frame_features(df, id_col, bytes_col, frame_ms)
+    fs = F.lit(32767.0)
+    frame_rms_db = 20.0 * F.log10(
+        F.sqrt(F.col("sum_sq") / F.col("n_samples")) / fs
+    )
+    silent = (
+        F.when(F.col("sum_sq") == 0, F.lit(True))
+        .otherwise(frame_rms_db < F.lit(silence_db))
+        .cast("int")
+    )
+    return (
+        frames.withColumn("__silent", silent)
+        .groupBy(F.col("clip_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("n_samples").alias("n_samples"),
+            (
+                20.0
+                * F.log10(F.sqrt(F.sum("sum_sq") / F.sum("n_samples")) / fs)
+            ).alias("rms_db"),
+            (20.0 * F.log10(F.max("peak_abs") / fs)).alias("peak_dbfs"),
+            (F.sum("__silent") / F.count(F.lit(1))).alias("silence_ratio"),
+            F.sum("zero_crossings").alias("zero_crossings"),
+        )
+    )
+
+
 def decode_image(blob: bytes) -> "np.ndarray":
     """STUB — image decode needs PIL/opencv, absent in this container."""
     try:

@@ -1,0 +1,93 @@
+"""Frame-sampling op: integer-exact per-frame features vs a pure-numpy
+reference, plus the loudness rollup on top."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from shaclapi_spark import audio_codec as ac
+from shaclapi_spark.pipeline import multimodal as mm
+
+
+def _clip(freq=440.0, sr=16000, n=700, amp=0.5, codec="pcm_s16le"):
+    return ac.encode_clip(freq, sr, n, amp, codec)
+
+
+def _expected_frames(blob, frame_ms=20):
+    hdr, s = ac.decode_clip(blob)
+    L = hdr["sr_hz"] * frame_ms // 1000
+    s = s.astype(np.int64)
+    out = []
+    for f in range(math.ceil(len(s) / L)):
+        w = s[f * L : (f + 1) * L]
+        zc = int(np.sum((w[:-1] < 0) != (w[1:] < 0)))
+        out.append(
+            (
+                f,
+                len(w),
+                int(np.sum(np.abs(w))),
+                int(np.max(np.abs(w))),
+                int(np.sum(w * w)),
+                zc,
+            )
+        )
+    return out
+
+
+@pytest.mark.parametrize("codec", ["pcm_s16le", "flac", "opus"])
+def test_frames_match_numpy_reference(spark, codec):
+    # 700 samples at 16 kHz / 20 ms -> frames of 320, 320, 60 (partial tail)
+    blob = _clip(codec=codec)
+    df = spark.createDataFrame([Row(clip_id="c1", bytes=bytearray(blob))])
+    got = {
+        r.frame_idx: (r.n_samples, r.sum_abs, r.peak_abs, r.sum_sq, r.zero_crossings)
+        for r in mm.audio_frame_features(df).collect()
+    }
+    exp = {
+        f: (n, sa, pk, sq, zc) for f, n, sa, pk, sq, zc in _expected_frames(blob)
+    }
+    assert got == exp
+    assert got[0][0] == 320 and got[2][0] == 60  # partial last frame
+
+
+def test_frames_skip_null_and_corrupt(spark):
+    rows = [
+        Row(clip_id="ok", bytes=bytearray(_clip())),
+        Row(clip_id="null", bytes=None),
+        Row(clip_id="bad", bytes=bytearray(b"XXXX not a container")),
+    ]
+    df = spark.createDataFrame(rows)
+    ids = {r.clip_id for r in mm.audio_frame_features(df).collect()}
+    assert ids == {"ok"}
+
+
+def test_straddle_pairs_counted_in_neither_frame(spark):
+    # alternating-sign samples: every adjacent pair is a crossing; total
+    # within-frame crossings = (n-1) minus one per interior frame boundary
+    sr, n = 16000, 645  # L=320 -> frames 320/320/5, 2 interior boundaries
+    samples = np.array([(-1) ** i * 1000 for i in range(n)], dtype=np.int16)
+    payload = samples.astype("<i2").tobytes()
+    hdr = ac.HEADER.pack(ac.MAGIC, 0, sr, n, 440.0, 0.5)
+    df = spark.createDataFrame([Row(clip_id="alt", bytes=bytearray(hdr + payload))])
+    rows = mm.audio_frame_features(df).collect()
+    assert sum(r.zero_crossings for r in rows) == (n - 1) - 2
+    assert [r.n_samples for r in sorted(rows, key=lambda r: r.frame_idx)] == [320, 320, 5]
+
+
+def test_loudness_stats_rollup(spark):
+    loud = _clip(amp=0.9)
+    quiet = _clip(amp=0.001)  # ~ -61 dBFS, under the -40 dB silence cut
+    df = spark.createDataFrame(
+        [Row(clip_id="loud", bytes=bytearray(loud)), Row(clip_id="quiet", bytes=bytearray(quiet))]
+    )
+    got = {r.clip_id: r for r in mm.loudness_stats(df).collect()}
+    assert got["loud"].n_frames == 3 and got["loud"].n_samples == 700
+    # sine at amp a has RMS ~ a/sqrt(2) of full scale
+    assert got["loud"].rms_db == pytest.approx(
+        20 * math.log10(0.9 / math.sqrt(2)), abs=0.3
+    )
+    assert got["loud"].silence_ratio == 0.0
+    assert got["quiet"].silence_ratio == 1.0
+    assert got["loud"].peak_dbfs == pytest.approx(20 * math.log10(0.9), abs=0.1)
