@@ -1,0 +1,59 @@
+"""Physical-plan shape assertions for the round-2 operators: the scale
+claims in the docstrings (shuffle-free, map-side combinable) are pinned
+here so a refactor that silently adds an exchange fails a test."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from shaclapi_spark import audio_codec as ac
+from shaclapi_spark.pipeline import multimodal as mm, sampling
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hash_sample_is_shuffle_free(spark, docs):
+    plan = _plan(sampling.hash_sample(docs, "doc_id", rate=0.3))
+    assert "Exchange" not in plan  # pure scan-side filter
+
+
+def test_hash_sample_strata_is_shuffle_free(spark, docs):
+    plan = _plan(
+        sampling.hash_sample(
+            docs, "doc_id", rate=0.5, strata_col="lang", strata_rates={"en": 0.1}
+        )
+    )
+    assert "Exchange" not in plan
+
+
+def test_stratified_quota_single_exchange(spark, docs):
+    # one hash-partition exchange for the per-stratum window, nothing else
+    plan = _plan(sampling.stratified_quota(docs, "doc_id", "lang", quota=5))
+    assert plan.count("Exchange") == 1
+
+
+def test_audio_frames_shuffle_free(spark):
+    df = spark.createDataFrame(
+        [Row(clip_id="c", bytes=bytearray(ac.encode_clip(440.0, 16000, 700, 0.5, "pcm_s16le")))]
+    )
+    plan = _plan(mm.audio_frame_features(df))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_loudness_rollup_has_partial_agg(spark):
+    df = spark.createDataFrame(
+        [Row(clip_id="c", bytes=bytearray(ac.encode_clip(440.0, 16000, 700, 0.5, "pcm_s16le")))]
+    )
+    plan = _plan(mm.loudness_stats(df))
+    # map-side combine: two HashAggregates around exactly one exchange
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2
