@@ -488,6 +488,23 @@ def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_frame_features(c.join(uniq, "clip_id"), frame_ms=20)
 
 
+def q_clip_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-clip loudness rollup over the 20 ms frame relation, all-integer
+    # (silence test in exact int64 arithmetic — see loudness_counts), so
+    # the DuckDB oracle is a plain GROUP BY over the frames-decode SQL.
+    # Same uniq restriction as q_audio_frames (operator is per physical
+    # row; SQL GROUP BY clip_id would merge seeded duplicate rows).
+    t = _clip_tables(spark, sf_dir)
+    c = t["clips"]
+    uniq = (
+        c.groupBy("clip_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") == 1)
+        .select("clip_id")
+    )
+    return mm.loudness_counts(c.join(uniq, "clip_id"), frame_ms=20)
+
+
 def q_multimodal_byte_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _clip_tables(spark, sf_dir)
     per_row = mm.byte_histogram_counts(t["clips"], "clip_id", "bytes", n_bins=16)
@@ -538,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardups": q_embedding_neardups,
         "audio_meta": q_audio_meta,
         "audio_frames": q_audio_frames,
+        "clip_loudness": q_clip_loudness,
         "multimodal_byte_hist": q_multimodal_byte_hist,
     }
 
@@ -883,6 +901,26 @@ FROM p GROUP BY 1, 2
 """
 
 
+def _clip_loudness_sql() -> str:
+    """Integer-exact loudness rollup over the frames-decode SQL. Silence
+    test mirrors loudness_counts: sum_sq * 100^2 < n_samples * 32767^2
+    (exact int64 form of frame_rms_db < -40 dB). DuckDB's sum() yields
+    HUGEINT — cast back to BIGINT to hash-match Spark's long."""
+    return f"""
+WITH frames AS ({_audio_frames_sql()})
+SELECT clip_id,
+  CAST(count(*) AS INT) AS n_frames,
+  CAST(sum(n_samples) AS BIGINT) AS n_samples,
+  CAST(sum(sum_abs) AS BIGINT) AS sum_abs,
+  CAST(sum(sum_sq) AS BIGINT) AS sum_sq,
+  CAST(max(peak_abs) AS INT) AS peak_abs,
+  CAST(sum(CASE WHEN sum_sq * 10000 < CAST(n_samples AS BIGINT) * 1073676289
+            THEN 1 ELSE 0 END) AS INT) AS n_silent,
+  CAST(sum(zero_crossings) AS BIGINT) AS zero_crossings
+FROM frames GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     c = _clips_pq("clips")
     verdict_union = _clip_verdict_union_sql()
@@ -1041,6 +1079,7 @@ FROM ({verdict_union}) GROUP BY 1, 2
         ),
         "multimodal_byte_hist": _byte_hist_sql(),
         "audio_frames": _audio_frames_sql(),
+        "clip_loudness": _clip_loudness_sql(),
         # minhash_neardups_docs: the LSH path verifies every candidate with
         # exact shingle Jaccard, and at this fixture LSH recall is 1.0
         # (checked: LSH output == exact all-pairs relation), so the exact

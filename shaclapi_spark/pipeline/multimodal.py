@@ -240,6 +240,56 @@ def audio_frame_features(
     )
 
 
+def loudness_counts(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    frame_ms: int = 20,
+    silence_db: float = -40.0,
+) -> DataFrame:
+    """INTEGER-EXACT per-clip loudness rollup: the cross-engine-reproducible
+    core under ``loudness_stats``. Every output column is an integer, so
+    the relation value-hashes identically in any engine that can decode
+    the container bytes (full DuckDB oracle, no float tolerance).
+
+    The frame silence test is done in integer arithmetic: with r =
+    10^(-silence_db/20) (an exact integer for the -40 dB default, r=100),
+    ``frame_rms_db < silence_db``  ⇔  ``sum_sq * r^2 < n_samples * 32767^2``
+    — both sides exact int64, no log/sqrt. ``sum_sq == 0`` frames satisfy
+    it automatically (0 < n·32767²), matching ``loudness_stats``'s explicit
+    silent-on-zero rule.
+
+    Scale shape: frames are born co-located per clip (mapInPandas output
+    order), so the groupBy's map-side partial aggregate collapses to ~1 row
+    per clip before the shuffle — the shuffle moves clip-grain integers,
+    never frames."""
+    ratio = 10.0 ** (-silence_db / 20.0)
+    r2 = int(round(ratio * ratio))
+    if abs(ratio * ratio - r2) > 1e-9:
+        raise ValueError(
+            f"silence_db={silence_db} has no exact integer ratio^2; "
+            "use a multiple of 20/log-decade (e.g. -40.0)"
+        )
+    frames = audio_frame_features(df, id_col, bytes_col, frame_ms)
+    silent = (
+        F.col("sum_sq") * F.lit(r2)
+        < F.col("n_samples").cast("long") * F.lit(32767 * 32767)
+    ).cast("int")
+    return (
+        frames.withColumn("__silent", silent)
+        .groupBy(F.col("clip_id"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_frames"),
+            F.sum("n_samples").alias("n_samples"),
+            F.sum("sum_abs").alias("sum_abs"),
+            F.sum("sum_sq").alias("sum_sq"),
+            F.max("peak_abs").alias("peak_abs"),
+            F.sum("__silent").cast("int").alias("n_silent"),
+            F.sum("zero_crossings").cast("long").alias("zero_crossings"),
+        )
+    )
+
+
 def loudness_stats(
     df: DataFrame,
     id_col: str = "clip_id",

@@ -76,6 +76,31 @@ def test_straddle_pairs_counted_in_neither_frame(spark):
     assert [r.n_samples for r in sorted(rows, key=lambda r: r.frame_idx)] == [320, 320, 5]
 
 
+def test_loudness_counts_integer_exact(spark):
+    # loudness_counts must agree with loudness_stats's silence verdicts
+    # (its integer test is the exact form of frame_rms_db < -40) and with
+    # the raw frame relation's integer sums.
+    loud = _clip(amp=0.9)
+    quiet = _clip(amp=0.001)
+    df = spark.createDataFrame(
+        [Row(clip_id="loud", bytes=bytearray(loud)), Row(clip_id="quiet", bytes=bytearray(quiet))]
+    )
+    got = {r.clip_id: r for r in mm.loudness_counts(df).collect()}
+    frames = mm.audio_frame_features(df).collect()
+    for cid in ("loud", "quiet"):
+        fr = [r for r in frames if r.clip_id == cid]
+        assert got[cid].n_frames == len(fr)
+        assert got[cid].sum_sq == sum(r.sum_sq for r in fr)
+        assert got[cid].sum_abs == sum(r.sum_abs for r in fr)
+        assert got[cid].peak_abs == max(r.peak_abs for r in fr)
+        assert got[cid].zero_crossings == sum(r.zero_crossings for r in fr)
+    assert got["loud"].n_silent == 0
+    assert got["quiet"].n_silent == got["quiet"].n_frames
+    # non-integer ratio^2 → explicit error, not a silent float fallback
+    with pytest.raises(ValueError):
+        mm.loudness_counts(df, silence_db=-37.3)
+
+
 def test_loudness_stats_rollup(spark):
     loud = _clip(amp=0.9)
     quiet = _clip(amp=0.001)  # ~ -61 dBFS, under the -40 dB silence cut
