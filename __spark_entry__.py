@@ -358,6 +358,22 @@ def q_simhash_neardups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_neardups(d, "doc_id", "text", max_hamming=3, bits=60, hash_fn="md5_60")
 
 
+def q_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # benchmark decontamination: flag every doc sharing a word 8-gram with
+    # the (deterministic, hash-drawn) benchmark slice. Benchmark members
+    # flag themselves by construction; near-dups of members are the
+    # interesting positives.
+    d = _t(spark, sf_dir, "documents")
+    bench = sp.hash_sample(d, "doc_id", rate=0.05, salt="bench")
+    bad = dd.contaminated_ids(d, bench, "doc_id", "text", n=8)
+    return d.join(
+        bad.withColumn("contaminated", F.lit(True)), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
+    )
+
+
 def q_text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tx.with_quality(_t(spark, sf_dir, "documents"), "text")
     return d.select(
@@ -543,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_docs": q_dedup_clusters_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "stratified_quota_docs": q_stratified_quota_docs,
+        "decontam_docs": q_decontam_docs,
         "minhash_neardups_docs": q_minhash_neardups_docs,
         "simhash_neardups_docs": q_simhash_neardups_docs,
         "text_quality_docs": q_text_quality_docs,
@@ -901,6 +918,35 @@ FROM p GROUP BY 1, 2
 """
 
 
+def _decontam_sql(n: int = 8, rate: float = 0.05, salt: str = "bench") -> str:
+    """Word-n-gram decontamination flags. The benchmark draw is the same
+    md5_60 cutoff as hash_sample (exact integer arithmetic, no float
+    boundary); grams are md5 of space-joined word windows — DuckDB list
+    slicing words[i:i+n-1] is 1-based INCLUSIVE (n elements)."""
+    cutoff = int(rate * (1 << 60))
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split({_NORM}, ' '), t -> t <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(words) - {n - 1}, 0) + 1),
+           i -> md5(array_to_string(words[i:i+{n - 1}], ' ')))) AS gram
+  FROM w
+),
+bench AS (
+  SELECT DISTINCT gram FROM g
+  WHERE ('0x' || substring(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        < {cutoff}
+),
+bad AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (gram))
+SELECT w.doc_id, (bad.doc_id IS NOT NULL) AS contaminated
+FROM w LEFT JOIN bad USING (doc_id)
+"""
+
+
 def _clip_loudness_sql() -> str:
     """Integer-exact loudness rollup over the frames-decode SQL. Silence
     test mirrors loudness_counts: sum_sq * 100^2 < n_samples * 32767^2
@@ -1085,6 +1131,7 @@ FROM ({verdict_union}) GROUP BY 1, 2
         # (checked: LSH output == exact all-pairs relation), so the exact
         # k-gram Jaccard relation IS the oracle — same SQL shape as
         # jaccard_pairs_docs at k=5, threshold=0.5, full table.
+        "decontam_docs": _decontam_sql(),
         "minhash_neardups_docs": f"""
 WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
 sh AS (

@@ -448,3 +448,73 @@ def simhash_neardups(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (word-n-gram membership vs a held-out set)
+# ---------------------------------------------------------------------------
+
+def word_ngram_hashes(text_col, n: int = 8):
+    """Array of md5 hashes of word n-grams of the normalized text; empty
+    when the doc has fewer than n words. The standard decontamination
+    blocking unit (GPT-3/PaLM-style n-gram overlap, word-level n≈8-13).
+    Guarded sequence: Spark's sequence(1, 0) DESCENDS, so the < n case
+    must short-circuit to an empty array, not rely on an empty range."""
+    words = F.filter(F.split(normalize_text(text_col), " "), lambda x: x != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, n))),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Ids of corpus docs sharing ≥1 word n-gram with ANY benchmark text.
+
+    Scale shape: the benchmark n-gram set is distinct-ed and (by default)
+    BROADCAST — eval benchmarks are ~10^5-10^6 texts → tens of millions of
+    16-byte digests, comfortably broadcastable — so the corpus side is a
+    scan + generator + broadcast-hash-semi-join with NO corpus shuffle; the
+    only shuffle is the final distinct over the (small) contaminated-id
+    set. Set broadcast_benchmark=False for a benchmark too large to
+    broadcast (falls back to a shuffled semi-join on the digest)."""
+    bench_text = bench_text_col or text_col
+    bench_grams = benchmark.select(
+        F.explode(word_ngram_hashes(F.col(bench_text), n)).alias("__g")
+    ).distinct()
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(word_ngram_hashes(F.col(text_col), n)).alias("__g"),
+    )
+    return (
+        doc_grams.join(bench_grams, "__g", "left_semi").select(id_col).distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """The corpus minus every doc `contaminated_ids` flags (left-anti join
+    on the id) — drop-in filter step for a training-data pipeline."""
+    bad = contaminated_ids(
+        docs, benchmark, id_col, text_col, bench_text_col, n, broadcast_benchmark
+    )
+    return docs.join(bad, id_col, "left_anti")

@@ -347,3 +347,31 @@ def test_embedding_neardups_planted(spark):
         ).collect()
     }
     assert pairs == {(i, 100 + i) for i in range(8)}
+
+
+def test_decontaminate_ngram_overlap(spark):
+    from pyspark.sql import Row
+    from shaclapi_spark.pipeline import dedup as dd
+
+    eight = "alpha bravo charlie delta echo foxtrot golf hotel"
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"intro words then {eight} and a tail"),
+            Row(doc_id=2, text="completely unrelated text with many words " * 3),
+            Row(doc_id=3, text="alpha bravo charlie"),  # <8 words: never flagged
+        ]
+    )
+    bench = spark.createDataFrame([Row(doc_id=100, text=f"leak: {eight} verbatim")])
+    bad = {r.doc_id for r in dd.contaminated_ids(corpus, bench).collect()}
+    assert bad == {1}
+    clean = {r.doc_id for r in dd.decontaminate(corpus, bench).collect()}
+    assert clean == {2, 3}
+
+
+def test_word_ngram_hashes_short_doc_empty(spark):
+    from pyspark.sql import Row, functions as F
+    from shaclapi_spark.pipeline import dedup as dd
+
+    df = spark.createDataFrame([Row(text="one two three")])
+    out = df.select(F.size(dd.word_ngram_hashes(F.col("text"), n=8)).alias("n")).collect()
+    assert out[0].n == 0

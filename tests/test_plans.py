@@ -57,3 +57,13 @@ def test_loudness_rollup_has_partial_agg(spark):
     # map-side combine: two HashAggregates around exactly one exchange
     assert plan.count("Exchange") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_decontaminate_broadcasts_benchmark(spark, docs):
+    from shaclapi_spark.pipeline import dedup as dd
+
+    bench = sampling.hash_sample(docs, "doc_id", rate=0.1, salt="b")
+    plan = _plan(dd.contaminated_ids(docs, bench))
+    # benchmark n-gram set rides a broadcast: the corpus side must join
+    # without a corpus-wide hash-partition exchange
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
