@@ -358,6 +358,15 @@ def q_simhash_neardups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_neardups(d, "doc_id", "text", max_hamming=3, bits=60, hash_fn="md5_60")
 
 
+def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # intra-doc 2-gram repetition counts (Gopher/C4 quality rule) —
+    # integer outputs, exact oracle
+    d = _t(spark, sf_dir, "documents")
+    return tx.with_repetition(d, "text", n=2).select(
+        "doc_id", "n_grams", "n_distinct_grams"
+    )
+
+
 def q_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # benchmark decontamination: flag every doc sharing a word 8-gram with
     # the (deterministic, hash-drawn) benchmark slice. Benchmark members
@@ -559,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_docs": q_dedup_clusters_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "stratified_quota_docs": q_stratified_quota_docs,
+        "repetition_docs": q_repetition_docs,
         "decontam_docs": q_decontam_docs,
         "minhash_neardups_docs": q_minhash_neardups_docs,
         "simhash_neardups_docs": q_simhash_neardups_docs,
@@ -1131,6 +1141,25 @@ FROM ({verdict_union}) GROUP BY 1, 2
         # (checked: LSH output == exact all-pairs relation), so the exact
         # k-gram Jaccard relation IS the oracle — same SQL shape as
         # jaccard_pairs_docs at k=5, threshold=0.5, full table.
+        "repetition_docs": f"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split({_NORM}, ' '), t -> t <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 2
+      THEN list_transform(range(1, len(words)),
+           i -> array_to_string(words[i:i+1], ' '))
+      ELSE []::VARCHAR[] END AS grams
+  FROM w
+)
+SELECT doc_id,
+  CAST(len(grams) AS INT) AS n_grams,
+  CAST(len(list_distinct(grams)) AS INT) AS n_distinct_grams
+FROM g
+""",
         "decontam_docs": _decontam_sql(),
         "minhash_neardups_docs": f"""
 WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),

@@ -457,17 +457,10 @@ def simhash_neardups(
 def word_ngram_hashes(text_col, n: int = 8):
     """Array of md5 hashes of word n-grams of the normalized text; empty
     when the doc has fewer than n words. The standard decontamination
-    blocking unit (GPT-3/PaLM-style n-gram overlap, word-level n≈8-13).
-    Guarded sequence: Spark's sequence(1, 0) DESCENDS, so the < n case
-    must short-circuit to an empty array, not rely on an empty range."""
-    words = F.filter(F.split(normalize_text(text_col), " "), lambda x: x != "")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, n))),
-    )
-    return F.when(F.size(words) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    blocking unit (GPT-3/PaLM-style n-gram overlap, word-level n≈8-13)."""
+    from shaclapi_spark.pipeline.text import word_ngrams
+
+    return F.transform(word_ngrams(text_col, n), lambda g: F.md5(g))
 
 
 def contaminated_ids(

@@ -83,6 +83,40 @@ def normalize_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of space-joined word n-grams of the normalized text; empty when
+    the doc has fewer than n words. Guarded sequence: Spark's
+    sequence(1, 0) DESCENDS, so the < n case short-circuits to an empty
+    array instead of relying on an empty range."""
+    words = F.filter(F.split(normalize_text(text), " "), lambda x: x != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_columns(text: Column, n: int = 2) -> dict[str, Column]:
+    """Intra-document n-gram repetition signals (the Gopher/C4 quality rule
+    'drop docs whose duplicate n-gram fraction is high'): total n-gram
+    count and distinct n-gram count — integers, so the dup fraction
+    1 - n_distinct/n_grams is computed downstream without float hashing
+    concerns. Pure codegen expressions, no shuffle."""
+    grams = word_ngrams(text, n)
+    return {
+        "n_grams": F.size(grams),
+        "n_distinct_grams": F.size(F.array_distinct(grams)),
+    }
+
+
+def with_repetition(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    for name, c in repetition_columns(F.col(text_col), n).items():
+        df = df.withColumn(name, c)
+    return df
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """(id, fp_md5, min_word_hash): md5 of the normalized text plus the
     minimum per-word md5 — a 1-permutation MinHash usable as a cheap

@@ -375,3 +375,20 @@ def test_word_ngram_hashes_short_doc_empty(spark):
     df = spark.createDataFrame([Row(text="one two three")])
     out = df.select(F.size(dd.word_ngram_hashes(F.col("text"), n=8)).alias("n")).collect()
     assert out[0].n == 0
+
+
+def test_repetition_columns(spark):
+    from pyspark.sql import Row
+    from shaclapi_spark.pipeline import text as tx
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam ham spam ham spam ham"),  # 5 bigrams, 2 distinct
+            Row(doc_id=2, text="all words here are unique tokens"),
+            Row(doc_id=3, text="single"),  # <2 words: zero grams
+        ]
+    )
+    got = {r.doc_id: r for r in tx.with_repetition(df, "text", n=2).collect()}
+    assert (got[1].n_grams, got[1].n_distinct_grams) == (5, 2)
+    assert got[2].n_grams == got[2].n_distinct_grams == 5
+    assert got[3].n_grams == 0 and got[3].n_distinct_grams == 0
