@@ -358,6 +358,15 @@ def q_simhash_neardups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_neardups(d, "doc_id", "text", max_hamming=3, bits=60, hash_fn="md5_60")
 
 
+def q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic sequence packing: BPE-ish token counts → 256-token
+    # training sequences across 8 shards; bin assignment is a pure function
+    # of the corpus, exactly reproducible in SQL (window cumsum + int DIV)
+    d = _t(spark, sf_dir, "documents")
+    toks = d.withColumn("n_tok", tx.bpe_ish_token_count(F.col("text")))
+    return sp.pack_sequences(toks, "doc_id", "n_tok", capacity=256, n_shards=8)
+
+
 def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intra-doc 2-gram repetition counts (Gopher/C4 quality rule) —
     # integer outputs, exact oracle
@@ -568,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_docs": q_dedup_clusters_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "stratified_quota_docs": q_stratified_quota_docs,
+        "pack_sequences_docs": q_pack_sequences_docs,
         "repetition_docs": q_repetition_docs,
         "decontam_docs": q_decontam_docs,
         "minhash_neardups_docs": q_minhash_neardups_docs,
@@ -1141,6 +1151,27 @@ FROM ({verdict_union}) GROUP BY 1, 2
         # (checked: LSH output == exact all-pairs relation), so the exact
         # k-gram Jaccard relation IS the oracle — same SQL shape as
         # jaccard_pairs_docs at k=5, threshold=0.5, full table.
+        "pack_sequences_docs": """
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(trim(lower(text)),
+         '[\\s[:punct:][:digit:]]+'), x -> x <> '')) AS BIGINT) AS n_tok,
+    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(h % 8 AS INT) AS shard, n_tok, h,
+    COALESCE(sum(n_tok) OVER (PARTITION BY CAST(h % 8 AS INT)
+      ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT doc_id, shard,
+  CAST(cum // 256 AS BIGINT) AS seq_in_shard,
+  CAST(cum % 256 AS BIGINT) AS offset,
+  n_tok AS n_tokens
+FROM c
+""",
         "repetition_docs": f"""
 WITH w AS (
   SELECT doc_id,

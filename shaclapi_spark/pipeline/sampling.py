@@ -105,3 +105,50 @@ def stratified_quota(
         .filter(F.col("__rk") <= quota)
         .drop("__h", "__rk")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    capacity: int,
+    n_shards: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic contiguous packing of docs into training sequences of
+    ``capacity`` tokens — the "sequence packing" step an LLM data pipeline
+    runs after filtering/dedup. Each doc gets (shard, seq_id, offset,
+    n_tokens): docs are sharded by hash (load balance), ordered inside the
+    shard by (hash, id) — a deterministic uniform shuffle — and assigned to
+    the sequence where their FIRST token lands (running-sum / capacity).
+    A doc straddling a boundary overflows its sequence by < its own length;
+    the downstream writer truncates or pads — bin assignment itself stays
+    a pure function of (corpus, capacity, n_shards, salt), identical on
+    every rerun and cluster size.
+
+    Scale shape: ONE hash-partition exchange (by shard) + per-shard sort —
+    the window cumsum is the only pass; no global sort, no driver state.
+    n_shards bounds per-task sort size: size it so a shard's docs fit an
+    executor (100 TB / n_shards)."""
+    h = md5_60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    work = df.withColumn("__h", h).withColumn(
+        "shard", (F.col("__h") % F.lit(n_shards)).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
+    return (
+        work.withColumn("__cum", cum_before.cast("long"))
+        .select(
+            F.col(id_col),
+            "shard",
+            # integer DIV, not float division: a double quotient misrounds
+            # near bin boundaries once cumsums reach 2^53
+            F.expr(f"__cum DIV {int(capacity)}").alias("seq_in_shard"),
+            (F.col("__cum") % F.lit(capacity)).cast("long").alias("offset"),
+            F.col(token_col).cast("long").alias("n_tokens"),
+        )
+    )

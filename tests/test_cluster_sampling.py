@@ -151,3 +151,40 @@ def test_stratified_quota_prefilter_identical_when_headroom(spark, docs):
         ).collect()
     }
     assert base == pre
+
+
+def test_pack_sequences_deterministic_and_contiguous(spark):
+    from pyspark.sql import Row
+    from shaclapi_spark.pipeline import sampling as sp
+
+    rows = [Row(doc_id=i, n_tok=10 + (i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    out = sp.pack_sequences(df, "doc_id", "n_tok", capacity=64, n_shards=4)
+    a = sorted(out.collect(), key=lambda r: r.doc_id)
+    b = sorted(
+        sp.pack_sequences(df, "doc_id", "n_tok", capacity=64, n_shards=4).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert a == b  # pure function of the corpus
+    # within a shard: offsets are cumsum mod capacity, bins never skip
+    import collections
+
+    by_shard = collections.defaultdict(list)
+    for r in a:
+        by_shard[r.shard].append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for rows_ in by_shard.values():
+        seqs = sorted({r.seq_in_shard for r in rows_})
+        assert seqs == list(range(len(seqs)))  # contiguous bin ids from 0
+        total = sum(r.n_tokens for r in rows_)
+        last = max(rows_, key=lambda r: (r.seq_in_shard, r.offset))
+        assert last.seq_in_shard == (total - last.n_tokens) // 64
+
+
+def test_pack_sequences_single_exchange(spark):
+    from pyspark.sql import Row
+    from shaclapi_spark.pipeline import sampling as sp
+
+    df = spark.createDataFrame([Row(doc_id=i, n_tok=7) for i in range(50)])
+    plan = sp.pack_sequences(df, "doc_id", "n_tok", capacity=64)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # one shard partition, no global sort
