@@ -358,6 +358,20 @@ def q_simhash_neardups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_neardups(d, "doc_id", "text", max_hamming=3, bits=60, hash_fn="md5_60")
 
 
+def q_weighted_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # upsampling mixing knob: 2.5 epochs of en, 0.25 of zh, 1.0 elsewhere —
+    # deterministic fractional replication by hash
+    d = _t(spark, sf_dir, "documents")
+    return sp.weighted_mix(
+        d,
+        "doc_id",
+        weight=1.0,
+        strata_col="lang",
+        strata_weights={"en": 2.5, "zh": 0.25},
+        salt="mix",
+    ).select("doc_id", "lang", "copy")
+
+
 def q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic sequence packing: BPE-ish token counts → 256-token
     # training sequences across 8 shards; bin assignment is a pure function
@@ -577,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_docs": q_dedup_clusters_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "stratified_quota_docs": q_stratified_quota_docs,
+        "weighted_mix_docs": q_weighted_mix_docs,
         "pack_sequences_docs": q_pack_sequences_docs,
         "repetition_docs": q_repetition_docs,
         "decontam_docs": q_decontam_docs,
@@ -1151,6 +1166,24 @@ FROM ({verdict_union}) GROUP BY 1, 2
         # (checked: LSH output == exact all-pairs relation), so the exact
         # k-gram Jaccard relation IS the oracle — same SQL shape as
         # jaccard_pairs_docs at k=5, threshold=0.5, full table.
+        "weighted_mix_docs": f"""
+WITH d AS (
+  SELECT doc_id, lang,
+    ('0x' || substring(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents
+),
+n AS (
+  SELECT doc_id, lang,
+    CASE
+      WHEN lang = 'en' THEN 2 + CASE WHEN h < {int(0.5 * (1 << 60))} THEN 1 ELSE 0 END
+      WHEN lang = 'zh' THEN 0 + CASE WHEN h < {int(0.25 * (1 << 60))} THEN 1 ELSE 0 END
+      ELSE 1
+    END AS k
+  FROM d
+)
+SELECT doc_id, lang, CAST(unnest(range(0, k)) AS INT) AS copy
+FROM n WHERE k > 0
+""",
         "pack_sequences_docs": """
 WITH t AS (
   SELECT doc_id,

@@ -152,3 +152,54 @@ def pack_sequences(
             F.col(token_col).cast("long").alias("n_tokens"),
         )
     )
+
+
+def weighted_mix(
+    df: DataFrame,
+    id_col: str,
+    weight: float | None = None,
+    strata_col: str | None = None,
+    strata_weights: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted replication — the UPsampling half of data
+    mixing (hash_sample is the downsampling half; weights < 1 degenerate to
+    it). A weight w = k + f replicates every row k times and adds one more
+    copy iff md5_60(salt || id) < f·2^60, so a stratum with weight 2.5 sees
+    every row twice and a deterministic hash-chosen half a third time —
+    epoch semantics ("2.5 epochs of wikipedia") as a pure function of the
+    corpus. Output adds a `copy` index (0-based) so downstream shuffles/
+    packing can decorrelate replicas by hashing (id, copy).
+
+    Scale shape: scan-side generator (explode of a sequence literal), no
+    shuffle, no RNG state; rows with weight 0 are filtered at the scan."""
+    if weight is None and strata_weights is None:
+        raise ValueError("pass weight or strata_weights")
+    if strata_weights is not None and strata_col is None:
+        raise ValueError("strata_weights requires strata_col")
+    h = md5_60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+
+    def n_copies(w: float):
+        k = int(w)
+        frac = w - k
+        extra = (
+            F.when(h < F.lit(_cutoff(frac)), F.lit(1)).otherwise(F.lit(0))
+            if frac > 0
+            else F.lit(0)
+        )
+        return F.lit(k) + extra
+
+    if strata_weights is not None:
+        copies = n_copies(weight) if weight is not None else F.lit(0)
+        for value, w in strata_weights.items():
+            copies = F.when(
+                F.col(strata_col) == F.lit(value), n_copies(w)
+            ).otherwise(copies)
+    else:
+        copies = n_copies(weight)
+    return (
+        df.withColumn("__n", copies)
+        .filter(F.col("__n") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )

@@ -188,3 +188,43 @@ def test_pack_sequences_single_exchange(spark):
     df = spark.createDataFrame([Row(doc_id=i, n_tok=7) for i in range(50)])
     plan = sp.pack_sequences(df, "doc_id", "n_tok", capacity=64)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # one shard partition, no global sort
+
+
+def test_weighted_mix_epoch_semantics(spark):
+    from pyspark.sql import Row
+    from shaclapi_spark.pipeline import sampling as sp
+
+    rows = [Row(doc_id=i, src="a" if i < 100 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows)
+    out = sp.weighted_mix(
+        df, "doc_id", weight=1.0, strata_col="src", strata_weights={"a": 2.5, "b": 0.0}
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append(r.copy)
+    # b dropped entirely; every a-doc appears 2 or 3 times with copy 0..k-1
+    assert all(i < 100 for i in got)
+    assert len(got) == 100
+    counts = {i: sorted(c) for i, c in got.items()}
+    assert all(c in ([0, 1], [0, 1, 2]) for c in counts.values())
+    n3 = sum(1 for c in counts.values() if len(c) == 3)
+    assert 30 <= n3 <= 70  # ~half get the fractional 3rd epoch
+    # deterministic on rerun
+    again = sp.weighted_mix(
+        df, "doc_id", weight=1.0, strata_col="src", strata_weights={"a": 2.5, "b": 0.0}
+    ).collect()
+    assert sorted((r.doc_id, r.copy) for r in again) == sorted(
+        (r.doc_id, r.copy) for r in out
+    )
+
+
+def test_weighted_mix_shuffle_free(spark):
+    from pyspark.sql import Row
+    from shaclapi_spark.pipeline import sampling as sp
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(10)])
+    plan = (
+        sp.weighted_mix(df, "doc_id", weight=1.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure scan-side generator
