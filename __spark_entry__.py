@@ -518,39 +518,34 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _uniq_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # non-duplicated clip_ids only: the frame/loudness operators are per
+    # physical row, but SQL's GROUP BY clip_id would merge the fixture's
+    # seeded duplicate rows — the oracles encode the same HAVING count=1
+    c = _clip_tables(spark, sf_dir)["clips"]
+    uniq = (
+        c.groupBy("clip_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") == 1)
+        .select("clip_id")
+    )
+    return c.join(uniq, "clip_id")
+
+
 def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame-sample every clip into 20 ms windows with integer-exact
     # features; the oracle re-decodes all three codecs (pcm passthrough,
     # flac cumulative-XOR, opus dequantize x64) from the container bytes
-    # in pure SQL. Restricted to non-duplicated clip_ids: the operator is
-    # per physical row, but SQL's GROUP BY clip_id would merge the
-    # fixture's seeded duplicate rows.
-    t = _clip_tables(spark, sf_dir)
-    c = t["clips"]
-    uniq = (
-        c.groupBy("clip_id")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") == 1)
-        .select("clip_id")
-    )
-    return mm.audio_frame_features(c.join(uniq, "clip_id"), frame_ms=20)
+    # in pure SQL.
+    return mm.audio_frame_features(_uniq_clips(spark, sf_dir), frame_ms=20)
 
 
 def q_clip_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-clip loudness rollup over the 20 ms frame relation, all-integer
-    # (silence test in exact int64 arithmetic — see loudness_counts), so
-    # the DuckDB oracle is a plain GROUP BY over the frames-decode SQL.
-    # Same uniq restriction as q_audio_frames (operator is per physical
-    # row; SQL GROUP BY clip_id would merge seeded duplicate rows).
-    t = _clip_tables(spark, sf_dir)
-    c = t["clips"]
-    uniq = (
-        c.groupBy("clip_id")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") == 1)
-        .select("clip_id")
-    )
-    return mm.loudness_counts(c.join(uniq, "clip_id"), frame_ms=20)
+    # (silence test in exact integer/decimal arithmetic — see
+    # loudness_counts), so the DuckDB oracle is a plain GROUP BY over the
+    # frames-decode SQL.
+    return mm.loudness_counts(_uniq_clips(spark, sf_dir), frame_ms=20)
 
 
 def q_multimodal_byte_hist(spark: SparkSession, sf_dir: str) -> DataFrame:

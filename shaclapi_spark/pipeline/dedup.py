@@ -478,9 +478,10 @@ def contaminated_ids(
     BROADCAST — eval benchmarks are ~10^5-10^6 texts → tens of millions of
     16-byte digests, comfortably broadcastable — so the corpus side is a
     scan + generator + broadcast-hash-semi-join with NO corpus shuffle; the
-    only shuffle is the final distinct over the (small) contaminated-id
-    set. Set broadcast_benchmark=False for a benchmark too large to
-    broadcast (falls back to a shuffled semi-join on the digest)."""
+    only shuffles touch the SMALL relations (the benchmark-side digest
+    distinct before the broadcast, and the final distinct over the
+    contaminated-id set). Set broadcast_benchmark=False for a benchmark too
+    large to broadcast (falls back to a shuffled semi-join on the digest)."""
     bench_text = bench_text_col or text_col
     bench_grams = benchmark.select(
         F.explode(word_ngram_hashes(F.col(bench_text), n)).alias("__g")

@@ -271,9 +271,13 @@ def loudness_counts(
             "use a multiple of 20/log-decade (e.g. -40.0)"
         )
     frames = audio_frame_features(df, id_col, bytes_col, frame_ms)
+    # decimal(38,0) arithmetic: sum_sq * r2 overflows int64 already at
+    # silence_db=-80 (r2=10^8 x full-scale frames ~ 3.4e19 > 2^63) and a
+    # non-ANSI long multiply would WRAP silently; decimal is exact to 1e38
     silent = (
-        F.col("sum_sq") * F.lit(r2)
-        < F.col("n_samples").cast("long") * F.lit(32767 * 32767)
+        F.col("sum_sq").cast("decimal(38,0)") * F.lit(r2).cast("decimal(38,0)")
+        < F.col("n_samples").cast("decimal(38,0)")
+        * F.lit(32767 * 32767).cast("decimal(38,0)")
     ).cast("int")
     return (
         frames.withColumn("__silent", silent)

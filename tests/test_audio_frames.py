@@ -101,6 +101,23 @@ def test_loudness_counts_integer_exact(spark):
         mm.loudness_counts(df, silence_db=-37.3)
 
 
+def test_loudness_counts_no_overflow_at_minus_80db(spark):
+    # r2 = 10^8: a full-scale frame's sum_sq * r2 exceeds 2^63 — the decimal
+    # comparison must NOT wrap, so a loud clip stays non-silent even against
+    # the tightest threshold, while a true digital-silence frame still counts
+    loud = _clip(amp=0.999)
+    df = spark.createDataFrame([Row(clip_id="loud", bytes=bytearray(loud))])
+    got = mm.loudness_counts(df, silence_db=-80.0).collect()[0]
+    assert got.n_silent == 0
+    sr, n = 16000, 640
+    hdr = ac.HEADER.pack(ac.MAGIC, 0, sr, n, 440.0, 0.0)
+    silent_df = spark.createDataFrame(
+        [Row(clip_id="zeros", bytes=bytearray(hdr + b"\x00" * (2 * n)))]
+    )
+    got0 = mm.loudness_counts(silent_df, silence_db=-80.0).collect()[0]
+    assert got0.n_silent == got0.n_frames == 2
+
+
 def test_loudness_stats_rollup(spark):
     loud = _clip(amp=0.9)
     quiet = _clip(amp=0.001)  # ~ -61 dBFS, under the -40 dB silence cut
