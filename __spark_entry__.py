@@ -488,6 +488,27 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: top-10 neighbors for a relation of query vectors in ONE
+    job. Registered at multiprobe=None (probe all buckets), where the op
+    provably degenerates to exact brute force — so per-query brute-force
+    SQL is a full value oracle for the whole bucket→probe-explode→join→
+    window machinery (same justification as ivf_topk at nprobe=n_cells).
+    Small-multiprobe recall is pinned in tests/test_pipeline.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    top = sim.ann_lsh_topk_batch(
+        e, q, "vec_id", "embedding", "vec_id", "embedding",
+        dim=64, k=10, n_planes=6, seed=42, multiprobe=None,
+    )
+    return top.select(
+        "q_id",
+        "vec_id",
+        F.round(F.col("cosine") * 1e6).cast("long").alias("cosine_e6"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded hyperplane-LSH blocking +
     exact cosine verification. Precision is 1.0 by construction; with
@@ -599,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine": q_topk_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "ann_batch_topk": q_ann_batch_topk,
         "embedding_neardups": q_embedding_neardups,
         "audio_meta": q_audio_meta,
         "audio_frames": q_audio_frames,
@@ -1134,6 +1156,26 @@ FROM d
         # ivf_topk runs at nprobe=n_cells (exact-degenerate, see q_ivf_topk):
         # the brute-force ranking is the oracle for the index machinery.
         "ivf_topk": _topk_cosine_sql(),
+        "ann_batch_topk": """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+s AS (
+  SELECT q.q_id, e.vec_id,
+    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cosine
+  FROM q, embeddings e
+),
+r AS (
+  SELECT q_id, vec_id, cosine,
+    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+  FROM s WHERE cosine IS NOT NULL
+)
+SELECT q_id, vec_id,
+  CAST(round(cosine * 1000000) AS BIGINT) AS cosine_e6,
+  CAST(rnk AS INT) AS rank
+FROM r WHERE rnk <= 10
+""",
         # embedding_neardups: LSH blocking + exact-cosine verification;
         # recall 1.0 on the driver fixtures (see q_embedding_neardups), so
         # the exact all-pairs relation IS the oracle.

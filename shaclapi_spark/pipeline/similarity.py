@@ -326,3 +326,74 @@ def embedding_neardups(
         except NameError:
             pass
     return out
+
+
+def ann_lsh_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str,
+    q_vec_col: str,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 6,
+    seed: int = 42,
+    multiprobe: int | None = 1,
+) -> DataFrame:
+    """Top-k cosine neighbors for a whole RELATION of queries in ONE job —
+    the shape batch inference / dedup-against-index actually runs at scale,
+    where a job per query can never amortize. Returns
+    (q_id, id, cosine, rank) with rank 1..k per query.
+
+    Plan: corpus rows get their LSH bucket once; each query row explodes
+    into its probe buckets (own bucket XOR a LITERAL mask set — masks are
+    plan constants, so probe fan-out is a generator, not a join); the
+    candidate set is the bucket equi-join with the (broadcast) probe side;
+    exact cosine + a per-query window take the top k. Shuffles touch only
+    candidates: corpus never re-partitions when the probe side broadcasts.
+
+    ``multiprobe=None`` probes ALL 2^n_planes buckets — the op degenerates
+    to exact brute force while exercising the identical probe/join/window
+    machinery (the contract-oracle configuration, cf. ivf_topk at
+    nprobe=n_cells); small multiprobe values trade recall for candidate
+    count exactly like `ann_lsh_topk`."""
+    planes = _hyperplanes(seed, n_planes, dim)
+    if multiprobe is None:
+        masks = list(range(1 << n_planes))
+    else:
+        masks = [0]
+        if multiprobe >= 1:
+            masks += [1 << i for i in range(n_planes)]
+        if multiprobe >= 2:
+            masks += [
+                (1 << i) | (1 << j)
+                for i in range(n_planes)
+                for j in range(i + 1, n_planes)
+            ]
+    bucketed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("__bucket", lsh_bucket_column("__cv", planes))
+    probes = (
+        queries.select(
+            F.col(q_id_col).alias("__qid"),
+            F.col(q_vec_col).cast("array<double>").alias("__qv"),
+        )
+        .withColumn("__qbucket", lsh_bucket_column("__qv", planes))
+        .withColumn("__mask", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .withColumn("__bucket", F.col("__qbucket").bitwiseXOR(F.col("__mask")))
+        .select("__qid", "__qv", "__bucket")
+    )
+    cand = bucketed.join(F.broadcast(probes), "__bucket")
+    scored = cand.withColumn(
+        "cosine", _pair_cosine(F.col("__cv"), F.col("__qv"))
+    ).filter(F.col("cosine").isNotNull())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("__qid").alias("q_id"), F.col(id_col), "cosine", "rank")
+    )

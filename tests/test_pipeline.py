@@ -392,3 +392,58 @@ def test_repetition_columns(spark):
     assert (got[1].n_grams, got[1].n_distinct_grams) == (5, 2)
     assert got[2].n_grams == got[2].n_distinct_grams == 5
     assert got[3].n_grams == 0 and got[3].n_distinct_grams == 0
+
+
+def test_ann_batch_probe_all_is_exact(spark, emb):
+    from shaclapi_spark.pipeline import similarity as sim
+
+    q = emb.filter(F.col("vec_id") < 3)
+    batch = sim.ann_lsh_topk_batch(
+        emb, q, "vec_id", "embedding", "vec_id", "embedding",
+        dim=64, k=5, multiprobe=None,
+    ).collect()
+    for qid in (0, 1, 2):
+        qvec = [float(x) for x in q.filter(F.col("vec_id") == qid).collect()[0].embedding]
+        exact = sim.brute_force_topk(emb, "vec_id", "embedding", qvec, k=5).collect()
+        got = sorted((r for r in batch if r.q_id == qid), key=lambda r: r.rank)
+        assert [r.vec_id for r in got] == [r.vec_id for r in exact]
+
+
+def test_ann_batch_multiprobe_recall(spark, emb):
+    from shaclapi_spark.pipeline import similarity as sim
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in sim.ann_lsh_topk_batch(
+            emb, q, "vec_id", "embedding", "vec_id", "embedding",
+            dim=64, k=5, multiprobe=None,
+        ).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in sim.ann_lsh_topk_batch(
+            emb, q, "vec_id", "embedding", "vec_id", "embedding",
+            dim=64, k=5, multiprobe=2,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # synthetic embeddings are near-uniform (no planted clusters), the
+    # hardest case for hyperplane LSH; the property to pin is that probing
+    # 22/64 ≈ 34% of buckets recovers well MORE than 34% of true neighbors
+    # (measured ~0.64 — ~2x the random-probe baseline)
+    assert recall >= 0.5
+
+
+def test_ann_batch_broadcasts_probes(spark, emb):
+    from shaclapi_spark.pipeline import similarity as sim
+
+    q = emb.filter(F.col("vec_id") < 3)
+    plan = (
+        sim.ann_lsh_topk_batch(
+            emb, q, "vec_id", "embedding", "vec_id", "embedding", dim=64, k=5
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # corpus must not hash-repartition for the candidate join
+    assert "BroadcastHashJoin" in plan
