@@ -62,6 +62,25 @@ def windowed_event_counts(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    id_col: str,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """In-stream exact dedup: keep the FIRST row per id seen within the
+    watermark horizon — the streaming analog of the uniqueness constraint
+    and of ``pipeline.dedup.exact_dedup``. State holds one entry per id
+    and is evicted as the watermark advances, so state is bounded by the
+    id arrival rate × horizon, not by stream length (the property that
+    makes this viable on an unbounded 100-TB/day feed). Duplicates farther
+    apart than the watermark are NOT caught here — that is the batch
+    dedup's job, mirroring the row-vs-entity split in incremental.py."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+
+
 _COUNT_OUT = StructType(
     [
         StructField("entity_id", StringType()),

@@ -168,3 +168,51 @@ def test_stateful_min_pending_until_reached(spark, tmp_path):
     [r] = spark.read.parquet(out).collect()
     # min violation is NOT emitted mid-stream — undecidable before EOF
     assert (r.entity_id, r.n_rows, r.min_status) == ("x", 1, "pending")
+
+
+def test_streaming_dedup_first_wins_bounded_state(spark, tmp_path):
+    import datetime as dt
+
+    from shaclapi_spark.streaming.windows import streaming_dedup
+
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("clip_id", StringType()),
+            StructField("v", IntegerType()),
+        ]
+    )
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "dedup_src")
+    # batch 1: ids a,b (a twice within the batch); batch 2: a,b again within
+    # the watermark horizon plus a fresh id c
+    b1 = [
+        Row(ts=base, clip_id="a", v=1),
+        Row(ts=base + dt.timedelta(minutes=1), clip_id="a", v=2),
+        Row(ts=base + dt.timedelta(minutes=2), clip_id="b", v=3),
+    ]
+    b2 = [
+        Row(ts=base + dt.timedelta(minutes=30), clip_id="a", v=4),
+        Row(ts=base + dt.timedelta(minutes=31), clip_id="b", v=5),
+        Row(ts=base + dt.timedelta(minutes=32), clip_id="c", v=6),
+    ]
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = str(tmp_path / "dedup_out")
+    q = (
+        streaming_dedup(stream, "clip_id", "ts", watermark="2 hours")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.clip_id: r.v for r in spark.read.parquet(out).collect()}
+    # exactly one survivor per id, and it is the FIRST occurrence
+    assert got == {"a": 1, "b": 3, "c": 6}
