@@ -488,6 +488,35 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch probing of the persisted IVF index: top-5 for query vectors
+    5..9 in ONE job. Registered at nprobe=n_cells (exact degenerate mode,
+    same justification as ivf_topk), so per-query brute-force SQL is a
+    full value oracle; small-nprobe parity with per-query probes is pinned
+    in tests/test_ivf.py."""
+    import tempfile
+
+    from shaclapi_spark.pipeline import ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    idx = os.path.join(
+        tempfile.gettempdir(), f"ivf_idx_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    ivf.build_ivf_index(
+        e, "vec_id", "embedding", idx, dim=64, n_cells=16, train_rows=20_000
+    )
+    q = e.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+    top = ivf.ivf_index_topk_batch(
+        spark, idx, q, "vec_id", "embedding", k=5, nprobe=16
+    )
+    return top.select(
+        "q_id",
+        "vec_id",
+        F.round(F.col("cosine") * 1e6).cast("long").alias("cosine_e6"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN: top-10 neighbors for a relation of query vectors in ONE
     job. Registered at multiprobe=None (probe all buckets), where the op
@@ -621,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "ann_batch_topk": q_ann_batch_topk,
+        "ivf_batch_topk": q_ivf_batch_topk,
         "embedding_neardups": q_embedding_neardups,
         "audio_meta": q_audio_meta,
         "audio_frames": q_audio_frames,
@@ -1156,6 +1186,26 @@ FROM d
         # ivf_topk runs at nprobe=n_cells (exact-degenerate, see q_ivf_topk):
         # the brute-force ranking is the oracle for the index machinery.
         "ivf_topk": _topk_cosine_sql(),
+        "ivf_batch_topk": """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id >= 5 AND vec_id < 10
+),
+s AS (
+  SELECT q.q_id, e.vec_id,
+    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cosine
+  FROM q, embeddings e
+),
+r AS (
+  SELECT q_id, vec_id, cosine,
+    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+  FROM s WHERE cosine IS NOT NULL
+)
+SELECT q_id, vec_id,
+  CAST(round(cosine * 1000000) AS BIGINT) AS cosine_e6,
+  CAST(rnk AS INT) AS rank
+FROM r WHERE rnk <= 5
+""",
         "ann_batch_topk": """
 WITH q AS (
   SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv

@@ -163,3 +163,70 @@ def ivf_index_topk(
     meta = _load_meta(index_path)
     cand = ivf_index_probe(spark, index_path, query, nprobe)
     return brute_force_topk(cand, meta["id_col"], meta["vec_col"], query, k)
+
+
+def cells_column(centroids: np.ndarray, vec_col: str, nprobe: int):
+    """`array<int>` of the ``nprobe`` nearest cells per vector — the batch
+    analog of `probe_cells`, one numpy matmul + argsort per Arrow batch."""
+    C = _unit_rows(centroids.copy())
+    n = max(1, int(nprobe))
+
+    @pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        M = np.vstack(vecs.to_numpy())
+        order = np.argsort(-(M @ C.T), axis=1)[:, :n].astype(np.int32)
+        return pd.Series(list(order))
+
+    return assign(F.col(vec_col).cast("array<double>"))
+
+
+def ivf_index_topk_batch(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    q_id_col: str,
+    q_vec_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k for a whole RELATION of queries against the IVF index in ONE
+    job (cf. similarity.ann_lsh_topk_batch — a job per query never
+    amortizes at scale). Each query row fans out to its ``nprobe`` nearest
+    cells via one Arrow matmul; the (broadcast) probe side joins the index
+    on the `__cell` PARTITION column, so Spark's dynamic partition pruning
+    keeps unprobed cells' files unread; exact cosine + a per-query window
+    take the top k. nprobe >= n_cells degenerates to exact brute force
+    (the contract-oracle configuration, cf. ivf_topk)."""
+    from shaclapi_spark.pipeline.similarity import _pair_cosine
+
+    meta = _load_meta(index_path)
+    C = np.asarray(meta["centroids"])
+    probes = (
+        queries.select(
+            F.col(q_id_col).alias("__qid"),
+            F.col(q_vec_col).cast("array<double>").alias("__qv"),
+        )
+        .withColumn("__cell", F.explode(cells_column(C, "__qv", nprobe)))
+        .select("__qid", "__qv", "__cell")
+    )
+    idx = spark.read.parquet(index_path).select(
+        F.col(meta["id_col"]),
+        F.col(meta["vec_col"]).cast("array<double>").alias("__cv"),
+        "__cell",
+    )
+    cand = idx.join(F.broadcast(probes), "__cell")
+    scored = cand.withColumn(
+        "cosine", _pair_cosine(F.col("__cv"), F.col("__qv"))
+    ).filter(F.col("cosine").isNotNull())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("cosine").desc(), F.col(meta["id_col"])
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias("q_id"), F.col(meta["id_col"]), "cosine", "rank"
+        )
+    )

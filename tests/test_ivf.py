@@ -87,3 +87,21 @@ def test_small_probe_recall(spark, emb, index):
     }
     assert len(exact & r4) >= 6
     assert len(exact & r8) >= len(exact & r4)
+
+
+def test_batch_probe_matches_per_query(spark, emb, index):
+    """ivf_index_topk_batch at any nprobe returns exactly what the per-query
+    probe returns for each query (same cells -> same candidates -> same
+    top-k) — the batch op is a pure fusion, not an approximation change."""
+    from pyspark.sql import functions as F
+
+    q = emb.filter(F.col("vec_id") < 4)
+    batch = ivf.ivf_index_topk_batch(
+        spark, index, q, "vec_id", "embedding", k=5, nprobe=4
+    ).collect()
+    for row in q.collect():
+        single = ivf.ivf_index_topk(
+            spark, index, [float(x) for x in row.embedding], k=5, nprobe=4
+        ).collect()
+        got = sorted((r for r in batch if r.q_id == row.vec_id), key=lambda r: r.rank)
+        assert [r.vec_id for r in got] == [r.vec_id for r in single]
