@@ -188,7 +188,10 @@ def snr_db_batch(blobs) -> np.ndarray:
       float64-exact phase is ≤ ~10^2 rad, so the cast keeps a ~105 dB SNR
       floor — far above the int16 quantization floor (~90 dB) and the 10-bit
       opus floor (~53 dB), so verdicts at any sane threshold cannot flip;
-      batch-vs-scalar agreement is pinned in tests);
+      batch-vs-scalar agreement is pinned in tests — for amplitudes down to
+      1e-6 of full scale; below the int16 quantization floor the reference
+      underflows float32 subnormals and the two paths may disagree on a
+      clip that encodes to all-zero samples either way);
     * power sums: `np.add.reduceat` segment sums accumulated in float64.
 
     Input: iterable of bytes|None. Output: float64 array with NaN for None

@@ -1,0 +1,98 @@
+"""Hypothesis property tests for the deterministic pure-Python cores the
+Spark operators are built on — no SparkSession in the loop, so these run
+hundreds of generated examples cheaply. Each property pins a contract the
+DuckDB oracles or cross-engine tests rely on."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from shaclapi_spark import audio_codec as ac
+from shaclapi_spark.ops.drift import ks_psi
+from shaclapi_spark.pipeline.sampling import _HASH_SPACE, _cutoff
+
+CODECS = ["pcm_s16le", "flac", "opus"]
+
+
+@given(
+    freq=st.floats(20.0, 8000.0, allow_nan=False),
+    sr=st.sampled_from([8000, 16000, 44100, 48000]),
+    n=st.integers(1, 2048),
+    amp=st.floats(0.0, 1.0, allow_nan=False),
+    codec=st.sampled_from(CODECS),
+)
+@settings(max_examples=60, deadline=None)
+def test_encode_decode_roundtrip(freq, sr, n, amp, codec):
+    """decode(encode(x)) preserves the header exactly and yields n samples;
+    pcm is bit-exact, flac's XOR transform is lossless, opus quantization
+    truncates to 64-step grid (error < one full step per sample)."""
+    blob = ac.encode_clip(freq, sr, n, amp, codec)
+    hdr, samples = ac.decode_clip(blob)
+    assert hdr["sr_hz"] == sr and hdr["n_samples"] == n == len(samples)
+    clean = ac.synth_sine(freq, sr, n, amp)
+    if codec in ("pcm_s16le", "flac"):
+        assert np.array_equal(samples, clean)
+    else:
+        assert np.max(np.abs(samples.astype(np.int64) - clean.astype(np.int64))) < 64
+
+
+@given(
+    freq=st.floats(20.0, 8000.0, allow_nan=False),
+    n=st.integers(0, 1024),
+    # amp is either exactly 0 or >= 1e-6 of full scale: references below the
+    # int16 quantization floor are degenerate (the encoded signal is all-zero
+    # regardless), and under float32 subnormal underflow the two paths
+    # legitimately diverge there — see snr_db_batch docstring
+    amp=st.one_of(st.just(0.0), st.floats(1e-6, 1.0, allow_nan=False)),
+    codec=st.sampled_from(CODECS),
+)
+@settings(max_examples=60, deadline=None)
+def test_snr_scalar_batch_parity(freq, n, amp, codec):
+    """The scalar and Arrow-batch SNR paths must agree on the VERDICT
+    (>= 30 dB) for any clip whose true SNR is not inside a 1 dB band
+    around the threshold — the contract the engine actually relies on.
+    Pointwise dB equality is NOT the contract: the batch float32-sin fast
+    path perturbs the noise power, and near exactly-representable signals
+    (e.g. freq=4000 @ sr=16000: phases k*pi/2) the float64 noise is ~0 so
+    the dB gap is unbounded even though both sides sit far above any sane
+    threshold. Moderate SNRs (< 80 dB, where quantization noise dominates)
+    must still agree within 1 dB."""
+    blob = ac.encode_clip(freq, 16000, n, amp, codec)
+    s = ac.snr_db(blob)
+    b = float(ac.snr_db_batch([blob])[0])
+    thresh = 30.0
+    if math.isinf(s) or abs(s - thresh) > 1.0:
+        assert (s >= thresh) == (b >= thresh)
+    if not math.isinf(s) and not math.isinf(b) and s < 80.0:
+        assert abs(s - b) < 1.0
+
+
+@given(
+    obs=st.lists(st.integers(0, 10_000), min_size=2, max_size=64),
+    scale=st.integers(1, 1000),
+)
+@settings(max_examples=100, deadline=None)
+def test_ks_psi_zero_on_scaled_self(obs, scale):
+    """A distribution compared against a scaled copy of itself drifts by
+    ~0 (scale invariance — the reference histogram is a different sample
+    size by construction); and ks is always in [0, 1], psi >= ~0."""
+    o = np.asarray(obs, dtype=np.float64)
+    ks, psi = ks_psi(o, o * scale)
+    assert abs(ks) < 1e-9 and abs(psi) < 1e-9
+    ref = np.roll(o, 1) + 1.0
+    ks2, psi2 = ks_psi(o, ref)
+    assert 0.0 <= ks2 <= 1.0
+    assert psi2 >= -1e-12
+
+
+@given(rate=st.floats(0.0, 1.0, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_cutoff_monotone_and_bounded(rate):
+    """Sampling cutoffs are exact-integer, bounded by the hash space, and
+    monotone in the rate — the property that makes nested samples of
+    increasing rate supersets of each other."""
+    c = _cutoff(rate)
+    assert 0 <= c <= _HASH_SPACE
+    assert _cutoff(min(1.0, rate + 0.1)) >= c
