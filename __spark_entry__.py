@@ -358,6 +358,27 @@ def q_simhash_neardups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_neardups(d, "doc_id", "text", max_hamming=3, bits=60, hash_fn="md5_60")
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # end-to-end curation composition: quality → lang → exact dedup →
+    # decontamination, reported as the per-stage funnel counts every
+    # production curation job materializes
+    from shaclapi_spark.pipeline import curate as cu
+
+    d = _t(spark, sf_dir, "documents")
+    # plant exact duplicates with DISTINCT ids (id+100000 copies of every
+    # 11th doc) so the dedup stage demonstrably drops rows — the raw table
+    # has near-dups but no exact text dups under different ids
+    dup = d.filter(F.col("doc_id") % 11 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    corpus = d.unionByName(dup)
+    bench = sp.hash_sample(d, "doc_id", rate=0.05, salt="bench")
+    _, funnel = cu.curate(
+        corpus, bench, keep_langs=("en", "de"), min_tokens=25, max_token_len=30, n=8
+    )
+    return funnel
+
+
 def q_weighted_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # upsampling mixing knob: 2.5 epochs of en, 0.25 of zh, 1.0 elsewhere —
     # deterministic fractional replication by hash
@@ -636,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_docs": q_dedup_clusters_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "stratified_quota_docs": q_stratified_quota_docs,
+        "curation_funnel": q_curation_funnel,
         "weighted_mix_docs": q_weighted_mix_docs,
         "pack_sequences_docs": q_pack_sequences_docs,
         "repetition_docs": q_repetition_docs,
@@ -1253,6 +1275,57 @@ FROM ({verdict_union}) GROUP BY 1, 2
         # (checked: LSH output == exact all-pairs relation), so the exact
         # k-gram Jaccard relation IS the oracle — same SQL shape as
         # jaccard_pairs_docs at k=5, threshold=0.5, full table.
+        "curation_funnel": f"""
+WITH corpus AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 11 = 0
+),
+quality AS (
+  SELECT * FROM corpus
+  WHERE len({_TOKS}) >= 25
+    AND coalesce(list_aggregate(list_transform({_TOKS}, x -> length(x)), 'max'), 0) <= 30
+),
+lng AS (SELECT * FROM quality WHERE lang IN ('en', 'de')),
+surv AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5({_NORM}) AS h FROM lng)
+  GROUP BY h
+),
+dedup AS (SELECT l.* FROM lng l JOIN surv USING (doc_id)),
+w AS (
+  SELECT doc_id, list_filter(string_split({_NORM}, ' '), t -> t <> '') AS words
+  FROM dedup
+),
+g AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(words) - 7, 0) + 1),
+           i -> md5(array_to_string(words[i:i+7], ' ')))) AS gram
+  FROM w
+),
+bw AS (
+  SELECT doc_id, list_filter(string_split({_NORM}, ' '), t -> t <> '') AS words
+  FROM documents
+  WHERE ('0x' || substring(md5('bench' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        < {int(0.05 * (1 << 60))}
+),
+bg AS (
+  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(words) - 7, 0) + 1),
+           i -> md5(array_to_string(words[i:i+7], ' ')))) AS gram
+  FROM bw
+),
+bad AS (SELECT DISTINCT doc_id FROM g JOIN bg USING (gram)),
+decontam AS (
+  SELECT d.doc_id FROM dedup d LEFT JOIN bad USING (doc_id)
+  WHERE bad.doc_id IS NULL
+)
+SELECT CAST(0 AS INT) AS stage_idx, 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM corpus
+UNION ALL SELECT 1, 'quality', count(*) FROM quality
+UNION ALL SELECT 2, 'lang', count(*) FROM lng
+UNION ALL SELECT 3, 'dedup', count(*) FROM dedup
+UNION ALL SELECT 4, 'decontam', count(*) FROM decontam
+""",
         "weighted_mix_docs": f"""
 WITH d AS (
   SELECT doc_id, lang,

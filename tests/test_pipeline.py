@@ -447,3 +447,28 @@ def test_ann_batch_broadcasts_probes(spark, emb):
     )
     # corpus must not hash-repartition for the candidate join
     assert "BroadcastHashJoin" in plan
+
+
+def test_curate_funnel_monotone_and_composed(spark):
+    from pyspark.sql import Row
+    from shaclapi_spark.pipeline import curate as cu
+
+    eight = "alpha bravo charlie delta echo foxtrot golf hotel"
+    filler = " ".join(f"w{i}" for i in range(12))
+    rows = [
+        Row(doc_id=1, text=f"{filler} one", lang="en"),          # survives all
+        Row(doc_id=2, text="too short", lang="en"),              # quality drop
+        Row(doc_id=3, text=f"{filler} two", lang="zh"),          # lang drop
+        Row(doc_id=4, text=f"{filler} one", lang="en"),          # exact dup of 1
+        Row(doc_id=5, text=f"{filler} {eight}", lang="en"),      # contaminated
+    ]
+    docs = spark.createDataFrame(rows)
+    bench = spark.createDataFrame([Row(doc_id=100, text=f"bench {eight} text")])
+    curated, funnel = cu.curate(
+        docs, bench, keep_langs=("en",), min_tokens=10, max_token_len=30, n=8
+    )
+    f = {r.stage: r.n_docs for r in funnel.collect()}
+    assert f == {"raw": 5, "quality": 4, "lang": 3, "dedup": 2, "decontam": 1}
+    counts = [f[s] for s in cu.STAGES]
+    assert counts == sorted(counts, reverse=True)  # funnel is monotone
+    assert [r.doc_id for r in curated.collect()] == [1]
