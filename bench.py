@@ -150,6 +150,22 @@ def main() -> None:
         "embedding_neardups",
         lambda: force(entry_mod.q_embedding_neardups(spark, sf_dir)),
     )
+    timed(
+        "decontaminate",
+        lambda: force(entry_mod.q_decontam_docs(spark, sf_dir)),
+    )
+    timed(
+        "curation_funnel",
+        lambda: force(entry_mod.q_curation_funnel(spark, sf_dir)),
+    )
+    timed(
+        "pack_sequences",
+        lambda: force(entry_mod.q_pack_sequences_docs(spark, sf_dir)),
+    )
+    timed(
+        "ann_batch_topk",
+        lambda: force(entry_mod.q_ann_batch_topk(spark, sf_dir)),
+    )
 
     total = round(sum(timings.values()), 3)
     clips_per_sec = round(n_clips / timings["clip_validation"], 1)
