@@ -379,6 +379,33 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel
 
 
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data path in one relation: curate (quality →
+    lang → dedup → decontaminate) → weighted mix (2 epochs of en) →
+    sequence packing at 256 tokens / 4 shards. Replicas get a composite
+    mix_id (doc:copy) so packing decorrelates copies by hash. Every stage
+    is individually oracled elsewhere; this query pins their COMPOSITION
+    value-for-value against one DuckDB SQL."""
+    from shaclapi_spark.pipeline import curate as cu
+
+    d = _t(spark, sf_dir, "documents")
+    bench = sp.hash_sample(d, "doc_id", rate=0.05, salt="bench")
+    curated, _ = cu.curate(
+        d, bench, keep_langs=("en", "de"), min_tokens=25, max_token_len=30, n=8
+    )
+    mixed = sp.weighted_mix(
+        curated, "doc_id", weight=1.0, strata_col="lang",
+        strata_weights={"en": 2.0}, salt="mix2",
+    ).withColumn(
+        "mix_id",
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), F.col("copy").cast("string")
+        ),
+    )
+    toks = mixed.withColumn("n_tok", tx.bpe_ish_token_count(F.col("text")))
+    return sp.pack_sequences(toks, "mix_id", "n_tok", capacity=256, n_shards=4)
+
+
 def q_weighted_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # upsampling mixing knob: 2.5 epochs of en, 0.25 of zh, 1.0 elsewhere —
     # deterministic fractional replication by hash
@@ -658,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         "stratified_quota_docs": q_stratified_quota_docs,
         "curation_funnel": q_curation_funnel,
+        "pipeline_e2e": q_pipeline_e2e,
         "weighted_mix_docs": q_weighted_mix_docs,
         "pack_sequences_docs": q_pack_sequences_docs,
         "repetition_docs": q_repetition_docs,
@@ -1325,6 +1353,71 @@ UNION ALL SELECT 1, 'quality', count(*) FROM quality
 UNION ALL SELECT 2, 'lang', count(*) FROM lng
 UNION ALL SELECT 3, 'dedup', count(*) FROM dedup
 UNION ALL SELECT 4, 'decontam', count(*) FROM decontam
+""",
+        "pipeline_e2e": f"""
+WITH quality AS (
+  SELECT * FROM documents
+  WHERE len({_TOKS}) >= 25
+    AND coalesce(list_aggregate(list_transform({_TOKS}, x -> length(x)), 'max'), 0) <= 30
+),
+lng AS (SELECT * FROM quality WHERE lang IN ('en', 'de')),
+surv AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5({_NORM}) AS h FROM lng)
+  GROUP BY h
+),
+dedup AS (SELECT l.* FROM lng l JOIN surv USING (doc_id)),
+w AS (
+  SELECT doc_id, list_filter(string_split({_NORM}, ' '), t -> t <> '') AS words
+  FROM dedup
+),
+g AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(words) - 7, 0) + 1),
+           i -> md5(array_to_string(words[i:i+7], ' ')))) AS gram
+  FROM w
+),
+bw AS (
+  SELECT doc_id, list_filter(string_split({_NORM}, ' '), t -> t <> '') AS words
+  FROM documents
+  WHERE ('0x' || substring(md5('bench' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        < {int(0.05 * (1 << 60))}
+),
+bg AS (
+  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(words) - 7, 0) + 1),
+           i -> md5(array_to_string(words[i:i+7], ' ')))) AS gram
+  FROM bw
+),
+bad AS (SELECT DISTINCT doc_id FROM g JOIN bg USING (gram)),
+decontam AS (
+  SELECT d.* FROM dedup d LEFT JOIN bad USING (doc_id)
+  WHERE bad.doc_id IS NULL
+),
+mixed AS (
+  SELECT doc_id, text,
+    unnest(range(0, CASE WHEN lang = 'en' THEN 2 ELSE 1 END)) AS copy
+  FROM decontam
+),
+m2 AS (
+  SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR) AS mix_id,
+    CAST(len(list_filter(string_split_regex(trim(lower(text)),
+         '[\\s[:punct:][:digit:]]+'), x -> x <> '')) AS BIGINT) AS n_tok,
+    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
+         || CAST(copy AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM mixed
+),
+c AS (
+  SELECT mix_id, CAST(h % 4 AS INT) AS shard, n_tok, h,
+    COALESCE(sum(n_tok) OVER (PARTITION BY CAST(h % 4 AS INT)
+      ORDER BY h, mix_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM m2
+)
+SELECT mix_id, shard,
+  CAST(cum // 256 AS BIGINT) AS seq_in_shard,
+  CAST(cum % 256 AS BIGINT) AS offset,
+  n_tok AS n_tokens
+FROM c
 """,
         "weighted_mix_docs": f"""
 WITH d AS (
