@@ -65,7 +65,12 @@ def test_snr_scalar_batch_parity(freq, n, amp, codec):
     thresh = 30.0
     if math.isinf(s) or abs(s - thresh) > 1.0:
         assert (s >= thresh) == (b >= thresh)
-    if not math.isinf(s) and not math.isinf(b) and s < 80.0:
+    # float32 ARGUMENT rounding bounds the batch path's SNR floor: at phase
+    # ~n*pi (up to ~3200 rad at n=1024) the phase error is ~2e-4 rad, i.e.
+    # a ~70 dB effective floor — so pointwise dB agreement is only
+    # guaranteed where true quantization noise dominates (s < 50 dB leaves
+    # the perturbation >= 20 dB under the noise, < 0.05 dB shift)
+    if not math.isinf(s) and not math.isinf(b) and s < 50.0:
         assert abs(s - b) < 1.0
 
 
@@ -77,10 +82,16 @@ def test_snr_scalar_batch_parity(freq, n, amp, codec):
 def test_ks_psi_zero_on_scaled_self(obs, scale):
     """A distribution compared against a scaled copy of itself drifts by
     ~0 (scale invariance — the reference histogram is a different sample
-    size by construction); and ks is always in [0, 1], psi >= ~0."""
+    size by construction, so this property is what makes the drift check
+    meaningful at all); and ks is always in [0, 1], psi >= ~0. Invariance
+    is exact only up to the eps=1e-6 Laplace smoothing, which is added
+    BEFORE normalization and therefore carries different relative weight
+    at different scales — bound is ~eps * n_bins, far below any real
+    drift threshold (suite uses max_psi=0.02)."""
     o = np.asarray(obs, dtype=np.float64)
     ks, psi = ks_psi(o, o * scale)
-    assert abs(ks) < 1e-9 and abs(psi) < 1e-9
+    tol = 1e-6 * len(obs) * 2
+    assert abs(ks) < tol and abs(psi) < tol
     ref = np.roll(o, 1) + 1.0
     ks2, psi2 = ks_psi(o, ref)
     assert 0.0 <= ks2 <= 1.0
