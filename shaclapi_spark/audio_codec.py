@@ -72,6 +72,8 @@ def _encode_payload(samples: np.ndarray, codec: str) -> bytes:
         return s.tobytes()
     if codec == "flac":
         u = s.view("<u2")
+        if len(u) == 0:  # zero-sample clip: nothing to delta-encode
+            return b""
         delta = np.empty_like(u)
         delta[0] = u[0]
         np.bitwise_xor(u[1:], u[:-1], out=delta[1:])
