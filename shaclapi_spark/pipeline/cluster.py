@@ -4,10 +4,10 @@ The step between pair generation (``jaccard_pairs`` / ``minhash_lsh_neardups``
 / ``simhash_neardups`` / ``embedding_neardups``) and actual deduplication:
 group the pair graph into components and keep one survivor per component.
 (The reference engine has no dedup layer — this extends the training-data
-pipeline; its closest analog is the inter-shape dependency graph,
-shaclapi/core.py:24-41, which it walks on the driver because shape counts
-are tiny. Duplicate graphs over web corpora have billions of nodes, so the
-walk must itself be a dataflow.)
+pipeline; its closest analog is the shape-dependency graph traversal,
+shaclapi/reduction/Reduction.py:14-23, which walks the network on the
+driver because shape counts are tiny. Duplicate graphs over web corpora
+have billions of nodes, so the walk must itself be a dataflow.)
 
 Scale notes (the part that matters at 100 TB):
 
@@ -24,15 +24,16 @@ Scale notes (the part that matters at 100 TB):
 * Each round ends in `localCheckpoint(eager=True)` — without it the
   lineage doubles per round and the planner chokes by round ~8 (same
   device as the engine's cyclic fixpoint, engine.py).
-* Convergence is a LIMIT-1 existence probe on changed labels (stops at
-  the first changed row), not a full diff.
+* Convergence costs ZERO extra jobs: the label update carries an
+  `Observation` counting changed labels, collected as a side effect of
+  the eager checkpoint job itself — no separate diff/probe action.
 * Labels are node ids (min id wins): deterministic output, join-able back
   to the corpus with no second pass.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 
 def connected_components(
@@ -59,7 +60,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr_min = (
             sym.join(
                 labels.select(
@@ -70,25 +71,32 @@ def connected_components(
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("__nl").alias("__nm"))
         )
+        obs = Observation(f"cc_round_{i}")
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce("__nm", F.col("component"))
-                ).alias("component"),
+                ).alias("new_component"),
+                F.col("component").alias("old_component"),
             )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(
+                        (F.col("new_component") != F.col("old_component")).cast(
+                            "long"
+                        )
+                    ),
+                    F.lit(0).cast("long"),
+                ).alias("n_changed"),
+            )
+            .select("node", F.col("new_component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if obs.get["n_changed"] == 0:
             break
     edges.unpersist()
     return labels

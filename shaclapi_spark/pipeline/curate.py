@@ -1,11 +1,26 @@
 """End-to-end corpus curation — the composition a training-data pipeline
 actually runs before mixing/packing: quality filter → language filter →
-exact dedup → benchmark decontamination. This module only WIRES the
-pipeline's tested primitives, so the composed plan inherits their scale
-shapes: the quality and language stages are scan-side codegen filters
-(they push into the parquet scan), dedup shuffles 16-byte digests, and
-decontamination is a broadcast semi-join — the corpus text crosses no
-shuffle anywhere in the funnel.
+exact dedup → (optional MinHash near-dedup) → benchmark decontamination.
+
+Scale shape (the part that matters at 100 TB): the funnel counts are
+computed in ONE pass over the corpus. A naive funnel (count each
+intermediate DataFrame) re-scans the corpus once per stage branch; here
+every stage's survival is a per-row FLAG on a single scan —
+
+* quality and language are row-local codegen predicates;
+* exact-dedup survivorship is ``min(id) over (partition by content_md5)``
+  — one hash exchange of (id, 16-byte digest), never the text;
+* contamination is explode(n-gram digests) → broadcast semi-probe →
+  re-group by id — the regroup is map-combinable and a doc's grams are
+  born co-located, so only one narrow row per doc crosses the wire;
+* all stage counts come from ONE aggregate over the flag relation, then
+  `stack` unpivots the 5 (or 6) sums into the funnel rows.
+
+The optional near-dup stage (``near_dup=True``) is the one exception: it
+needs the candidate-pair graph (MinHash-LSH + connected components), which
+is iterative — its loser set is computed by the tested dedup primitives and
+LEFT-JOINED into the flag relation as one extra small build side, adding
+corpus scans only inside that sub-plan.
 
 Reference parity: the reference validates a fixed shape suite; curation is
 an engine-original addition mandated by the graft brief (training-data
@@ -14,14 +29,86 @@ pipeline ops), composed so each stage stays individually oracle-able.
 
 from __future__ import annotations
 
-from functools import reduce
+from pyspark.sql import DataFrame, Window, functions as F
 
-from pyspark.sql import DataFrame, functions as F
-
-from shaclapi_spark.pipeline.dedup import decontaminate, exact_dedup
-from shaclapi_spark.pipeline.text import quality_columns
+from shaclapi_spark.pipeline.cluster import dedup_clusters
+from shaclapi_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_lsh_neardups,
+    word_ngram_hashes,
+)
+from shaclapi_spark.pipeline.text import normalize_text, quality_columns
 
 STAGES = ("raw", "quality", "lang", "dedup", "decontam")
+STAGES_NEARDUP = ("raw", "quality", "lang", "dedup", "neardup", "decontam")
+
+
+def _flag_relation(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    keep_langs: tuple[str, ...],
+    min_tokens: int,
+    max_token_len: int,
+    n: int,
+) -> DataFrame:
+    """One row per doc with per-stage survival flags, from ONE corpus scan:
+    (__id, __q quality, __l +language, __d +exact-dedup survivor,
+    __contam shares an n-gram with the benchmark)."""
+    qc = quality_columns(F.col(text_col))
+    q_pred = (qc["n_tokens"] >= F.lit(min_tokens)) & (
+        qc["max_token_len"] <= F.lit(max_token_len)
+    )
+    l_pred = F.col(lang_col).isin(*keep_langs)
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngram_hashes(F.col(text_col), n)).alias("__g")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    flagged = docs.select(
+        F.col(id_col).alias("__id"),
+        q_pred.alias("__q"),
+        (q_pred & l_pred).alias("__l"),
+        F.md5(normalize_text(F.col(text_col))).alias("__md5"),
+        F.explode_outer(word_ngram_hashes(F.col(text_col), n)).alias("__g"),
+    )
+    per_doc = (
+        flagged.join(F.broadcast(bench_grams), "__g", "left")
+        .groupBy("__id", "__q", "__l", "__md5")
+        .agg(
+            F.coalesce(F.max("__hit"), F.lit(False)).alias("__contam")
+        )
+    )
+    # exact-dedup survivor: min id per content digest AMONG lang survivors
+    # (identical to exact_dedup(s_lang) ∘ semi-join, without the re-scan)
+    dmin = F.min(F.when(F.col("__l"), F.col("__id"))).over(
+        Window.partitionBy("__md5")
+    )
+    return per_doc.withColumn(
+        "__d", F.col("__l") & (F.col("__id") == dmin)
+    )
+
+
+def _funnel_rows(flags: DataFrame, stages: tuple[str, ...]) -> DataFrame:
+    """Unpivot one aggregate row of stage-survivor sums into the funnel
+    relation (stage_idx, stage, n_docs)."""
+    flag_cols = {"raw": F.lit(True), "quality": F.col("__q"), "lang": F.col("__l"),
+                 "dedup": F.col("__d"), "neardup": F.col("__nd") if "__nd" in flags.columns else None,
+                 "decontam": F.col("__keep")}
+    aggs = [
+        F.coalesce(F.sum(flag_cols[s].cast("long")), F.lit(0).cast("long")).alias(s)
+        for s in stages
+    ]
+    stack_args = ", ".join(
+        f"{i}, '{s}', {s}" for i, s in enumerate(stages)
+    )
+    return flags.agg(*aggs).selectExpr(
+        f"stack({len(stages)}, {stack_args}) AS (stage_idx, stage, n_docs)"
+    )
 
 
 def curate(
@@ -34,31 +121,57 @@ def curate(
     min_tokens: int = 10,
     max_token_len: int = 30,
     n: int = 8,
+    near_dup: bool = False,
+    minhash_threshold: float = 0.5,
+    minhash_k: int = 5,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the curation funnel; returns ``(curated, funnel)``.
 
-    ``curated`` is the surviving relation (original columns); ``funnel`` is
+    ``curated`` is the surviving relation (original columns — the corpus
+    semi-joined against the surviving id set); ``funnel`` is
     (stage_idx, stage, n_docs) — the row count after each stage, the
     monitoring relation every production curation job materializes. The
-    funnel is a union of count aggregates over shared sub-plans: one
-    action computes all five counts."""
-    qc = quality_columns(F.col(text_col))
-    s_quality = docs.filter(
-        (qc["n_tokens"] >= F.lit(min_tokens))
-        & (qc["max_token_len"] <= F.lit(max_token_len))
+    funnel action scans the corpus ONCE (see module docstring); with
+    ``near_dup=True`` a 6th stage drops MinHash-LSH near-duplicate cluster
+    losers between exact dedup and decontamination (its pair-graph sub-plan
+    adds its own corpus scans).
+
+    ``id_col`` must be unique per row (flags are keyed on it)."""
+    flags = _flag_relation(
+        docs, benchmark, id_col, text_col, lang_col,
+        keep_langs, min_tokens, max_token_len, n,
     )
-    s_lang = s_quality.filter(F.col(lang_col).isin(*keep_langs))
-    survivors = exact_dedup(s_lang, id_col, text_col)
-    s_dedup = s_lang.join(survivors, id_col, "left_semi")
-    s_decontam = decontaminate(s_dedup, benchmark, id_col, text_col, n=n)
-    stages = [docs, s_quality, s_lang, s_dedup, s_decontam]
-    counts = [
-        s.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(i).cast("int").alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            F.col("n_docs"),
+    if near_dup:
+        # pair graph over the exact-dedup survivors, losers = non-rep
+        # members of each near-dup cluster (min-id representative wins)
+        s_lang = docs.filter(
+            (quality_columns(F.col(text_col))["n_tokens"] >= F.lit(min_tokens))
+            & (quality_columns(F.col(text_col))["max_token_len"] <= F.lit(max_token_len))
+            & F.col(lang_col).isin(*keep_langs)
         )
-        for i, (name, s) in enumerate(zip(STAGES, stages))
-    ]
-    funnel = reduce(lambda a, b: a.unionByName(b), counts)
-    return s_decontam, funnel
+        s_dedup = s_lang.join(exact_dedup(s_lang, id_col, text_col), id_col, "left_semi")
+        pairs = minhash_lsh_neardups(
+            s_dedup, id_col, text_col, k=minhash_k, threshold=minhash_threshold
+        )
+        losers = (
+            dedup_clusters(pairs)
+            .filter(F.col("doc") != F.col("cluster_rep"))
+            .select(F.col("doc").alias("__id"))
+            .withColumn("__loser", F.lit(True))
+        )
+        flags = flags.join(losers, "__id", "left").withColumn(
+            "__nd", F.col("__d") & F.col("__loser").isNull()
+        )
+        keep = F.col("__nd") & ~F.col("__contam")
+        stages = STAGES_NEARDUP
+    else:
+        keep = F.col("__d") & ~F.col("__contam")
+        stages = STAGES
+    flags = flags.withColumn("__keep", keep)
+    funnel = _funnel_rows(flags, stages)
+    curated = docs.join(
+        flags.filter("__keep").select(F.col("__id").alias(id_col)),
+        id_col,
+        "left_semi",
+    )
+    return curated, funnel

@@ -276,13 +276,13 @@ def minhash_lsh_neardups(
     Output: (a, b, inter, size_a, size_b).
 
     Plan shape (the part that matters at 100 TB): `sigs` is consumed up to
-    3× (band explode + both sides of the optional estimate join) and `cand`
-    up to 3× (semi-join doc set + the verification join) — both are
-    persisted before fan-out so the shingle explode + 32-agg signature
-    groupBy + band self-join each run ONCE, and unpersisted via the
-    returned DataFrame's no-op (caller materializes once; caches are
-    MEMORY_AND_DISK and evicted under pressure). The verification shingle
-    set `sh` is likewise consumed 3× (sizes, a-side, b-side) and persisted.
+    3× (band explode + both sides of the optional estimate join), `cand`
+    up to 3× (semi-join doc set + the verification join), and the
+    verification relation `sets` twice (a-side + b-side joins) — all three
+    are persisted before fan-out so the shingle explode + 32-agg signature
+    groupBy, the band self-join, and the corpus semi-join + shingle
+    hash-array map each run ONCE (caches are MEMORY_AND_DISK and evicted
+    under pressure; the caller materializes the result once).
 
     Scale levers between candidate generation and the (expensive) exact
     verification join:
@@ -335,6 +335,7 @@ def minhash_lsh_neardups(
             F.col(id_col).alias("doc"),
             F.array_sort(shingle_hash_array(F.col(text_col), k)).alias("shset"),
         )
+        .persist()
     )
     out = (
         cand.join(sets.select(F.col("doc").alias("a"), F.col("shset").alias("__sa")), "a")

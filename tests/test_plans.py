@@ -67,3 +67,22 @@ def test_decontaminate_broadcasts_benchmark(spark, docs):
     # benchmark n-gram set rides a broadcast: the corpus side must join
     # without a corpus-wide hash-partition exchange
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_curation_funnel_scans_corpus_once(spark, docs):
+    """The funnel counts are per-row flags aggregated in one pass: the
+    funnel action's plan must contain exactly TWO parquet scans total —
+    one of the corpus, one of the benchmark — not one corpus scan per
+    stage branch (the round-2 anti-pattern)."""
+    from shaclapi_spark.pipeline import curate as cu, sampling as sp
+
+    bench = sp.hash_sample(docs, "doc_id", rate=0.1, salt="b")
+    _, funnel = cu.curate(docs, bench, min_tokens=5)
+    plan = _plan(funnel)
+    assert plan.count("Scan parquet") == 2
+    # the corpus text never crosses a shuffle — every hash-partition
+    # exchange keys on ids/digests/flags, not the raw text column
+    import re
+
+    for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in keys
