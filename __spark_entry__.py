@@ -379,6 +379,30 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel
 
 
+def q_curation_funnel_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 6-stage funnel: quality → lang → exact dedup → MinHash-LSH
+    near-dedup (cluster losers dropped, min-id representative survives) →
+    decontamination. The near-dup stage composes minhash_lsh_neardups →
+    connected components → survivor resolution; at (k=5, threshold=0.5)
+    LSH recall on this fixture is 1.0 (the minhash_neardups_docs
+    justification — survivor pairs are a subset of the full-table pairs),
+    so the exact-Jaccard pair graph + recursive-CTE components is a full
+    value oracle."""
+    from shaclapi_spark.pipeline import curate as cu
+
+    d = _t(spark, sf_dir, "documents")
+    dup = d.filter(F.col("doc_id") % 11 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    corpus = d.unionByName(dup)
+    bench = sp.hash_sample(d, "doc_id", rate=0.05, salt="bench")
+    _, funnel = cu.curate(
+        corpus, bench, keep_langs=("en", "de"), min_tokens=25, max_token_len=30,
+        n=8, near_dup=True, minhash_threshold=0.5, minhash_k=5,
+    )
+    return funnel
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE training-data path in one relation: curate (quality →
     lang → dedup → decontaminate) → weighted mix (2 epochs of en) →
@@ -502,9 +526,15 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-the-fly single-query ANN. Registered at multiprobe=None (probe
+    all 2^n_planes buckets), where the op provably degenerates to exact
+    brute force — so the brute-force ranking is a full value oracle for
+    the bucket-hash → probe-filter → top-k machinery (same justification
+    as ivf_topk at nprobe=n_cells and ann_batch_topk at multiprobe=None).
+    Small-multiprobe recall/pruning is pinned in tests/test_pipeline.py."""
     e = _t(spark, sf_dir, "embeddings")
     top = sim.ann_lsh_topk(
-        e, "vec_id", "embedding", _QUERY_VEC, k=10, n_planes=6, multiprobe=2
+        e, "vec_id", "embedding", _QUERY_VEC, k=10, n_planes=6, multiprobe=None
     )
     return top.select(
         "vec_id", F.round(F.col("cosine") * 1e6).cast("long").alias("cosine_e6")
@@ -685,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         "stratified_quota_docs": q_stratified_quota_docs,
         "curation_funnel": q_curation_funnel,
+        "curation_funnel_neardup": q_curation_funnel_neardup,
         "pipeline_e2e": q_pipeline_e2e,
         "weighted_mix_docs": q_weighted_mix_docs,
         "pack_sequences_docs": q_pack_sequences_docs,
@@ -1354,6 +1385,86 @@ UNION ALL SELECT 2, 'lang', count(*) FROM lng
 UNION ALL SELECT 3, 'dedup', count(*) FROM dedup
 UNION ALL SELECT 4, 'decontam', count(*) FROM decontam
 """,
+        "curation_funnel_neardup": f"""
+WITH RECURSIVE corpus AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 11 = 0
+),
+quality AS (
+  SELECT * FROM corpus
+  WHERE len({_TOKS}) >= 25
+    AND coalesce(list_aggregate(list_transform({_TOKS}, x -> length(x)), 'max'), 0) <= 30
+),
+lng AS (SELECT * FROM quality WHERE lang IN ('en', 'de')),
+surv AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5({_NORM}) AS h FROM lng)
+  GROUP BY h
+),
+dedup AS (SELECT l.* FROM lng l JOIN surv USING (doc_id)),
+dn AS (SELECT doc_id, {_NORM} AS norm FROM dedup),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, substring(norm, i, 5) AS shingle
+  FROM dn, LATERAL (SELECT unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i) u
+  WHERE length(substring(norm, i, 5)) >= 1
+),
+sz AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS a, b.doc AS b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sz sa ON sa.doc = i.a JOIN sz sb ON sb.doc = i.b
+  WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.5
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, min(comp) AS rep FROM reach GROUP BY node),
+neardup AS (
+  SELECT d.* FROM dedup d LEFT JOIN comp c ON c.node = d.doc_id
+  WHERE c.node IS NULL OR c.rep = d.doc_id
+),
+w AS (
+  SELECT doc_id, list_filter(string_split({_NORM}, ' '), t -> t <> '') AS words
+  FROM neardup
+),
+g AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(words) - 7, 0) + 1),
+           i -> md5(array_to_string(words[i:i+7], ' ')))) AS gram
+  FROM w
+),
+bw AS (
+  SELECT doc_id, list_filter(string_split({_NORM}, ' '), t -> t <> '') AS words
+  FROM documents
+  WHERE ('0x' || substring(md5('bench' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        < {int(0.05 * (1 << 60))}
+),
+bg AS (
+  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(words) - 7, 0) + 1),
+           i -> md5(array_to_string(words[i:i+7], ' ')))) AS gram
+  FROM bw
+),
+bad AS (SELECT DISTINCT doc_id FROM g JOIN bg USING (gram)),
+decontam AS (
+  SELECT n.doc_id FROM neardup n LEFT JOIN bad USING (doc_id)
+  WHERE bad.doc_id IS NULL
+)
+SELECT CAST(0 AS INT) AS stage_idx, 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM corpus
+UNION ALL SELECT 1, 'quality', count(*) FROM quality
+UNION ALL SELECT 2, 'lang', count(*) FROM lng
+UNION ALL SELECT 3, 'dedup', count(*) FROM dedup
+UNION ALL SELECT 4, 'neardup', count(*) FROM neardup
+UNION ALL SELECT 5, 'decontam', count(*) FROM decontam
+""",
         "pipeline_e2e": f"""
 WITH quality AS (
   SELECT * FROM documents
@@ -1499,7 +1610,8 @@ WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.5
         # engines and pigeonhole blocking is lossless, so brute-force
         # all-pairs hamming is an exact oracle.
         "simhash_neardups_docs": _simhash_sql(),
-        # ann_lsh_topk: hyperplane-LSH bucket semantics — not
-        # ANSI-SQL-expressible; driver records a rows-only check (the
-        # exact-oracle path for the same capability is topk_cosine).
+        # ann_lsh_topk runs at multiprobe=None (probe-all = exact
+        # degenerate, see q_ann_lsh_topk): the brute-force ranking is the
+        # oracle for the bucket/probe/top-k machinery.
+        "ann_lsh_topk": _topk_cosine_sql(),
     }

@@ -157,6 +157,8 @@ def run_with_lineage(
         # durably available to a consumer (anytime-delivery metric, the
         # analog of the reference's first-result timestamp)
         rec.mark_first("first_verdict_sec", since_ts=t0, n_rows=n_rows)
+        # per-answer trace row (cumulative verdicts delivered vs offset)
+        rec.mark_emission(since_ts=t0, n_rows=n_rows)
         with open(_manifest_path(out_dir), "a") as fh:
             fh.write(
                 json.dumps(
@@ -172,6 +174,8 @@ def run_with_lineage(
         ran.append(wave)
     if rec.rows:
         rec.append_parquet(spark, os.path.join(out_dir, "metrics"))
+    if rec.trace:
+        rec.append_trace_parquet(spark, os.path.join(out_dir, "trace"))
     return LineageRun(
         out_dir=out_dir,
         n_waves=n_waves,

@@ -20,11 +20,17 @@ METRICS_SCHEMA = (
     "run_id string, stage string, wall_sec double, n_rows long, ts double"
 )
 
+# per-emission trace: `answer` is the cumulative delivered-result count at
+# this emission, `time` the offset from run start — the reference's trace
+# file columns (test, approach, answer, time) at wave/micro-batch grain
+TRACE_SCHEMA = "run_id string, answer long, time double, n_rows long, ts double"
+
 
 @dataclass
 class MetricsRecorder:
     run_id: str
     rows: list[tuple] = field(default_factory=list)
+    trace: list[tuple] = field(default_factory=list)
 
     @contextmanager
     def stage(self, name: str, n_rows: int | None = None):
@@ -50,6 +56,27 @@ class MetricsRecorder:
             return
         self.record(stage, time.time() - since_ts, n_rows)
 
+    def mark_emission(self, since_ts: float, n_rows: int | None = None) -> None:
+        """Record one per-answer trace row: the analog of the reference's
+        emission trace (shaclapi/statsCalculation.py:43-68 writes one
+        (answer, time) row per delivered result). A per-verdict row would
+        be driver-side O(results) at 10^12 scale, so the engine's emission
+        unit is a delivered WAVE / MICRO-BATCH: each call appends the
+        cumulative answer count + offset-from-start, reconstructing the
+        reference's per-answer latency curve at emission granularity (the
+        first row doubles as first-result, the last as last-result +
+        number_of_results)."""
+        prev = self.trace[-1][1] if self.trace else 0
+        self.trace.append(
+            (
+                self.run_id,
+                prev + (n_rows or 0),
+                time.time() - since_ts,
+                n_rows,
+                time.time(),
+            )
+        )
+
     def get(self, stage: str) -> float | None:
         for r in self.rows:
             if r[1] == stage:
@@ -59,8 +86,14 @@ class MetricsRecorder:
     def to_df(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(self.rows, schema=METRICS_SCHEMA)
 
+    def trace_to_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.trace, schema=TRACE_SCHEMA)
+
     def append_parquet(self, spark: SparkSession, path: str) -> None:
         self.to_df(spark).write.mode("append").parquet(path)
+
+    def append_trace_parquet(self, spark: SparkSession, path: str) -> None:
+        self.trace_to_df(spark).write.mode("append").parquet(path)
 
 
 class _StageHandle:

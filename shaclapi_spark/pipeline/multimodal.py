@@ -281,7 +281,7 @@ def loudness_counts(
     ).cast("int")
     return (
         frames.withColumn("__silent", silent)
-        .groupBy(F.col("clip_id"))
+        .groupBy(F.col("clip_id").alias(id_col))
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_frames"),
             F.sum("n_samples").alias("n_samples"),
@@ -320,7 +320,7 @@ def loudness_stats(
     )
     return (
         frames.withColumn("__silent", silent)
-        .groupBy(F.col("clip_id"))
+        .groupBy(F.col("clip_id").alias(id_col))
         .agg(
             F.count(F.lit(1)).alias("n_frames"),
             F.sum("n_samples").alias("n_samples"),

@@ -171,6 +171,13 @@ def weighted_mix(
     corpus. Output adds a `copy` index (0-based) so downstream shuffles/
     packing can decorrelate replicas by hashing (id, copy).
 
+    Fractional weights are quantized to millionths (ppm) before the cutoff
+    is derived, so the cutoff integer is an exact function of round(f·10^6)
+    — an independently written oracle that quantizes the same way computes
+    the identical cutoff for ANY weight, not just dyadic fractions (w=2.1
+    float-subtracts to 0.10000000000000009; without quantization its cutoff
+    differs from int(0.1·2^60) by a few units and boundary rows flip).
+
     Scale shape: scan-side generator (explode of a sequence literal), no
     shuffle, no RNG state; rows with weight 0 are filtered at the scan."""
     if weight is None and strata_weights is None:
@@ -181,10 +188,11 @@ def weighted_mix(
 
     def n_copies(w: float):
         k = int(w)
-        frac = w - k
+        frac_ppm = round((w - k) * 1_000_000)
+        cutoff = frac_ppm * _HASH_SPACE // 1_000_000  # exact int arithmetic
         extra = (
-            F.when(h < F.lit(_cutoff(frac)), F.lit(1)).otherwise(F.lit(0))
-            if frac > 0
+            F.when(h < F.lit(cutoff), F.lit(1)).otherwise(F.lit(0))
+            if frac_ppm > 0
             else F.lit(0)
         )
         return F.lit(k) + extra

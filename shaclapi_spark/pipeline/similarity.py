@@ -81,6 +81,27 @@ def lsh_bucket_column(vec_col: str, planes: np.ndarray):
     return bucket
 
 
+def _probe_masks(n_planes: int, multiprobe: int | None) -> list[int]:
+    """Every XOR mask within Hamming radius `multiprobe` of a bucket id
+    (0 flips, 1 flip, ... multiprobe flips), for any radius up to n_planes.
+    ``None`` → all 2^n_planes masks (probe every bucket: the op degenerates
+    to exact brute force — the contract-oracle configuration)."""
+    if multiprobe is None:
+        return list(range(1 << n_planes))
+    if not 0 <= multiprobe <= n_planes:
+        raise ValueError(
+            f"multiprobe must be in [0, n_planes={n_planes}] or None "
+            f"(probe all); got {multiprobe}"
+        )
+    from itertools import combinations
+
+    return [
+        sum(1 << i for i in flips)
+        for r in range(multiprobe + 1)
+        for flips in combinations(range(n_planes), r)
+    ]
+
+
 def ann_lsh_topk(
     df: DataFrame,
     id_col: str,
@@ -89,28 +110,21 @@ def ann_lsh_topk(
     k: int = 10,
     n_planes: int = 6,
     seed: int = 42,
-    multiprobe: int = 1,
+    multiprobe: int | None = 1,
 ) -> DataFrame:
     """Approximate top-k: restrict the scan to the query's LSH bucket plus
-    all buckets within `multiprobe` bit flips, then exact cosine top-k inside.
-    At scale the bucket column is precomputed+partitioned-by; here it is
-    computed on the fly."""
+    all buckets within `multiprobe` bit flips (any radius up to n_planes;
+    ``None`` probes every bucket — exact brute force through the same
+    machinery), then exact cosine top-k inside. At scale the bucket column
+    is precomputed+partitioned-by; here it is computed on the fly."""
     dim = len(query)
     planes = _hyperplanes(seed, n_planes, dim)
     qbits = int(
         sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, query)) >= 0)
     )
-    probe = {qbits}
-    if multiprobe >= 1:
-        probe |= {qbits ^ (1 << i) for i in range(n_planes)}
-    if multiprobe >= 2:
-        probe |= {
-            qbits ^ (1 << i) ^ (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        }
+    probe = sorted({qbits ^ m for m in _probe_masks(n_planes, multiprobe)})
     bucketed = df.withColumn("__bucket", lsh_bucket_column(vec_col, planes))
-    cand = bucketed.filter(F.col("__bucket").isin(*sorted(probe)))
+    cand = bucketed.filter(F.col("__bucket").isin(*probe))
     return brute_force_topk(cand, id_col, vec_col, query, k)
 
 
@@ -118,21 +132,14 @@ def ann_lsh_topk(
 # persisted ANN index: bucket ONCE, probe via partition pruning
 # ---------------------------------------------------------------------------
 
-def _probe_set(query: list[float], planes: np.ndarray, multiprobe: int) -> list[int]:
+def _probe_set(
+    query: list[float], planes: np.ndarray, multiprobe: int | None
+) -> list[int]:
     n_planes = len(planes)
     qbits = int(
         sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, query)) >= 0)
     )
-    probe = {qbits}
-    if multiprobe >= 1:
-        probe |= {qbits ^ (1 << i) for i in range(n_planes)}
-    if multiprobe >= 2:
-        probe |= {
-            qbits ^ (1 << i) ^ (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        }
-    return sorted(probe)
+    return sorted({qbits ^ m for m in _probe_masks(n_planes, multiprobe)})
 
 
 def build_ann_index(
@@ -359,18 +366,7 @@ def ann_lsh_topk_batch(
     nprobe=n_cells); small multiprobe values trade recall for candidate
     count exactly like `ann_lsh_topk`."""
     planes = _hyperplanes(seed, n_planes, dim)
-    if multiprobe is None:
-        masks = list(range(1 << n_planes))
-    else:
-        masks = [0]
-        if multiprobe >= 1:
-            masks += [1 << i for i in range(n_planes)]
-        if multiprobe >= 2:
-            masks += [
-                (1 << i) | (1 << j)
-                for i in range(n_planes)
-                for j in range(i + 1, n_planes)
-            ]
+    masks = _probe_masks(n_planes, multiprobe)
     bucketed = corpus.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__cv"),

@@ -1,13 +1,17 @@
-"""SHACL (Turtle) shape ingestion → Suite.
+"""SHACL shape ingestion (Turtle AND the reference's JSON format) → Suite.
 
 The reference parses shape directories in SHACL Turtle alongside its JSON
 format (ref shaclapi/reduction/travshacl/ReducedShapeParser.py:28-58,
-format switch shaclapi/config.py:128-139; fixtures
-/root/reference/tests/tc1..tc6/shapes/*.ttl). This module lets users with
-existing ``sh:`` shape files migrate: a minimal, dependency-free parser for
-the Turtle subset those shape files use, an intermediate representation,
-and a relational *binding* that maps RDF predicates onto the engine's
-table/column/link model.
+format switch shaclapi/config.py:128-139; Turtle fixtures
+/root/reference/tests/tc1..tc6/shapes/*.ttl, JSON fixtures
+/root/reference/examples/{lubm,lubm_extended,dbpedia}/shapes/*.json). This
+module lets users with existing shape files of either format migrate: a
+minimal, dependency-free parser for the Turtle subset those shape files
+use, a reader for the JSON schema (``name`` / ``targetDef`` /
+``constraintDef.conjunctions``), a shared intermediate representation, and
+a relational *binding* that maps RDF predicates onto the engine's
+table/column/link model. Both formats produce the same ``ShaclShape`` IR,
+so one binding layer serves both.
 
 Supported constructs (the complete inventory used by the reference's
 fixtures): ``@prefix``, ``<name> a sh:NodeShape``, ``sh:targetClass``,
@@ -191,6 +195,23 @@ class ShaclShape:
             return None
         return [local_name(t) for t in re.findall(r"<[^>]*>", m.group(1))]
 
+    def query_target_class(self) -> str | None:
+        """Class local name when the target query is the simple class
+        pattern ``SELECT ?v WHERE { ?v a <Class> }`` (every reference JSON
+        shape's targetDef.query has this form, redundantly with
+        targetDef.class), else None."""
+        if not self.target_query:
+            return None
+        m = re.fullmatch(
+            r"\s*SELECT\s+\?(\w+)\s+WHERE\s*\{\s*\?(\w+)\s+a\s+"
+            r"(<[^>]*>|[\w.\-]*:[\w.\-]+)\s*\.?\s*\}\s*",
+            self.target_query,
+            re.IGNORECASE,
+        )
+        if not m or m.group(1) != m.group(2):
+            return None
+        return local_name(m.group(3))
+
 
 def _prop_from_po(po: dict) -> ShaclProperty:
     def one(key: str):
@@ -254,6 +275,96 @@ def parse_shacl_dir(path: str) -> list[ShaclShape]:
             with open(os.path.join(path, fname)) as fh:
                 shapes.extend(parse_shacl(fh.read()))
     return shapes
+
+
+# ---------------------------------------------------------------------------
+# the reference's JSON shape format
+# ---------------------------------------------------------------------------
+
+def _prop_from_json(c: dict) -> ShaclProperty:
+    """One constraint object {path, min?, max?, shape?} → IR property.
+    A ``shape`` reference makes min/max QUALIFIED counts (the JSON format
+    has no separate qualified keys — LUBM writes
+    ``{path, min: 1, shape: University}`` for what Turtle spells
+    ``sh:qualifiedValueShape [...] ; sh:qualifiedMinCount 1``)."""
+    raw_path = c["path"]
+    inverse = raw_path.startswith("^")
+    path = local_name(raw_path.lstrip("^"))
+    if c.get("shape"):
+        return ShaclProperty(
+            path=path,
+            inverse=inverse,
+            qualified_shape=local_name(c["shape"]),
+            qualified_min=c.get("min"),
+            qualified_max=c.get("max"),
+        )
+    return ShaclProperty(
+        path=path,
+        inverse=inverse,
+        min_count=c.get("min"),
+        max_count=c.get("max"),
+    )
+
+
+def parse_shape_json(obj: dict | str) -> ShaclShape:
+    """One reference-format JSON shape document → IR (format: ``name`` +
+    ``targetDef{query, class}`` + ``constraintDef.conjunctions``, ref
+    examples/lubm/shapes/*.json; format switch ref
+    shaclapi/config.py:128-139).
+
+    A single conjunction becomes the shape's property list. Multiple
+    conjunctions are a disjunction: supported when every conjunction maps
+    to exactly one constraint (→ ``sh:or`` groups); a disjunction of
+    multi-constraint conjunctions has no Suite analog and raises."""
+    import json as _json
+
+    if isinstance(obj, str):
+        obj = _json.loads(obj)
+    shape = ShaclShape(name=local_name(obj["name"]))
+    tdef = obj.get("targetDef") or {}
+    if tdef.get("class"):
+        shape.target_class = local_name(tdef["class"])
+    if tdef.get("query"):
+        shape.target_query = tdef["query"]
+    conjunctions = (obj.get("constraintDef") or {}).get("conjunctions") or []
+    if len(conjunctions) == 1:
+        shape.properties = [_prop_from_json(c) for c in conjunctions[0]]
+    elif len(conjunctions) > 1:
+        branches = []
+        for conj in conjunctions:
+            if len(conj) != 1:
+                raise ValueError(
+                    f"shape {shape.name!r}: disjunction of multi-constraint "
+                    "conjunctions is not supported (each disjunct must hold "
+                    "exactly one constraint)"
+                )
+            branches.append(_prop_from_json(conj[0]))
+        shape.or_groups.append(branches)
+    return shape
+
+
+def parse_json_dir(path: str) -> list[ShaclShape]:
+    """Parse every .json shape file in a directory (the reference's JSON
+    shape-dir layout, e.g. examples/lubm/shapes/) into the same IR the
+    Turtle path feeds — both formats share the binding layer."""
+    shapes: list[ShaclShape] = []
+    for fname in sorted(os.listdir(path)):
+        if fname.endswith(".json"):
+            with open(os.path.join(path, fname)) as fh:
+                shapes.append(parse_shape_json(fh.read()))
+    return shapes
+
+
+def parse_shape_dir(path: str, shape_format: str = "SHACL") -> list[ShaclShape]:
+    """Format-switched directory ingestion, mirroring the reference's
+    ``shapeFormat`` config knob (ref shaclapi/config.py:128-139): ``SHACL``
+    reads .ttl, ``JSON`` reads .json; both produce ShaclShape IR."""
+    fmt = shape_format.upper()
+    if fmt == "SHACL":
+        return parse_shacl_dir(path)
+    if fmt == "JSON":
+        return parse_json_dir(path)
+    raise ValueError(f"unknown shape format {shape_format!r} (SHACL or JSON)")
 
 
 # ---------------------------------------------------------------------------
@@ -340,18 +451,38 @@ def _constraints_for(
 
 
 def to_suite(shapes: list[ShaclShape], bindings: dict[str, ShapeBinding]) -> Suite:
-    """Bind parsed SHACL shapes onto tables, producing an engine Suite."""
+    """Bind parsed SHACL shapes onto tables, producing an engine Suite.
+
+    Target resolution, in precedence order: an explicit
+    ``ShapeBinding.target_filter`` override; a ``VALUES`` list extracted
+    from ``sh:targetQuery``; the simple class-pattern query / ``sh:
+    targetClass`` realized through ``class_column``. A shape carrying a
+    targetQuery that is NEITHER a VALUES list NOR a class pattern raises —
+    silently validating the full table would be a wrong (too-broad) answer
+    for a restrictive query (the reference accepts arbitrary SPARQL there;
+    this engine needs the caller to translate such a query into a
+    ``target_filter`` over the bound table)."""
     out: list[Shape] = []
     for s in shapes:
         b = bindings[s.name]
         target_filter = b.target_filter
         if target_filter is None:
             values = s.target_values()
+            qclass = s.query_target_class()
+            if s.target_query and values is None and qclass is None:
+                raise ValueError(
+                    f"shape {s.name!r}: targetQuery "
+                    f"{s.target_query!r} is neither a VALUES list nor a "
+                    "simple class pattern; bind an explicit target_filter "
+                    "for this shape (or extend the binding) — refusing to "
+                    "silently validate the full table"
+                )
+            target_class = s.target_class or qclass
             if values is not None:
                 ids = ", ".join(f"'{v}'" for v in values)
                 target_filter = f"{b.entity_col} IN ({ids})"
-            elif s.target_class and b.class_column:
-                target_filter = f"{b.class_column} = '{s.target_class}'"
+            elif target_class and b.class_column:
+                target_filter = f"{b.class_column} = '{target_class}'"
         cs: list[Constraint] = []
         for i, prop in enumerate(s.properties):
             cs.extend(_constraints_for(prop, f"{s.name}_p{i}_{prop.path}", b))

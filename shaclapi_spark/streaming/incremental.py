@@ -140,13 +140,17 @@ def write_batch_outputs(
     shape: Shape,
     batch_id: int,
     config: EngineConfig | None = None,
-) -> None:
+) -> int:
     """IDEMPOTENT per-batch output: foreachBatch gives at-least-once
     delivery (a crash after the write but before the checkpoint commit
     re-runs the micro-batch on restart), so every output is partitioned by
     batch_id and written with DYNAMIC partition overwrite — a replay
     replaces its own batch_id partition instead of appending duplicate
-    rows, yielding exactly-once output."""
+    rows, yielding exactly-once output. Returns the batch's verdict row
+    count, observed as a side effect of the verdict write job (no extra
+    count action)."""
+    from pyspark.sql import Observation
+
     vd, vl = row_verdict_stream(batch_df, shape, config)
     vd = vd.withColumn("batch_id", F.lit(batch_id))
     vl = vl.withColumn("batch_id", F.lit(batch_id))
@@ -159,7 +163,8 @@ def write_batch_outputs(
             .parquet(os.path.join(out_dir, sub))
         )
 
-    write(vd, "verdicts")
+    obs = Observation(f"batch_{batch_id}_verdicts")
+    write(vd.observe(obs, F.count(F.lit(1)).alias("n")), "verdicts")
     write(vl, "violations")
     write(
         vd.groupBy("shape")
@@ -170,6 +175,7 @@ def write_batch_outputs(
         .withColumn("batch_id", F.lit(batch_id)),
         "batch_summary",
     )
+    return int(obs.get["n"])
 
 
 def validate_stream(
@@ -190,10 +196,13 @@ def validate_stream(
     progress: a later call only processes files added since — idempotent
     incremental catch-up, resumable after a crash mid-stream.
 
-    ``metrics``: optional MetricsRecorder — records a per-batch stage row
-    plus `first_verdict_sec`, the wall time from stream start until the
-    first micro-batch's verdicts were durably written (the reference's
-    first-result timestamp, ValidationResultTransmitter.py:21-24).
+    ``metrics``: optional MetricsRecorder — records a per-batch stage row,
+    `first_verdict_sec` (the wall time from stream start until the first
+    micro-batch's verdicts were durably written — the reference's
+    first-result timestamp, ValidationResultTransmitter.py:21-24), and one
+    per-answer trace row per micro-batch (``MetricsRecorder.trace``:
+    cumulative verdict count + offset, the reference's emission trace,
+    statsCalculation.py:43-68).
 
     Returns the number of micro-batches executed in this call."""
     import time as _time
@@ -208,10 +217,12 @@ def validate_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         tb = _time.time()
-        write_batch_outputs(out_dir, batch_df, shape, batch_id, config)
+        n_rows = write_batch_outputs(out_dir, batch_df, shape, batch_id, config)
         if metrics is not None:
-            metrics.record(f"batch_{batch_id}", _time.time() - tb)
-            metrics.mark_first("first_verdict_sec", since_ts=t0)
+            metrics.record(f"batch_{batch_id}", _time.time() - tb, n_rows)
+            metrics.mark_first("first_verdict_sec", since_ts=t0, n_rows=n_rows)
+            # per-answer trace: cumulative verdicts delivered vs offset
+            metrics.mark_emission(since_ts=t0, n_rows=n_rows)
         n_batches["n"] += 1
 
     query = (

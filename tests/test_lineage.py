@@ -83,3 +83,13 @@ def test_first_verdict_latency_recorded(spark, fixture_tables, tmp_path):
     m = spark.read.parquet(out + "/metrics")
     rows = m.filter(m.stage == "first_verdict_sec").collect()
     assert len(rows) == 1 and rows[0].wall_sec == run.first_verdict_sec
+    # per-answer trace parity: one emission row per wave, cumulative
+    # answer counts strictly increasing, offsets nondecreasing
+    tr = spark.read.parquet(out + "/trace").orderBy("time").collect()
+    assert len(tr) == 4
+    answers = [r.answer for r in tr]
+    assert answers == sorted(answers) and answers[-1] == sum(r.n_rows for r in tr)
+    assert all(r.n_rows > 0 for r in tr)
+    # first trace row IS the first-result event (separate clock reads,
+    # so equality only up to a few ms)
+    assert abs(tr[0].time - run.first_verdict_sec) < 0.05

@@ -208,3 +208,149 @@ def test_parser_rejects_unbound_path():
     )
     with pytest.raises(ValueError, match="no binding"):
         to_suite(shapes, {"S": ShapeBinding(table="t", entity_col="id")})
+
+
+# ---------------------------------------------------------------------------
+# the reference's JSON shape format (examples/lubm/shapes/*.json)
+# ---------------------------------------------------------------------------
+
+REF_LUBM = "/root/reference/examples/lubm/shapes"
+
+needs_lubm = pytest.mark.skipif(
+    not os.path.isdir(REF_LUBM), reason="reference LUBM shapes not available"
+)
+
+
+@needs_lubm
+def test_parse_lubm_json_shapes():
+    from shaclapi_spark.shacl import parse_json_dir
+
+    shapes = {s.name: s for s in parse_json_dir(REF_LUBM)}
+    assert set(shapes) == {"Department", "FullProfessor", "University"}
+    dept = shapes["Department"]
+    assert dept.target_class == "Department"
+    assert dept.query_target_class() == "Department"
+    # {path, min, shape} pairs become QUALIFIED counts (one per entry)
+    kinds = [
+        (p.path, p.min_count, p.max_count, p.qualified_shape,
+         p.qualified_min, p.qualified_max)
+        for p in dept.properties
+    ]
+    assert kinds == [
+        ("name", 1, None, None, None, None),
+        ("name", None, 1, None, None, None),
+        ("subOrganizationOf", None, None, "University", 1, None),
+        ("subOrganizationOf", None, None, "University", None, 1),
+    ]
+    prof = shapes["FullProfessor"]
+    assert prof.properties[0].qualified_shape == "University"
+    assert prof.properties[-1].qualified_shape == "Department"
+
+
+@needs_lubm
+def test_lubm_json_binding_produces_suite():
+    """The LUBM JSON shape dir parses into a Suite through the SAME binding
+    layer as the Turtle path — tc6-style structural assertions."""
+    from shaclapi_spark.shacl import parse_shape_dir
+
+    shapes = parse_shape_dir(REF_LUBM, shape_format="JSON")
+    mk = lambda links: ShapeBinding(
+        table="orgs", entity_col="id", class_column="cls",
+        columns={"name": "name", "email": "email"}, links=links,
+    )
+    bindings = {
+        "Department": mk({"subOrganizationOf": LinkBinding(child="sub_edges", fk="src", ref_key="dst")}),
+        "University": mk({}),
+        "FullProfessor": mk({
+            "doctoralDegreeFrom": LinkBinding(child="degree_edges", fk="src", ref_key="dst"),
+            "worksFor": LinkBinding(child="works_edges", fk="src", ref_key="dst"),
+        }),
+    }
+    suite = to_suite(shapes, bindings)
+    dept = suite.shape("Department")
+    # class-pattern targetQuery realizes as the class filter, not a raise
+    assert dept.target_filter == "cls = 'Department'"
+    kinds = [(c.kind, c.params.get("shape")) for c in dept.constraints]
+    assert kinds == [
+        ("not_null", None),            # name min 1
+        ("qualified_shape", "University"),
+        ("qualified_shape", "University"),
+    ]
+    uni = suite.shape("University")
+    assert [c.kind for c in uni.constraints] == ["not_null"]
+    prof = suite.shape("FullProfessor")
+    refs = [c.params["shape"] for c in prof.constraints if c.kind == "qualified_shape"]
+    assert refs == ["University", "Department"]
+
+
+def test_json_multi_conjunction_becomes_or_group():
+    from shaclapi_spark.shacl import parse_shape_json
+
+    s = parse_shape_json(
+        """{"name": "S",
+            "constraintDef": {"conjunctions": [
+              [{"path": "ex:a", "min": 1}],
+              [{"path": "ex:b", "min": 2}]
+            ]}}"""
+    )
+    assert s.properties == []
+    (branches,) = s.or_groups
+    assert [(p.path, p.min_count) for p in branches] == [("a", 1), ("b", 2)]
+
+
+def test_json_multi_constraint_disjunction_raises():
+    from shaclapi_spark.shacl import parse_shape_json
+
+    with pytest.raises(ValueError, match="disjunction"):
+        parse_shape_json(
+            """{"name": "S",
+                "constraintDef": {"conjunctions": [
+                  [{"path": "ex:a", "min": 1}, {"path": "ex:b", "min": 1}],
+                  [{"path": "ex:c", "min": 1}]
+                ]}}"""
+        )
+
+
+def test_non_values_target_query_raises_loudly():
+    """A targetQuery that is neither a VALUES list nor a simple class
+    pattern must raise AT BINDING TIME, naming the shape — silently
+    validating the full table would be a wrong answer."""
+    shapes = parse_shacl(
+        """@prefix : <http://example.org/> .
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+:S a sh:NodeShape ;
+  sh:targetQuery "SELECT ?x WHERE { ?x :hasFriend ?y . ?y a :Admin }" ;
+  sh:property [ sh:path :name ; sh:minCount 1 ] ."""
+    )
+    with pytest.raises(ValueError, match="'S'.*neither a VALUES list"):
+        to_suite(
+            shapes,
+            {"S": ShapeBinding(table="t", entity_col="id", columns={"name": "name"})},
+        )
+    # ... unless the caller binds an explicit target_filter override
+    suite = to_suite(
+        shapes,
+        {"S": ShapeBinding(
+            table="t", entity_col="id", columns={"name": "name"},
+            target_filter="is_admin_friend",
+        )},
+    )
+    assert suite.shape("S").target_filter == "is_admin_friend"
+
+
+def test_class_pattern_target_query_is_not_an_error():
+    shapes = parse_shacl(
+        """@prefix : <http://example.org/> .
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+:S a sh:NodeShape ;
+  sh:targetQuery "SELECT ?x WHERE { ?x a :Widget }" ;
+  sh:property [ sh:path :name ; sh:minCount 1 ] ."""
+    )
+    suite = to_suite(
+        shapes,
+        {"S": ShapeBinding(
+            table="t", entity_col="id", class_column="cls",
+            columns={"name": "name"},
+        )},
+    )
+    assert suite.shape("S").target_filter == "cls = 'Widget'"

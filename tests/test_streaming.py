@@ -163,3 +163,11 @@ def test_streaming_first_verdict_latency(spark, stream_dirs):
     # anytime semantics: the first verdicts were available before the later
     # batches finished (first latency < total of all batch walls)
     assert first < sum(r[2] for r in batch_stages) + first
+    # per-answer trace parity: one emission row per micro-batch with
+    # cumulative verdict counts and nondecreasing offsets
+    assert len(rec.trace) == n
+    answers = [t[1] for t in rec.trace]
+    assert answers == sorted(answers)
+    assert answers[-1] == sum(t[3] for t in rec.trace)
+    times = [t[2] for t in rec.trace]
+    assert times == sorted(times)
