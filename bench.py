@@ -159,6 +159,10 @@ def main() -> None:
         lambda: force(entry_mod.q_curation_funnel(spark, sf_dir)),
     )
     timed(
+        "curation_funnel_neardup",
+        lambda: force(entry_mod.q_curation_funnel_neardup(spark, sf_dir)),
+    )
+    timed(
         "pack_sequences",
         lambda: force(entry_mod.q_pack_sequences_docs(spark, sf_dir)),
     )

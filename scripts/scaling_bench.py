@@ -188,8 +188,19 @@ def write_bench(
         + (" (target ≥ 0.8: MET)" if eff >= 0.8 else " (target ≥ 0.8: NOT met)"),
         "",
     ]
-    with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
+    # preserve the headline-suite section (maintained by hand from bench.py
+    # runs) — only the scaling-evidence block above it is regenerated
+    bench_path = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(bench_path):
+        old = open(bench_path).read()
+        marker = old.find("## Headline suite")
+        if marker != -1:
+            tail = old[marker:]
+    with open(bench_path, "w") as fh:
         fh.write("\n".join(lines))
+        if tail:
+            fh.write(tail)
     print("\n".join(lines))
 
 
