@@ -24,6 +24,7 @@ from shaclapi_spark.datagen import fixture_n_clips
 from shaclapi_spark.engine import EngineConfig, run_suite
 from shaclapi_spark.ops import stats as stats_ops
 from shaclapi_spark.pipeline import cluster as cl
+from shaclapi_spark.pipeline import corpus
 from shaclapi_spark.pipeline import dedup as dd
 from shaclapi_spark.pipeline import sampling as sp
 from shaclapi_spark.pipeline import multimodal as mm
@@ -516,6 +517,24 @@ def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_top_ngrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-wide frequent-span report (boilerplate discovery): top-25 word
+    # bigrams by total occurrences, doc frequency alongside; total order
+    # (n_occurrences DESC, n_docs DESC, ngram ASC) keeps the top-k boundary
+    # tie-stable across engines.
+    return corpus.top_ngrams(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=2, k=25
+    )
+
+
+def q_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc boilerplate exposure: fraction of the doc's distinct bigrams
+    # whose corpus doc-frequency is >= 40 (the Zipf head).
+    return corpus.boilerplate_score(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=2, min_df=40
+    )
+
+
 def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     top = sim.brute_force_topk(e, "vec_id", "embedding", _QUERY_VEC, k=10)
@@ -727,6 +746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_docs": q_token_stats_docs,
         "lang_id_docs": q_lang_id_docs,
         "fingerprint_docs": q_fingerprint_docs,
+        "top_ngrams_docs": q_top_ngrams_docs,
+        "boilerplate_docs": q_boilerplate_docs,
         "topk_cosine": q_topk_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -1262,6 +1283,54 @@ WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents)
 SELECT doc_id, md5(norm) AS fp_md5,
   list_aggregate(list_transform(list_filter(string_split(norm, ' '), x -> x <> ''), x -> md5(x)), 'min') AS min_word_hash
 FROM d
+""",
+        "top_ngrams_docs": f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split({_NORM}, ' '), t -> t <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(words) - 1, 0) + 1),
+           i -> array_to_string(words[i:i+1], ' '))) AS ngram
+  FROM w
+),
+per AS (SELECT ngram, doc_id, count(*) AS cnt FROM g GROUP BY 1, 2),
+stats AS (
+  SELECT ngram, CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+         count(*) AS n_docs
+  FROM per GROUP BY 1
+)
+SELECT ngram, n_docs, n_occurrences FROM stats
+ORDER BY n_occurrences DESC, n_docs DESC, ngram ASC LIMIT 25
+""",
+        "boilerplate_docs": f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split({_NORM}, ' '), t -> t <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, greatest(len(words) - 1, 0) + 1),
+           i -> array_to_string(words[i:i+1], ' '))) AS ngram
+  FROM w
+),
+boiler AS (
+  SELECT ngram FROM (SELECT ngram, count(*) AS df FROM g GROUP BY 1)
+  WHERE df >= 40
+),
+scored AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         CAST(count(*) FILTER (boiler.ngram IS NOT NULL) AS BIGINT) AS n_boiler
+  FROM g LEFT JOIN boiler USING (ngram) GROUP BY 1
+)
+SELECT w.doc_id,
+  CAST(coalesce(scored.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(scored.n_boiler, 0) AS BIGINT) AS n_boiler,
+  CASE WHEN scored.n_grams > 0
+       THEN scored.n_boiler / CAST(scored.n_grams AS DOUBLE) END
+    AS boilerplate_frac
+FROM w LEFT JOIN scored USING (doc_id)
 """,
         "topk_cosine": _topk_cosine_sql(),
         # ivf_topk runs at nprobe=n_cells (exact-degenerate, see q_ivf_topk):

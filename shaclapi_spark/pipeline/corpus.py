@@ -1,0 +1,134 @@
+"""Corpus-level n-gram statistics — boilerplate detection and frequent-span
+reporting, the analysis pass a training-data pipeline runs to find templated
+/ repeated content before filtering it.
+
+Reference parity: the reference validates a fixed shape suite
+(shaclapi/api.py:22-60); corpus statistics are an engine-original addition
+mandated by the graft brief (training-data pipeline ops), same category as
+dedup/decontamination in `pipeline/dedup.py`.
+
+Scale shape (100 TB):
+
+* ``top_ngrams`` is the canonical word-count plan: explode → two
+  map-combinable hash aggregations → ``TakeOrderedAndProject``. Shuffle 1
+  moves one row per (doc, distinct-gram-in-doc) — partial aggregation has
+  already collapsed a doc's repeats map-side, because a doc's grams are
+  born co-located in its input row. Shuffle 2 moves one row per
+  partition-distinct gram. Nothing is ever collected except the final k
+  rows.
+* ``boilerplate_score`` keys every wide join on the 16-byte gram digest,
+  never the gram text; the boilerplate set (grams above the doc-frequency
+  floor) is tiny by construction — high-frequency heads of a Zipf
+  distribution — and is broadcast, so the per-doc scoring pass is a scan +
+  generator + broadcast join + one re-group by doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from shaclapi_spark.pipeline.dedup import word_ngram_hashes
+from shaclapi_spark.pipeline.text import word_ngrams
+
+
+def top_ngrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 25,
+) -> DataFrame:
+    """Top-k corpus word n-grams: (ngram, n_docs, n_occurrences).
+
+    Deterministic total order — (n_occurrences DESC, n_docs DESC, ngram
+    ASC) — so the boundary of the top-k is tie-stable across engines.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("ngram"),
+    )
+    per_doc = grams.groupBy("ngram", "__id").agg(F.count("*").alias("__cnt"))
+    stats = per_doc.groupBy("ngram").agg(
+        F.sum("__cnt").alias("n_occurrences"),
+        F.count("*").alias("n_docs"),
+    )
+    return stats.orderBy(
+        F.desc("n_occurrences"), F.desc("n_docs"), F.asc("ngram")
+    ).limit(k)
+
+
+def boilerplate_grams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    min_df: int = 100,
+) -> DataFrame:
+    """Digests of grams whose corpus DOC frequency is ≥ ``min_df``:
+    (__g, df). Doc frequency (not occurrence count) is the boilerplate
+    signal — a gram repeated many times inside ONE doc is repetition
+    (`pipeline/text.py` repetition_columns), not boilerplate.
+
+    Per-doc distinctness is free: ``array_distinct`` runs inside the doc's
+    own row before the explode, so the aggregate is a single
+    map-combinable count over 16-byte digests — no (doc, gram) dedup
+    shuffle.
+    """
+    return (
+        docs.select(
+            F.explode(
+                F.array_distinct(word_ngram_hashes(F.col(text_col), n))
+            ).alias("__g")
+        )
+        .groupBy("__g")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= F.lit(min_df))
+    )
+
+
+def boilerplate_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    min_df: int = 100,
+) -> DataFrame:
+    """Per-doc boilerplate exposure: (id, n_grams, n_boiler,
+    boilerplate_frac) where a gram is boilerplate when its corpus doc
+    frequency ≥ ``min_df``. ``n_grams``/``n_boiler`` count the doc's
+    DISTINCT grams; docs with fewer than n words score 0 over 0 grams
+    (frac NULL).
+
+    Plan: boilerplate digest set (small — Zipf head) broadcast; corpus side
+    is one scan → explode(array_distinct) → broadcast left join → re-group
+    by doc id. The re-group is map-combinable and a doc's grams are born
+    co-located, so one narrow row per doc crosses the wire.
+    """
+    boiler = F.broadcast(
+        boilerplate_grams(docs, id_col, text_col, n, min_df)
+        .select("__g")
+        .withColumn("__hit", F.lit(True))
+    )
+    grams = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(word_ngram_hashes(F.col(text_col), n))
+        ).alias("__g"),
+    )
+    return (
+        grams.join(boiler, "__g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("__g").alias("n_grams"),
+            F.coalesce(
+                F.sum(F.col("__hit").cast("long")), F.lit(0).cast("long")
+            ).alias("n_boiler"),
+        )
+        .withColumn(
+            "boilerplate_frac",
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_boiler") / F.col("n_grams"),
+            ),
+        )
+    )
