@@ -25,6 +25,7 @@ from shaclapi_spark.engine import EngineConfig, run_suite
 from shaclapi_spark.ops import stats as stats_ops
 from shaclapi_spark.pipeline import cluster as cl
 from shaclapi_spark.pipeline import corpus
+from shaclapi_spark.pipeline import scrub
 from shaclapi_spark.pipeline import dedup as dd
 from shaclapi_spark.pipeline import sampling as sp
 from shaclapi_spark.pipeline import multimodal as mm
@@ -535,6 +536,51 @@ def q_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII redaction over deterministically-augmented text (the raw docs
+    # carry no PII, so the query plants one email + one phone per doc and a
+    # card + IP on every 5th doc — both engines build the identical text).
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" reach u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex.org or +1 555-867-5309"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit(" card 4242-4242-4242-4242 at 10.0.0.1"),
+        ).otherwise(F.lit("")),
+    )
+    out = scrub.scrub(d.select("doc_id", aug.alias("text")), "text")
+    return out.select(
+        "doc_id",
+        F.col("text_redacted"),
+        *[F.col(f"n_{n}").cast("long").alias(f"n_{n}") for n, _, _ in scrub.PII_PATTERNS],
+    )
+
+
+def q_epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic global training shuffle, epoch 1: two-phase rank (range
+    # buckets + broadcast prefix offsets), no single-partition window.
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return sp.epoch_shuffle(d, "doc_id", epoch=1, n_buckets=16).select(
+        "doc_id", "shuffle_rank"
+    )
+
+
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # in-document repeated-line removal (first occurrence kept in place).
+    # The docs corpus is single-line, so both engines view each word as a
+    # "line" (space -> \n translate) — docs repeat words, so the dedup is
+    # real. n_dup_lines is the count of removed (repeated) lines.
+    d = _t(spark, sf_dir, "documents")
+    as_lines = F.translate(F.col("text"), " ", "\n")
+    out = scrub.with_line_dedup(
+        d.select("doc_id", as_lines.alias("text")), "text"
+    )
+    return out.select("doc_id", "text_deduped", "n_dup_lines")
+
+
 def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     top = sim.brute_force_topk(e, "vec_id", "embedding", _QUERY_VEC, k=10)
@@ -748,6 +794,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": q_fingerprint_docs,
         "top_ngrams_docs": q_top_ngrams_docs,
         "boilerplate_docs": q_boilerplate_docs,
+        "pii_scrub_docs": q_pii_scrub_docs,
+        "line_dedup_docs": q_line_dedup_docs,
+        "epoch_shuffle_docs": q_epoch_shuffle_docs,
         "topk_cosine": q_topk_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -1102,6 +1151,36 @@ FROM p GROUP BY 1, 2
 """
 
 
+def _pii_scrub_sql() -> str:
+    """Progressive per-kind redaction generated from scrub.PII_PATTERNS —
+    the SQL is derived from the same registry the Spark path uses, so the
+    two sides cannot drift. Each stage counts on the PREVIOUS stage's
+    redacted text (mirrors pii_counts attribution)."""
+    aug = (
+        "text || ' reach u' || CAST(doc_id AS VARCHAR) || "
+        "'@ex.org or +1 555-867-5309' || "
+        "CASE WHEN doc_id % 5 = 0 "
+        "THEN ' card 4242-4242-4242-4242 at 10.0.0.1' ELSE '' END"
+    )
+    ctes = [f"s0 AS (SELECT doc_id, {aug} AS r0 FROM documents)"]
+    count_cols = []
+    for i, (name, pattern, tag) in enumerate(scrub.PII_PATTERNS):
+        p = pattern  # written in the Java-regex ∩ RE2 common subset, no quotes
+        prev_counts = ", ".join(count_cols)
+        sep = ", " if prev_counts else ""
+        ctes.append(
+            f"s{i + 1} AS (SELECT doc_id{sep}{prev_counts}, "
+            f"CAST(len(regexp_extract_all(r{i}, '{p}')) AS BIGINT) AS n_{name}, "
+            f"regexp_replace(r{i}, '{p}', '{tag}', 'g') AS r{i + 1} FROM s{i})"
+        )
+        count_cols.append(f"n_{name}")
+    last = len(scrub.PII_PATTERNS)
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT doc_id, r{last} AS text_redacted, "
+        + ", ".join(count_cols) + f" FROM s{last}"
+    )
+
+
 def _decontam_sql(n: int = 8, rate: float = 0.05, salt: str = "bench") -> str:
     """Word-n-gram decontamination flags. The benchmark draw is the same
     md5_60 cutoff as hash_sample (exact integer arithmetic, no float
@@ -1331,6 +1410,30 @@ SELECT w.doc_id,
        THEN scored.n_boiler / CAST(scored.n_grams AS DOUBLE) END
     AS boilerplate_frac
 FROM w LEFT JOIN scored USING (doc_id)
+""",
+        "pii_scrub_docs": _pii_scrub_sql(),
+        "line_dedup_docs": """
+WITH lns AS (
+  SELECT doc_id, l, l[i] AS line, i
+  FROM (SELECT doc_id, str_split(replace(text, ' ', chr(10)), chr(10)) AS l
+        FROM documents),
+       LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i)
+),
+firsts AS (SELECT doc_id, line, min(i) AS fi FROM lns GROUP BY 1, 2)
+SELECT f.doc_id,
+       string_agg(f.line, chr(10) ORDER BY f.fi) AS text_deduped,
+       any_value(n.n_all) - COUNT(*) AS n_dup_lines
+FROM firsts f
+JOIN (SELECT doc_id, COUNT(*) AS n_all FROM lns GROUP BY 1) n USING (doc_id)
+GROUP BY f.doc_id
+""",
+        "epoch_shuffle_docs": """
+SELECT doc_id,
+  ROW_NUMBER() OVER (
+    ORDER BY ('0x' || substring(md5('epoch1::' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+             doc_id
+  ) AS shuffle_rank
+FROM documents
 """,
         "topk_cosine": _topk_cosine_sql(),
         # ivf_topk runs at nprobe=n_cells (exact-degenerate, see q_ivf_topk):

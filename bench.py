@@ -170,6 +170,14 @@ def main() -> None:
         "ann_batch_topk",
         lambda: force(entry_mod.q_ann_batch_topk(spark, sf_dir)),
     )
+    timed(
+        "corpus_top_ngrams",
+        lambda: force(entry_mod.q_top_ngrams_docs(spark, sf_dir)),
+    )
+    timed(
+        "boilerplate_score",
+        lambda: force(entry_mod.q_boilerplate_docs(spark, sf_dir)),
+    )
 
     total = round(sum(timings.values()), 3)
     clips_per_sec = round(n_clips / timings["clip_validation"], 1)

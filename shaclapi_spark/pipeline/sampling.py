@@ -211,3 +211,68 @@ def weighted_mix(
         .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
         .drop("__n")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int = 0,
+    n_buckets: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global training shuffle: adds ``shuffle_rank`` — the
+    1-based position of each row in the order a trainer should consume it
+    for this ``epoch``. Exactly ``row_number() OVER (ORDER BY key, id)``
+    where key = md5_60(epoch-salted id), but computed WITHOUT a global
+    single-partition window (the usual scale bomb).
+
+    Two-phase rank:
+
+    1. RANGE-bucket the key by its high bits (key is uniform in [0, 2^60),
+       so ``key >> (60 - log2(n_buckets))`` gives ordered, balanced
+       buckets — bucket order IS key order, unlike hash-mod buckets).
+       One narrow aggregate counts rows per bucket; the ≤ n_buckets count
+       rows are collected and prefix-summed on the driver (bounded,
+       documented collect — the same pattern as IVF's bounded training
+       sample).
+    2. One window per bucket (parallel across buckets) ranks within the
+       bucket by (key, id); the broadcast prefix offsets lift bucket-local
+       ranks to global ranks.
+
+    Ties on the 60-bit key are broken by the id, so the order is total
+    and engine-independent; a different ``epoch`` (or ``salt``) draws an
+    independent permutation of the same corpus.
+    """
+    if n_buckets & (n_buckets - 1) or n_buckets <= 0:
+        raise ValueError("n_buckets must be a power of two")
+    shift = 60 - n_buckets.bit_length() + 1  # log2(n_buckets) high bits
+    key = md5_60(
+        F.concat(
+            F.lit(f"epoch{epoch}:{salt}:"), F.col(id_col).cast("string")
+        )
+    )
+    keyed = df.withColumn("__key", key).withColumn(
+        "__b", F.shiftright(F.col("__key"), shift)
+    )
+    counts = {
+        r["__b"]: r["n"]
+        for r in keyed.groupBy("__b").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    offset_map = F.create_map(
+        *[F.lit(x) for bo in offsets.items() for x in bo]
+    )
+    w = Window.partitionBy("__b").orderBy("__key", F.col(id_col))
+    return (
+        keyed.withColumn(
+            "shuffle_rank",
+            (
+                F.row_number().over(w)
+                + offset_map[F.col("__b")].cast("long")
+            ).cast("long"),
+        )
+        .drop("__key", "__b")
+    )
