@@ -741,6 +741,16 @@ def q_clip_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.loudness_counts(_uniq_clips(spark, sf_dir), frame_ms=20)
 
 
+def q_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sample-level audio QA: clipping detection (count + longest run at
+    # |s| >= 26000 — the 0.8-amplitude sine tops actually cross it, so the
+    # detector fires), exact signed DC sum, sample range. All integers;
+    # the oracle re-decodes the container bytes in pure SQL.
+    return mm.audio_sample_quality(
+        _uniq_clips(spark, sf_dir), clip_thresh=26000
+    )
+
+
 def q_multimodal_byte_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _clip_tables(spark, sf_dir)
     per_row = mm.byte_histogram_counts(t["clips"], "clip_id", "bytes", n_bins=16)
@@ -806,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta": q_audio_meta,
         "audio_frames": q_audio_frames,
         "clip_loudness": q_clip_loudness,
+        "clip_sample_quality": q_sample_quality,
         "multimodal_byte_hist": q_multimodal_byte_hist,
     }
 
@@ -1080,16 +1091,15 @@ LEFT JOIN cnt ON cnt.clip_id = g.clip_id AND cnt.bin = b.bin
 """
 
 
-def _audio_frames_sql() -> str:
-    """Decode SGA1 containers and recompute 20 ms frame features in pure
-    SQL: header fields from little-endian hex bytes, samples as u16 pairs,
-    codec decode (0=pcm passthrough, 1=flac cumulative-XOR window,
-    2=opus dequantize *64 — q in [-512,511] so no int16 wrap), then one
-    grouped pass per (clip, frame). Integer-exact: matches the Spark
-    mapInPandas output value-for-value."""
+def _audio_decode_ctes() -> str:
+    """The shared SGA1 decode CTE chain (ends at relation ``dec``:
+    clip_id, flen, i, val) — header fields from little-endian hex bytes,
+    samples as u16 pairs, codec decode (0=pcm passthrough, 1=flac
+    cumulative-XOR window, 2=opus dequantize *64 — q in [-512,511] so no
+    int16 wrap). Both the frames oracle and the sample-quality oracle
+    build on it."""
     c = _clips_pq("clips")
-    return f"""
-WITH uniq AS (
+    return f"""uniq AS (
   SELECT clip_id FROM {c} GROUP BY 1 HAVING count(*) = 1
 ),
 c AS (
@@ -1133,7 +1143,14 @@ dec AS (
        * CASE WHEN codec_id = 2 THEN 64 ELSE 1 END) % 65536 AS m
     FROM dec0
   )
-),
+)"""
+
+
+def _audio_frames_sql() -> str:
+    """20 ms frame features over the shared decode CTEs, integer-exact:
+    matches the Spark mapInPandas output value-for-value."""
+    return f"""
+WITH {_audio_decode_ctes()},
 p AS (
   SELECT clip_id, i // flen AS frame_idx, i % flen AS pos, val,
     lag(val) OVER (PARTITION BY clip_id ORDER BY i) AS pv
@@ -1148,6 +1165,41 @@ SELECT clip_id,
   CAST(sum(CASE WHEN pos <> 0 AND (val < 0) <> (pv < 0) THEN 1 ELSE 0 END)
        AS INT) AS zero_crossings
 FROM p GROUP BY 1, 2
+"""
+
+
+def _sample_quality_sql(clip_thresh: int) -> str:
+    """Sample-level audio QA over the shared decode CTEs: clipping count,
+    longest consecutive clipped run (gaps-and-islands: i minus per-class
+    row_number groups each run), signed DC sum, sample min/max. All
+    integers — exact value-hash parity with audio_sample_quality."""
+    return f"""
+WITH {_audio_decode_ctes()},
+m AS (
+  SELECT clip_id, i, val,
+    CASE WHEN abs(val) >= {clip_thresh} THEN 1 ELSE 0 END AS c
+  FROM dec
+),
+r AS (
+  SELECT clip_id, c,
+    i - row_number() OVER (PARTITION BY clip_id, c ORDER BY i) AS g
+  FROM m
+),
+runs AS (SELECT clip_id, count(*) AS rl FROM r WHERE c = 1 GROUP BY clip_id, g),
+agg AS (
+  SELECT clip_id,
+    CAST(count(*) AS BIGINT) AS n_samples,
+    CAST(sum(c) AS BIGINT) AS n_clipped,
+    CAST(sum(val) AS BIGINT) AS dc_sum,
+    CAST(min(val) AS INT) AS min_s,
+    CAST(max(val) AS INT) AS max_s
+  FROM m GROUP BY 1
+)
+SELECT agg.clip_id, agg.n_samples, agg.n_clipped,
+  CAST(COALESCE(mx.mr, 0) AS INT) AS max_clip_run,
+  agg.dc_sum, agg.min_s, agg.max_s
+FROM agg LEFT JOIN
+  (SELECT clip_id, max(rl) AS mr FROM runs GROUP BY 1) mx USING (clip_id)
 """
 
 
@@ -1501,6 +1553,7 @@ FROM ({verdict_union}) GROUP BY 1, 2
         "multimodal_byte_hist": _byte_hist_sql(),
         "audio_frames": _audio_frames_sql(),
         "clip_loudness": _clip_loudness_sql(),
+        "clip_sample_quality": _sample_quality_sql(clip_thresh=26000),
         # minhash_neardups_docs: the LSH path verifies every candidate with
         # exact shingle Jaccard, and at this fixture LSH recall is 1.0
         # (checked: LSH output == exact all-pairs relation), so the exact

@@ -335,6 +335,91 @@ def loudness_stats(
     )
 
 
+SAMPLE_QUALITY_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType()),
+        StructField("n_samples", LongType()),
+        StructField("n_clipped", LongType()),
+        StructField("max_clip_run", IntegerType()),
+        StructField("dc_sum", LongType()),
+        StructField("min_s", IntegerType()),
+        StructField("max_s", IntegerType()),
+    ]
+)
+
+
+def audio_sample_quality(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    clip_thresh: int = 32767,
+) -> DataFrame:
+    """Sample-level audio QA per clip, INTEGER-EXACT (full cross-engine
+    oracle, like ``audio_frame_features``): clipping detection —
+    ``n_clipped`` samples with |s| >= ``clip_thresh`` plus
+    ``max_clip_run``, the longest CONSECUTIVE run of such samples (a
+    sustained run is flat-topped distortion; isolated peaks are usually
+    fine) — DC offset as the exact signed sample sum ``dc_sum`` (a
+    recorder bias check: |dc_sum| should be small relative to
+    ``n_samples``), and the sample ``min_s``/``max_s`` range.
+
+    These are the classic waveform-validity constraints a speech-corpus
+    intake runs next to the SNR check (reference analog: the per-entity
+    constraint evaluation of shaclapi/multiprocessing/functions.py:13-16's
+    verdict tuples — here the "shape" is sample-level well-formedness).
+
+    Scale shape: one Arrow-batched mapInPandas pass, no shuffle; all
+    per-clip math is vectorized numpy (the run-length scan is the
+    cumsum-minus-running-reset trick, O(n) branch-free). Undecodable or
+    NULL blobs are skipped, mirroring ``audio_frame_features``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            nsamp: list = []
+            nclip: list = []
+            mrun: list = []
+            dcs: list = []
+            mins: list = []
+            maxs: list = []
+            for cid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                try:
+                    _hdr, s = audio_codec.decode_clip(bytes(blob))
+                except (ValueError, TypeError):
+                    continue
+                if len(s) == 0:
+                    continue
+                s64 = s.astype(np.int64)
+                m = (np.abs(s64) >= clip_thresh).astype(np.int64)
+                # longest run of 1s: cumsum minus its value at the last 0
+                cs = np.cumsum(m)
+                run = cs - np.maximum.accumulate(np.where(m == 0, cs, 0))
+                ids.append(str(cid))
+                nsamp.append(len(s64))
+                nclip.append(int(m.sum()))
+                mrun.append(int(run.max()))
+                dcs.append(int(s64.sum()))
+                mins.append(int(s64.min()))
+                maxs.append(int(s64.max()))
+            yield pd.DataFrame(
+                {
+                    "clip_id": ids,
+                    "n_samples": pd.array(nsamp, dtype="int64"),
+                    "n_clipped": pd.array(nclip, dtype="int64"),
+                    "max_clip_run": pd.array(mrun, dtype="int32"),
+                    "dc_sum": pd.array(dcs, dtype="int64"),
+                    "min_s": pd.array(mins, dtype="int32"),
+                    "max_s": pd.array(maxs, dtype="int32"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        gen, schema=SAMPLE_QUALITY_SCHEMA
+    )
+
+
 def decode_image(blob: bytes) -> "np.ndarray":
     """STUB — image decode needs PIL/opencv, absent in this container."""
     try:
