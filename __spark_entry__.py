@@ -26,8 +26,10 @@ from shaclapi_spark.ops import stats as stats_ops
 from shaclapi_spark.pipeline import cluster as cl
 from shaclapi_spark.pipeline import corpus
 from shaclapi_spark.pipeline import scrub
+from shaclapi_spark.pipeline import chunk as ck
 from shaclapi_spark.pipeline import dedup as dd
 from shaclapi_spark.pipeline import sampling as sp
+from shaclapi_spark.pipeline import sessions as sess
 from shaclapi_spark.pipeline import multimodal as mm
 from shaclapi_spark.pipeline import similarity as sim
 from shaclapi_spark.pipeline import text as tx
@@ -757,6 +759,48 @@ def q_multimodal_byte_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_row.groupBy("clip_id", "bin").agg(F.sum("n_bytes").alias("n_bytes"))
 
 
+def q_speech_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VAD-style speech/silence segmentation: contiguous runs of
+    # active/silent 20 ms frames (integer-exact energy test), oracled by
+    # the same gaps-and-islands SQL over the shared frame-decode CTEs.
+    return mm.speech_segments(_uniq_clips(spark, sf_dir), frame_ms=20)
+
+
+def q_speech_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-clip rollup of the segmentation: segment counts, speech-frame
+    # totals, longest speech/silence runs. All integers.
+    return mm.speech_activity(_uniq_clips(spark, sf_dir), frame_ms=20)
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gaps-and-islands sessionization of the event log (30 min gap):
+    # integer-microsecond boundaries so the relation hashes identically
+    # cross-engine; n_purchase counts one event type inside each session.
+    ev = _t(spark, sf_dir, "events")
+    return sess.session_rollup(ev, gap_minutes=30, count_type="purchase")
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # overlapping token-window chunking (16-token chunks, stride 12 → 4
+    # tokens of overlap), the long-document preprocessing step before
+    # sequence packing.
+    d = _t(spark, sf_dir, "documents")
+    return ck.chunk_documents(d, chunk_tokens=16, stride=12)
+
+
+def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-group top-k: 3 longest docs per source, deterministic tiebreak
+    # by doc_id; WindowGroupLimit keeps a k-row heap per task instead of
+    # sorting whole groups.
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return sp.top_per_group(
+        d,
+        "source",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=3,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full clip constraint suite (audio SNR + drift) at sf0.001,
     unioned with the TPC-H 3-shape DAG verdicts on the driver tables."""
@@ -804,6 +848,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": q_fingerprint_docs,
         "top_ngrams_docs": q_top_ngrams_docs,
         "boilerplate_docs": q_boilerplate_docs,
+        "speech_segments": q_speech_segments,
+        "speech_activity": q_speech_activity,
+        "sessionize_events": q_sessionize_events,
+        "chunk_docs": q_chunk_docs,
+        "top_docs_per_source": q_top_docs_per_source,
         "pii_scrub_docs": q_pii_scrub_docs,
         "line_dedup_docs": q_line_dedup_docs,
         "epoch_shuffle_docs": q_epoch_shuffle_docs,
@@ -1282,6 +1331,118 @@ FROM frames GROUP BY 1
 """
 
 
+def _speech_segments_sql() -> str:
+    """Gaps-and-islands speech/silence segmentation over the shared
+    frame-decode CTEs: a frame is active iff its integer RMS test says
+    non-silent (same exact arithmetic as the loudness oracle), segment
+    boundaries via lag-change flag + running sum. Integer/boolean outputs
+    → exact value-hash parity with mm.speech_segments."""
+    return f"""
+WITH frames AS ({_audio_frames_sql()}),
+a AS (
+  SELECT clip_id, frame_idx, n_samples,
+    CASE WHEN sum_sq * 10000 < CAST(n_samples AS BIGINT) * 1073676289
+         THEN 0 ELSE 1 END AS act
+  FROM frames
+),
+l AS (
+  SELECT *, lag(act) OVER (PARTITION BY clip_id ORDER BY frame_idx) AS pact
+  FROM a
+),
+s AS (
+  SELECT clip_id, frame_idx, n_samples, act,
+    sum(CASE WHEN pact IS NULL THEN 0 WHEN pact <> act THEN 1 ELSE 0 END)
+      OVER (PARTITION BY clip_id ORDER BY frame_idx
+            ROWS UNBOUNDED PRECEDING) AS seg_idx
+  FROM l
+)
+SELECT clip_id, CAST(seg_idx AS INT) AS seg_idx,
+  (max(act) = 1) AS is_speech,
+  CAST(min(frame_idx) AS INT) AS start_frame,
+  CAST(max(frame_idx) AS INT) AS end_frame,
+  CAST(count(*) AS INT) AS n_frames,
+  CAST(sum(n_samples) AS BIGINT) AS n_samples
+FROM s GROUP BY 1, 2
+"""
+
+
+def _speech_activity_sql() -> str:
+    return f"""
+WITH seg AS ({_speech_segments_sql()})
+SELECT clip_id,
+  CAST(count(*) AS INT) AS n_segments,
+  CAST(sum(CASE WHEN is_speech THEN 1 ELSE 0 END) AS INT)
+    AS n_speech_segments,
+  CAST(sum(CASE WHEN is_speech THEN n_frames ELSE 0 END) AS INT)
+    AS speech_frames,
+  CAST(sum(n_frames) AS INT) AS total_frames,
+  CAST(max(CASE WHEN is_speech THEN n_frames ELSE 0 END) AS INT)
+    AS longest_speech_frames,
+  CAST(max(CASE WHEN NOT is_speech THEN n_frames ELSE 0 END) AS INT)
+    AS longest_silence_frames
+FROM seg GROUP BY 1
+"""
+
+
+def _sessionize_sql(gap_minutes: int = 30) -> str:
+    """Gaps-and-islands sessionization in integer microseconds (epoch_us ≡
+    Spark's unix_micros under the UTC session tz this harness runs in)."""
+    gap_us = gap_minutes * 60_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+l AS (
+  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pus
+  FROM e
+),
+s AS (
+  SELECT *,
+    sum(CASE WHEN pus IS NULL THEN 0
+             WHEN us - pus > {gap_us} THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM l
+)
+SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+  CAST(min(us) AS BIGINT) AS start_us,
+  CAST(max(us) AS BIGINT) AS end_us,
+  CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+  count(*) AS n_events,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_purchase
+FROM s GROUP BY 1, 2
+"""
+
+
+def _chunk_docs_sql(c: int = 16, s: int = 12) -> str:
+    """Token-window chunking: identical integer chunk grammar as
+    chunk_documents (n_chunks = 1 + ceil(max(n-c,0)/s)); DuckDB list
+    slicing words[a:b] is 1-based inclusive → b = a + c - 1 gives c
+    elements."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_TOKS} AS words FROM documents
+),
+b AS (
+  SELECT doc_id, words, len(words) AS n,
+    1 + CAST(floor((greatest(len(words) - {c}, 0) + {s - 1}) / {s}) AS INT)
+      AS n_chunks
+  FROM w WHERE len(words) > 0
+),
+g AS (
+  SELECT doc_id, words, n,
+    CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_idx
+  FROM b
+)
+SELECT doc_id, chunk_idx,
+  CAST(least({c}, n - chunk_idx * {s}) AS INT) AS n_tokens,
+  array_to_string(words[chunk_idx * {s} + 1 : chunk_idx * {s} + {c}], ' ')
+    AS chunk_text
+FROM g
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     c = _clips_pq("clips")
     verdict_union = _clip_verdict_union_sql()
@@ -1554,6 +1715,20 @@ FROM ({verdict_union}) GROUP BY 1, 2
         "audio_frames": _audio_frames_sql(),
         "clip_loudness": _clip_loudness_sql(),
         "clip_sample_quality": _sample_quality_sql(clip_thresh=26000),
+        "speech_segments": _speech_segments_sql(),
+        "speech_activity": _speech_activity_sql(),
+        "sessionize_events": _sessionize_sql(gap_minutes=30),
+        "chunk_docs": _chunk_docs_sql(c=16, s=12),
+        "top_docs_per_source": """
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+    CAST(row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS INT)
+      AS rank
+  FROM documents
+)
+SELECT source, doc_id, n_chars, rank FROM r WHERE rank <= 3
+""",
         # minhash_neardups_docs: the LSH path verifies every candidate with
         # exact shingle Jaccard, and at this fixture LSH recall is 1.0
         # (checked: LSH output == exact all-pairs relation), so the exact

@@ -420,6 +420,106 @@ def audio_sample_quality(
     )
 
 
+def speech_segments(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    frame_ms: int = 20,
+    silence_db: float = -40.0,
+) -> DataFrame:
+    """Energy-based speech/silence segmentation (VAD-style): contiguous
+    runs of active / silent frames as (clip_id, seg_idx, is_speech,
+    start_frame, end_frame, n_frames, n_samples) — the segmentation a
+    speech-corpus pipeline uses to trim leading/trailing silence and split
+    long recordings at pauses before transcription alignment.
+
+    A frame is ACTIVE iff its RMS is >= ``silence_db`` dBFS, tested in the
+    same exact integer arithmetic as ``loudness_counts``
+    (``sum_sq * r^2 >= n_samples * 32767^2``), so the whole relation is
+    integer/boolean and value-hashes identically cross-engine (full DuckDB
+    oracle over the shared frame-decode SQL).
+
+    Scale shape: frames come from the no-shuffle Arrow decode pass; then
+    ONE hash exchange on clip_id serves both window passes (lag-change
+    flag + running segment counter share the partitioning and sort) AND
+    the per-segment aggregate — groupBy(clip_id, seg_idx) is satisfied by
+    HashPartitioning(clip_id), so Catalyst plans exactly one Exchange
+    (plan-asserted in tests/test_plans.py)."""
+    from pyspark.sql import Window
+
+    ratio = 10.0 ** (-silence_db / 20.0)
+    r2 = int(round(ratio * ratio))
+    if abs(ratio * ratio - r2) > 1e-9:
+        raise ValueError(
+            f"silence_db={silence_db} has no exact integer ratio^2; "
+            "use a multiple of 20/log-decade (e.g. -40.0)"
+        )
+    frames = audio_frame_features(df, id_col, bytes_col, frame_ms)
+    active = (
+        ~(
+            F.col("sum_sq").cast("decimal(38,0)")
+            * F.lit(r2).cast("decimal(38,0)")
+            < F.col("n_samples").cast("decimal(38,0)")
+            * F.lit(32767 * 32767).cast("decimal(38,0)")
+        )
+    ).cast("int")
+    w = Window.partitionBy("clip_id").orderBy("frame_idx")
+    a = frames.withColumn("__a", active)
+    prev = F.lag("__a").over(w)
+    brk = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(prev != F.col("__a"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    seg = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        a.withColumn("seg_idx", seg.cast("int"))
+        .groupBy(F.col("clip_id").alias(id_col), "seg_idx")
+        .agg(
+            (F.max("__a") == 1).alias("is_speech"),
+            F.min("frame_idx").cast("int").alias("start_frame"),
+            F.max("frame_idx").cast("int").alias("end_frame"),
+            F.count(F.lit(1)).cast("int").alias("n_frames"),
+            F.sum("n_samples").alias("n_samples"),
+        )
+    )
+
+
+def speech_activity(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    frame_ms: int = 20,
+    silence_db: float = -40.0,
+) -> DataFrame:
+    """Per-clip rollup of ``speech_segments``: segment counts, speech-frame
+    totals, and the longest speech / silence runs (frames) — the intake
+    constraint surface for "clip is mostly silence" / "no pause longer
+    than X" rules. All integers; full cross-engine oracle.
+
+    Scale shape: inherits the segments plan; the clip-grain regroup is
+    satisfied by the same HashPartitioning(clip_id) — still one
+    exchange."""
+    seg = speech_segments(df, id_col, bytes_col, frame_ms, silence_db)
+    sp = F.col("is_speech")
+    return seg.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_segments"),
+        F.sum(sp.cast("int")).cast("int").alias("n_speech_segments"),
+        F.sum(F.when(sp, F.col("n_frames")).otherwise(0))
+        .cast("int")
+        .alias("speech_frames"),
+        F.sum("n_frames").cast("int").alias("total_frames"),
+        F.max(F.when(sp, F.col("n_frames")).otherwise(0))
+        .cast("int")
+        .alias("longest_speech_frames"),
+        F.max(F.when(~sp, F.col("n_frames")).otherwise(0))
+        .cast("int")
+        .alias("longest_silence_frames"),
+    )
+
+
 SPECTRAL_SCHEMA = StructType(
     [
         StructField("clip_id", StringType()),

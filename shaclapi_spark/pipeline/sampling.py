@@ -276,3 +276,31 @@ def epoch_shuffle(
         )
         .drop("__key", "__b")
     )
+
+
+def top_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group by ``order_cols`` (a list of Columns or column
+    names; pass ``F.col(c).desc()`` for descending). Append a tiebreak
+    column (e.g. the id) to make the selection deterministic.
+
+    The classic per-group selection (best-quality doc per source, loudest
+    clip per codec, ...) — the grouped counterpart of the global
+    TakeOrderedAndProject top-k (SURVEY.md §2.6).
+
+    Scale shape: one hash exchange on the group key; Spark's
+    WindowGroupLimit pushes the ``rank <= k`` filter INTO the sort, so
+    each task keeps a k-row heap per group instead of fully sorting every
+    group — skew from a dominant group costs a k-bounded scan, not a
+    full-group sort spill (plan-asserted in tests/test_plans.py)."""
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+        .withColumn(rank_col, F.col(rank_col).cast("int"))
+    )

@@ -140,3 +140,38 @@ def streaming_entity_counts(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_sessions(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization: per-key session windows that close when no
+    event arrives within ``gap`` (``F.session_window`` — merging-window
+    state, evicted once the watermark passes the session end). The batch
+    backfill analog is :func:`shaclapi_spark.pipeline.sessions.sessionize`
+    — same gap rule, so live and backfilled session counts agree (the one
+    boundary nit: ``session_window`` keeps an event that lands EXACTLY at
+    gap distance in a new session only per its open-interval merge rule;
+    the batch rule splits strictly-greater gaps — ties at exactly the gap
+    are measure-zero for real timestamps, and both sides are documented).
+
+    Scale shape: state is per (key, open session) only; the shuffle is on
+    the key, and session merge happens in the state store — no unbounded
+    growth under the watermark."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )

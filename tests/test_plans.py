@@ -69,6 +69,63 @@ def test_decontaminate_broadcasts_benchmark(spark, docs):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_session_rollup_single_exchange(spark):
+    """sessionize + rollup: the lag/running-sum windows and the
+    (user, session_idx) groupBy all ride ONE HashPartitioning(user_id)
+    exchange (sessions.py docstring claim)."""
+    import datetime as dt
+
+    from shaclapi_spark.pipeline import sessions as sess
+
+    ev = spark.createDataFrame(
+        [
+            Row(
+                user_id="u",
+                event_id=i,
+                event_type="view",
+                ts=dt.datetime(2026, 1, 1) + dt.timedelta(minutes=i),
+            )
+            for i in range(4)
+        ]
+    )
+    plan = _plan(sess.session_rollup(ev))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_top_per_group_uses_window_group_limit(spark, docs):
+    """row_number + rank<=k filter must compile to WindowGroupLimit (k-row
+    heap per group) over a single exchange, not a full per-group sort."""
+    plan = _plan(
+        sampling.top_per_group(
+            docs.select("source", "doc_id", "n_chars"),
+            "source",
+            [F.col("n_chars").desc(), F.col("doc_id").asc()],
+            k=3,
+        )
+    )
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_chunk_documents_shuffle_free(spark, docs):
+    from shaclapi_spark.pipeline import chunk as ckm
+
+    plan = _plan(ckm.chunk_documents(docs, chunk_tokens=16, stride=12))
+    assert "Exchange" not in plan  # split/sequence/transform/posexplode only
+    assert "Python" not in plan  # pure codegen, no UDF
+
+
+def test_speech_segments_single_exchange(spark):
+    """Arrow decode is shuffle-free; both window passes and the segment
+    aggregate share one HashPartitioning(clip_id) exchange."""
+    df = spark.createDataFrame(
+        [Row(clip_id="c", bytes=bytearray(ac.encode_clip(440.0, 16000, 3200, 0.5, "pcm_s16le")))]
+    )
+    plan = _plan(mm.speech_segments(df))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
 def test_curation_funnel_scans_corpus_once(spark, docs):
     """The funnel counts are per-row flags aggregated in one pass: the
     funnel action's plan must contain exactly TWO parquet scans total —

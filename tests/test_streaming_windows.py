@@ -216,3 +216,69 @@ def test_streaming_dedup_first_wins_bounded_state(spark, tmp_path):
     got = {r.clip_id: r.v for r in spark.read.parquet(out).collect()}
     # exactly one survivor per id, and it is the FIRST occurrence
     assert got == {"a": 1, "b": 3, "c": 6}
+
+
+def test_streaming_sessions_match_batch_sessionize(spark, tmp_path):
+    """Live session_window sessions agree with the batch gaps-and-islands
+    backfill (pipeline/sessions.py) on session count and sizes per user —
+    the live/backfill parity claim in streaming_sessions' docstring."""
+    import datetime as dt
+
+    from shaclapi_spark.pipeline import sessions as sess
+    from shaclapi_spark.streaming.windows import streaming_sessions
+
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("user_id", StringType()),
+            StructField("event_id", IntegerType()),
+        ]
+    )
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # u1: two sessions (burst at 0-10 min, burst at 2h); u2: one session
+    for m in (0, 5, 10, 120, 125):
+        rows.append(Row(ts=base + dt.timedelta(minutes=m), user_id="u1", event_id=eid))
+        eid += 1
+    for m in (7, 20):
+        rows.append(Row(ts=base + dt.timedelta(minutes=m), user_id="u2", event_id=eid))
+        eid += 1
+    src = str(tmp_path / "sess_src")
+    # two files → the second batch's far-future rows advance the watermark
+    # past the first sessions' close so append mode emits them
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    flush = [Row(ts=base + dt.timedelta(hours=12), user_id="zz", event_id=999)]
+    spark.createDataFrame(flush, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = str(tmp_path / "sess_out")
+    q = (
+        streaming_sessions(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    live = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.read.parquet(out).collect()
+        if r.user_id != "zz"
+    }
+    batch = {
+        (r.user_id, r.session_idx): r.n_events
+        for r in sess.session_rollup(
+            spark.read.parquet(src).where("user_id <> 'zz'"),
+            gap_minutes=30,
+        ).collect()
+    }
+    # same session multiset per user: u1 → {3, 2}, u2 → {2}
+    assert sorted(v for (u, _), v in live.items() if u == "u1") == [2, 3]
+    assert sorted(v for (u, _), v in live.items() if u == "u2") == [2]
+    assert sorted(batch.values()) == sorted(live.values())
