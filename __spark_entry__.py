@@ -780,6 +780,71 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.session_rollup(ev, gap_minutes=30, count_type="purchase")
 
 
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # as-of attribution: each purchase joined to the user's most recent
+    # view at-or-before it (union + window, one exchange, no join node).
+    # Views are pre-deduped to one row per (user, us) — max event_id — so
+    # right-side timestamp ties are deterministic in BOTH engines (DuckDB's
+    # ASOF JOIN picks an arbitrary tie otherwise).
+    from shaclapi_spark.pipeline import asof
+    from shaclapi_spark.pipeline.sessions import _micros
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("us", _micros(ev, "ts"))
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "us")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "us"
+    )
+    return asof.asof_join(
+        purchases, views, "user_id", "us", ["view_event_id"], prefix="r_"
+    ).select(
+        "event_id",
+        "user_id",
+        "us",
+        F.col("r_view_event_id").alias("view_event_id"),
+        F.col("r_ts").alias("view_us"),
+        "asof_gap",
+    )
+
+
+def q_purchases_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # interval-containment join: incidents are global sessions of error
+    # events (10 min gap); emit every purchase that happened inside one.
+    # Bucketized equi-join (1 h buckets) — never a nested loop.
+    from shaclapi_spark.pipeline import interval
+    from shaclapi_spark.pipeline.sessions import _micros, session_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("us", _micros(ev, "ts"))
+    incidents = session_rollup(
+        ev.where(F.col("event_type") == "error").withColumn(
+            "__g", F.lit(0)
+        ),
+        user_col="__g",
+        ts_col="ts",
+        gap_minutes=10,
+    ).select(
+        F.col("session_idx").alias("incident_idx"), "start_us", "end_us"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "us"
+    )
+    return interval.interval_join(
+        purchases, incidents, "us", "start_us", "end_us", bucket_us=3_600_000_000
+    )
+
+
+def q_distinctive_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc top-3 distinctive terms: tf * (N/df) exact-rational TF-IDF,
+    # rank tie-broken by term — WindowGroupLimit top-k per doc.
+    d = _t(spark, sf_dir, "documents")
+    return corpus.distinctive_terms(d, k=3, min_tf=2)
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overlapping token-window chunking (16-token chunks, stride 12 → 4
     # tokens of overlap), the long-document preprocessing step before
@@ -851,6 +916,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speech_segments": q_speech_segments,
         "speech_activity": q_speech_activity,
         "sessionize_events": q_sessionize_events,
+        "asof_purchase_view": q_asof_purchase_view,
+        "purchases_in_error_windows": q_purchases_in_error_windows,
+        "distinctive_terms_docs": q_distinctive_terms_docs,
         "chunk_docs": q_chunk_docs,
         "top_docs_per_source": q_top_docs_per_source,
         "pii_scrub_docs": q_pii_scrub_docs,
@@ -1415,6 +1483,81 @@ FROM s GROUP BY 1, 2
 """
 
 
+_ASOF_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+),
+v AS (
+  SELECT user_id, us, max(event_id) AS view_event_id
+  FROM e WHERE event_type = 'view' GROUP BY 1, 2
+),
+p AS (
+  SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.us,
+  v.view_event_id, v.us AS view_us, p.us - v.us AS asof_gap
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.us >= v.us
+"""
+
+
+_INCIDENT_SQL = """
+WITH err AS (
+  SELECT epoch_us(ts) AS us FROM events WHERE event_type = 'error'
+),
+l AS (
+  SELECT us, lag(us) OVER (ORDER BY us) AS pus FROM err
+),
+s AS (
+  SELECT us,
+    sum(CASE WHEN pus IS NULL THEN 0
+             WHEN us - pus > 600000000 THEN 1 ELSE 0 END)
+      OVER (ORDER BY us ROWS UNBOUNDED PRECEDING) AS incident_idx
+  FROM l
+),
+iv AS (
+  SELECT CAST(incident_idx AS INT) AS incident_idx,
+    min(us) AS start_us, max(us) AS end_us
+  FROM s GROUP BY 1
+)
+SELECT e.event_id, epoch_us(e.ts) AS us,
+  iv.incident_idx, iv.start_us, iv.end_us
+FROM events e JOIN iv
+  ON epoch_us(e.ts) >= iv.start_us AND epoch_us(e.ts) <= iv.end_us
+WHERE e.event_type = 'purchase'
+"""
+
+
+def _distinctive_terms_sql(k: int = 3, min_tf: int = 2) -> str:
+    """Exact-rational TF-IDF: score = tf * (N/df) evaluated in the same
+    IEEE double expression shape as the Spark side (correctly-rounded
+    mul/div → bit-identical; ln would not be)."""
+    return f"""
+WITH tf AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tfc AS (
+  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2
+  HAVING count(*) >= {min_tf}
+),
+dfc AS (
+  SELECT term, count(*) AS df FROM tfc GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+scored AS (
+  SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+    CAST(tfc.tf AS DOUBLE) * (n.nd / CAST(dfc.df AS DOUBLE)) AS score
+  FROM tfc JOIN dfc USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= {k}
+"""
+
+
 def _chunk_docs_sql(c: int = 16, s: int = 12) -> str:
     """Token-window chunking: identical integer chunk grammar as
     chunk_documents (n_chunks = 1 + ceil(max(n-c,0)/s)); DuckDB list
@@ -1718,6 +1861,9 @@ FROM ({verdict_union}) GROUP BY 1, 2
         "speech_segments": _speech_segments_sql(),
         "speech_activity": _speech_activity_sql(),
         "sessionize_events": _sessionize_sql(gap_minutes=30),
+        "asof_purchase_view": _ASOF_SQL,
+        "purchases_in_error_windows": _INCIDENT_SQL,
+        "distinctive_terms_docs": _distinctive_terms_sql(k=3, min_tf=2),
         "chunk_docs": _chunk_docs_sql(c=16, s=12),
         "top_docs_per_source": """
 WITH r AS (

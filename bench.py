@@ -171,6 +171,18 @@ def main() -> None:
         lambda: force(entry_mod.q_ann_batch_topk(spark, sf_dir)),
     )
     timed(
+        "speech_activity",
+        lambda: force(entry_mod.q_speech_activity(spark, sf_dir)),
+    )
+    timed(
+        "sessionize_events",
+        lambda: force(entry_mod.q_sessionize_events(spark, sf_dir)),
+    )
+    timed(
+        "chunk_docs",
+        lambda: force(entry_mod.q_chunk_docs(spark, sf_dir)),
+    )
+    timed(
         "corpus_top_ngrams",
         lambda: force(entry_mod.q_top_ngrams_docs(spark, sf_dir)),
     )

@@ -132,3 +132,62 @@ def boilerplate_score(
             ),
         )
     )
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_tf: int = 1,
+) -> DataFrame:
+    """Per-doc top-k distinctive terms: TF-IDF-style ranking with the
+    score kept EXACTLY reproducible cross-engine — ``score = tf * (N /
+    df)`` (term frequency x inverse document frequency as an exact
+    rational evaluated in IEEE double; ``ln`` variants are NOT
+    correctly-rounded across libms, so the classic ``tf*ln(N/df)`` cannot
+    value-hash match another engine — same monotone ranking per doc
+    either way, since ln is increasing in N/df).
+
+    Output: (id, term, tf, df, score, rank), rank 1..k per doc by
+    (score DESC, term ASC) — tie-stable.
+
+    Scale shape: tf comes from a map-combinable groupBy whose (doc, term)
+    keys are born co-located in the doc's row; df reuses THAT relation
+    grouped by term (counting rows = docs, since (doc, term) is distinct
+    by construction); corpus size N is a 1-row aggregate joined by
+    broadcast; the tf-df join shuffles on the term digest-sized key; the
+    final per-doc top-k is a WindowGroupLimit (k-row heap per task, see
+    sampling.top_per_group)."""
+    from shaclapi_spark.pipeline.sampling import top_per_group
+    from shaclapi_spark.pipeline.text import normalize_text
+
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda x: x != ""
+    )
+    tf = (
+        docs.select(F.col(id_col), F.explode(words).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .where(F.col("tf") >= F.lit(min_tf))
+    )
+    df_rel = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(
+        F.count("*").cast("double").alias("__n")
+    )
+    scored = (
+        tf.join(df_rel, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("__n") / F.col("df").cast("double")),
+        )
+        .drop("__n")
+    )
+    return top_per_group(
+        scored.select(id_col, "term", "tf", "df", "score"),
+        id_col,
+        [F.col("score").desc(), F.col("term").asc()],
+        k=k,
+    )

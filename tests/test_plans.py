@@ -126,6 +126,31 @@ def test_speech_segments_single_exchange(spark):
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
 
 
+def test_asof_join_is_window_not_join(spark):
+    """The as-of join compiles to union + window over ONE hash exchange —
+    no join node of any kind (asof.py docstring claim)."""
+    from shaclapi_spark.pipeline import asof
+
+    left = spark.createDataFrame([Row(pid=1, k="a", us=100)])
+    right = spark.createDataFrame([Row(vid=1, k="a", us=90)])
+    plan = _plan(asof.asof_join(left, right, "k", "us", ["vid"]))
+    assert plan.count("Exchange hashpartitioning") == 1
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "NestedLoop"):
+        assert node not in plan
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    """The bucketized containment join must plan as a hash equi-join
+    (broadcast or shuffled), never BroadcastNestedLoopJoin."""
+    from shaclapi_spark.pipeline import interval
+
+    points = spark.createDataFrame([Row(pid=1, us=150)])
+    iv = spark.createDataFrame([Row(iid=1, s=100, e=200)])
+    plan = _plan(interval.interval_join(points, iv, "us", "s", "e", bucket_us=1000))
+    assert "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
 def test_curation_funnel_scans_corpus_once(spark, docs):
     """The funnel counts are per-row flags aggregated in one pass: the
     funnel action's plan must contain exactly TWO parquet scans total —
