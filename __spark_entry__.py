@@ -780,6 +780,24 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.session_rollup(ev, gap_minutes=30, count_type="purchase")
 
 
+def q_codec_dur_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact per-codec p50/p90 of dur_ms: linear-interpolated percentile
+    # (both engines interpolate lo + (hi-lo)*frac in IEEE double).
+    t = _clip_tables(spark, sf_dir)
+    return stats_ops.grouped_quantiles(
+        t["clips"].where(F.col("dur_ms").isNotNull()), "codec", "dur_ms"
+    )
+
+
+def q_speech_rate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-shape plausibility: transcript tokens-per-second against its
+    # clip duration in [0.5, 8.0] tok/s — integer cross-multiplied test.
+    from shaclapi_spark.ops.audio import speech_rate_check
+
+    t = _clip_tables(spark, sf_dir)
+    return speech_rate_check(t["clips"], t["transcripts"])
+
+
 def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as-of attribution: each purchase joined to the user's most recent
     # view at-or-before it (union + window, one exchange, no join node).
@@ -916,6 +934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speech_segments": q_speech_segments,
         "speech_activity": q_speech_activity,
         "sessionize_events": q_sessionize_events,
+        "codec_dur_quantiles": q_codec_dur_quantiles,
+        "speech_rate_check": q_speech_rate_check,
         "asof_purchase_view": q_asof_purchase_view,
         "purchases_in_error_windows": q_purchases_in_error_windows,
         "distinctive_terms_docs": q_distinctive_terms_docs,
@@ -1861,6 +1881,21 @@ FROM ({verdict_union}) GROUP BY 1, 2
         "speech_segments": _speech_segments_sql(),
         "speech_activity": _speech_activity_sql(),
         "sessionize_events": _sessionize_sql(gap_minutes=30),
+        "codec_dur_quantiles": f"""
+SELECT codec, count(*) AS n_rows,
+  quantile_cont(dur_ms, 0.5) AS p50,
+  quantile_cont(dur_ms, 0.9) AS p90
+FROM {c} WHERE dur_ms IS NOT NULL GROUP BY codec
+""",
+        "speech_rate_check": f"""
+SELECT t.transcript_id, t.clip_id, t.n_tokens, c.dur_ms,
+  CASE WHEN t.n_tokens IS NULL OR c.dur_ms IS NULL OR c.dur_ms <= 0
+       THEN NULL
+       ELSE t.n_tokens * 10000 >= c.dur_ms * 5
+            AND t.n_tokens * 10000 <= c.dur_ms * 80
+  END AS rate_ok
+FROM {_clips_pq("transcripts")} t JOIN {c} c USING (clip_id)
+""",
         "asof_purchase_view": _ASOF_SQL,
         "purchases_in_error_windows": _INCIDENT_SQL,
         "distinctive_terms_docs": _distinctive_terms_sql(k=3, min_tf=2),

@@ -60,3 +60,43 @@ def with_audio_check(
     # NULL blob is a hard failure (there is no payload to validate), not unbound
     checked = F.when(F.col(bytes_col).isNull(), F.lit(False)).otherwise(checked)
     return df.withColumn(out_col, checked)
+
+
+def speech_rate_check(
+    clips: DataFrame,
+    transcripts: DataFrame,
+    min_tps_x10: int = 5,
+    max_tps_x10: int = 80,
+) -> DataFrame:
+    """Cross-table plausibility constraint tying the audio shape to the
+    transcript shape: tokens-per-second of each transcript against its
+    clip's duration must lie in [min_tps_x10/10, max_tps_x10/10] — a
+    transcript "speaking" 30 tokens/s, or 0.1, is a misaligned pair even
+    when both rows pass their own shape checks.
+
+    The bounds are integers in tenths and the test is cross-multiplied —
+    ``n_tokens * 10_000 {>=,<=} dur_ms * bound_x10`` — so the whole
+    relation is integer/boolean and value-hash-exact cross-engine.
+    Verdicts: NULL inputs or non-positive duration → rate unbound (NULL
+    rate_ok, mirroring the engine's unbound⇒valid row rule is left to the
+    caller); otherwise boolean.
+
+    Output: (transcript_id, clip_id, n_tokens, dur_ms, rate_ok).
+
+    Scale shape: inner equi-join on clip_id projecting only (clip_id,
+    dur_ms) from the 100-TB side — the audio payload is pruned at the
+    scan; one shuffle (or broadcast when the transcript side is the small
+    one)."""
+    c = clips.select("clip_id", "dur_ms")
+    t = transcripts.select("transcript_id", "clip_id", "n_tokens")
+    j = t.join(c, "clip_id")
+    nt, dm = F.col("n_tokens"), F.col("dur_ms")
+    ok = (nt * F.lit(10_000) >= dm * F.lit(int(min_tps_x10))) & (
+        nt * F.lit(10_000) <= dm * F.lit(int(max_tps_x10))
+    )
+    rate_ok = F.when(
+        nt.isNull() | dm.isNull() | (dm <= 0), F.lit(None).cast("boolean")
+    ).otherwise(ok)
+    return j.select(
+        "transcript_id", "clip_id", "n_tokens", "dur_ms", rate_ok.alias("rate_ok")
+    )

@@ -117,3 +117,35 @@ def uniqueness_violation_keys(df: DataFrame, key_col: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .filter(F.col("n_rows") > 1)
     )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: list[float] = (0.5, 0.9),
+) -> DataFrame:
+    """Exact per-group quantiles (linear interpolation) of a numeric
+    column: one row per group with ``p<q>`` columns plus n_rows — the
+    distribution summary the drift checks read thresholds from when a
+    sketch (HLL/KLL) is too coarse to pin a bound.
+
+    Exactness matters here: ``percentile_approx``'s error bound is rank-
+    based, so a long-tailed dur_ms distribution can misplace p90 by whole
+    histogram bins; the exact form is cross-engine reproducible (both
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` interpolate
+    ``lo + (hi-lo)*frac`` in IEEE double).
+
+    Scale shape: Spark's exact ``percentile`` is a sort-based aggregate —
+    one hash exchange on the group key, per-group memory O(group values).
+    That is affordable when groups are column-level rollups (codecs,
+    langs, sources: thousands of groups, each fitting a task); for
+    entity-grain groups use ``approx_percentile`` instead and accept the
+    rank error."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for q in quantiles:
+        name = f"p{int(round(q * 100)):02d}"
+        aggs.append(
+            F.percentile(F.col(value_col), F.lit(q)).alias(name)
+        )
+    return df.groupBy(group_col).agg(*aggs)

@@ -95,3 +95,41 @@ def test_drift_verdict_rows(spark, fixture_tables):
     }
     assert "dur_drift" in drows  # shifted tail flagged
     assert "sr_drift" not in drows  # unshifted column passes
+
+
+def test_grouped_quantiles_exact_interpolation(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=float(x)) for x in (10, 20, 30, 40)]
+        + [Row(g="b", v=1.0)]
+    )
+    out = {r.g: r for r in stats_ops.grouped_quantiles(df, "g", "v").collect()}
+    # 4 values: p50 = 20 + (30-20)*0.5 = 25; p90 = rank 2.7 → 30+(40-30)*0.7
+    assert out["a"].p50 == 25.0
+    assert abs(out["a"].p90 - 37.0) < 1e-12
+    assert out["b"].p50 == 1.0 and out["b"].n_rows == 1
+
+
+def test_speech_rate_check_bounds_and_nulls(spark):
+    from pyspark.sql import Row
+
+    from shaclapi_spark.ops.audio import speech_rate_check
+
+    clips = spark.createDataFrame(
+        [
+            Row(clip_id="c1", dur_ms=10_000),  # 10 s
+            Row(clip_id="c2", dur_ms=None),
+        ]
+    )
+    tr = spark.createDataFrame(
+        [
+            Row(transcript_id="t1", clip_id="c1", n_tokens=20),  # 2 tok/s ok
+            Row(transcript_id="t2", clip_id="c1", n_tokens=100),  # 10 tok/s high
+            Row(transcript_id="t3", clip_id="c1", n_tokens=4),  # 0.4 tok/s low
+            Row(transcript_id="t4", clip_id="c1", n_tokens=5),  # 0.5 exactly → ok
+            Row(transcript_id="t5", clip_id="c2", n_tokens=7),  # null dur → unbound
+        ]
+    )
+    out = {r.transcript_id: r.rate_ok for r in speech_rate_check(clips, tr).collect()}
+    assert out == {"t1": True, "t2": False, "t3": False, "t4": True, "t5": None}
