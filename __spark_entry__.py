@@ -30,6 +30,7 @@ from shaclapi_spark.pipeline import chunk as ck
 from shaclapi_spark.pipeline import dedup as dd
 from shaclapi_spark.pipeline import sampling as sp
 from shaclapi_spark.pipeline import sessions as sess
+from shaclapi_spark.pipeline import audio_transform as at
 from shaclapi_spark.pipeline import multimodal as mm
 from shaclapi_spark.pipeline import similarity as sim
 from shaclapi_spark.pipeline import text as tx
@@ -753,6 +754,36 @@ def q_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_trim_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # silence-trim bounds per clip (|s| < 500 = silent): integer-exact
+    # lead/trail runs, total silent count, post-trim length
+    return at.trim_silence(_uniq_clips(spark, sf_dir), thresh=500)
+
+
+def q_audio_content_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # decoded-PCM content dedup incl. cross-container dups: a lossless
+    # flac -> pcm transcode slice is unioned in (ids prefixed), and the
+    # fingerprint groups catch it where byte-level dedup cannot
+    c = _uniq_clips(spark, sf_dir)
+    xcode_src = c.filter(
+        (F.col("codec") == "flac")
+        & (F.substring("clip_id", 6, 8).cast("long") % 7 == 0)
+    )
+    xcoded = at.transcode(xcode_src, "pcm_s16le").withColumn(
+        "clip_id", F.concat(F.lit("xcode_"), F.col("clip_id"))
+    )
+    unioned = c.select("clip_id", "bytes").unionByName(
+        xcoded.select("clip_id", "bytes")
+    )
+    return at.content_dup_groups(unioned)
+
+
+def q_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # integer-factor decimation resample: every 4th sample, sr/4 — the
+    # exactly-reproducible "resample to model rate" normalization step
+    return at.decimate(_uniq_clips(spark, sf_dir), factor=4)
+
+
 def q_multimodal_byte_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _clip_tables(spark, sf_dir)
     per_row = mm.byte_histogram_counts(t["clips"], "clip_id", "bytes", n_bins=16)
@@ -954,6 +985,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_frames": q_audio_frames,
         "clip_loudness": q_clip_loudness,
         "clip_sample_quality": q_sample_quality,
+        "audio_trim_silence": q_audio_trim_silence,
+        "audio_content_dups": q_audio_content_dups,
+        "audio_decimate": q_audio_decimate,
         "multimodal_byte_hist": q_multimodal_byte_hist,
     }
 
@@ -1337,6 +1371,96 @@ SELECT agg.clip_id, agg.n_samples, agg.n_clipped,
   agg.dc_sum, agg.min_s, agg.max_s
 FROM agg LEFT JOIN
   (SELECT clip_id, max(rl) AS mr FROM runs GROUP BY 1) mx USING (clip_id)
+"""
+
+
+def _trim_silence_sql(thresh: int) -> str:
+    """Silence-trim bounds over the shared decode CTEs: leading run =
+    first active index (whole clip when none), trailing run = samples
+    after the last active index. All integers — exact parity with
+    audio_transform.trim_silence."""
+    return f"""
+WITH {_audio_decode_ctes()},
+m AS (
+  SELECT clip_id, i,
+    CASE WHEN abs(val) >= {thresh} THEN 1 ELSE 0 END AS a
+  FROM dec
+),
+b AS (
+  SELECT clip_id,
+    count(*) AS n,
+    sum(1 - a) AS n_silent,
+    min(CASE WHEN a = 1 THEN i END) AS first_a,
+    max(CASE WHEN a = 1 THEN i END) AS last_a
+  FROM m GROUP BY 1
+)
+SELECT clip_id,
+  CAST(n AS BIGINT) AS n_samples,
+  CAST(COALESCE(first_a, n) AS BIGINT) AS lead_sil,
+  CAST(CASE WHEN last_a IS NULL THEN 0 ELSE n - 1 - last_a END AS BIGINT)
+    AS trail_sil,
+  CAST(n_silent AS BIGINT) AS n_silent,
+  CAST(CASE WHEN first_a IS NULL THEN 0 ELSE last_a - first_a + 1 END AS BIGINT)
+    AS n_kept
+FROM b
+"""
+
+
+def _audio_fingerprint_ctes() -> str:
+    """Decoded-PCM fingerprint relation ``fp`` on top of the decode CTEs:
+    md5 over the canonical str(int)-comma-joined sample vector — the same
+    digest audio_transform._canonical_md5 derives from numpy."""
+    return f"""{_audio_decode_ctes()},
+fp0 AS (
+  SELECT clip_id,
+    count(*) AS n_samples,
+    md5(string_agg(CAST(val AS VARCHAR), ',' ORDER BY i)) AS pcm_md5
+  FROM dec GROUP BY 1
+),
+fp AS (
+  SELECT fp0.clip_id,
+    CASE h.codec_id WHEN 0 THEN 'pcm_s16le' WHEN 1 THEN 'flac'
+                    ELSE 'opus' END AS codec,
+    fp0.n_samples, fp0.pcm_md5
+  FROM fp0 JOIN hdr h USING (clip_id)
+)"""
+
+
+def _content_dups_sql() -> str:
+    """Cross-container content-dup groups: a lossless flac -> pcm
+    transcode decodes bit-identically, so the oracle models the query's
+    transcoded slice by re-labeling fp rows — no second decode needed."""
+    return f"""
+WITH {_audio_fingerprint_ctes()},
+xc AS (
+  SELECT 'xcode_' || clip_id AS clip_id, 'pcm_s16le' AS codec,
+         n_samples, pcm_md5
+  FROM fp
+  WHERE codec = 'flac' AND CAST(substr(clip_id, 6) AS BIGINT) % 7 = 0
+),
+fpu AS (SELECT * FROM fp UNION ALL SELECT * FROM xc)
+SELECT pcm_md5,
+  CAST(max(n_samples) AS BIGINT) AS n_samples,
+  CAST(count(*) AS BIGINT) AS n_clips,
+  CAST(count(DISTINCT codec) AS BIGINT) AS n_codecs,
+  min(clip_id) AS first_clip,
+  max(clip_id) AS last_clip
+FROM fpu GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def _decimate_sql(factor: int) -> str:
+    """Every ``factor``-th decoded sample, digested with the same
+    canonical md5; sr_out is integer division of the header rate."""
+    return f"""
+WITH {_audio_decode_ctes()},
+dm AS (SELECT clip_id, i, val FROM dec WHERE i % {factor} = 0)
+SELECT dm.clip_id,
+  CAST(h.sr // {factor} AS INT) AS sr_out,
+  CAST(count(*) AS BIGINT) AS n_out,
+  md5(string_agg(CAST(dm.val AS VARCHAR), ',' ORDER BY dm.i)) AS dec_md5
+FROM dm JOIN hdr h ON h.clip_id = dm.clip_id
+GROUP BY dm.clip_id, h.sr
 """
 
 
@@ -1878,6 +2002,9 @@ FROM ({verdict_union}) GROUP BY 1, 2
         "audio_frames": _audio_frames_sql(),
         "clip_loudness": _clip_loudness_sql(),
         "clip_sample_quality": _sample_quality_sql(clip_thresh=26000),
+        "audio_trim_silence": _trim_silence_sql(thresh=500),
+        "audio_content_dups": _content_dups_sql(),
+        "audio_decimate": _decimate_sql(factor=4),
         "speech_segments": _speech_segments_sql(),
         "speech_activity": _speech_activity_sql(),
         "sessionize_events": _sessionize_sql(gap_minutes=30),

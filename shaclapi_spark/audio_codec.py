@@ -121,6 +121,28 @@ def encode_clip(
     return header + bytes(payload)
 
 
+def encode_samples(
+    samples: np.ndarray,
+    codec: str,
+    sr_hz: int,
+    freq_hz: float = 0.0,
+    amp: float = 0.0,
+) -> bytes:
+    """Wrap an arbitrary int16 sample vector in an SGA1 container.
+
+    Transform operators (silence trim, decimation resample) re-encode
+    their output through this; ``freq_hz``/``amp`` carry through the
+    source clip's reference-signal metadata (or 0.0 when the transform
+    invalidates it, e.g. decimation changes the effective frequency).
+    """
+    s = np.asarray(samples, dtype=np.int16)
+    payload = _encode_payload(s, codec)
+    header = HEADER.pack(
+        MAGIC, CODEC_IDS[codec], int(sr_hz), len(s), float(freq_hz), float(amp)
+    )
+    return header + payload
+
+
 def decode_clip(blob: bytes) -> tuple[dict, np.ndarray]:
     """Parse an SGA1 container → (header dict, int16 samples).
 

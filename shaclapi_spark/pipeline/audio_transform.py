@@ -1,0 +1,314 @@
+"""Audio TRANSFORM operators: ops that rewrite the waveform itself —
+silence trimming, integer-factor decimation resampling — plus the
+decoded-PCM content fingerprint that underpins cross-container dedup.
+
+The reference validates entities and reports verdicts (its analog is the
+per-entity constraint evaluation feeding verdict tuples,
+shaclapi/multiprocessing/functions.py:13-16); a training-data pipeline
+over the same audio table additionally has to NORMALIZE the payloads —
+trim dead air, downsample to the model rate, and dedup clips whose
+*decoded* audio is identical even when the container bytes differ (a
+pcm_s16le and a flac encode of the same take decode bit-identically;
+byte-level dedup misses them).
+
+Every operator here is one Arrow-batched ``mapInPandas`` pass over
+``(id, bytes)`` — no shuffle, no per-row Python (numpy inside the batch).
+At 100 TB the decode is embarrassingly parallel with the scan; the only
+shuffle in this module is the content-dedup groupBy, which moves 32-char
+hex digests + small ints, never samples or container bytes.
+
+Integer-exactness: the fingerprint is md5 over the canonical
+``str(int)``-comma-joined sample vector, so an independent engine that
+decodes the same container (DuckDB via the hex-decode CTE chain) derives
+the identical digest — these ops carry full cross-engine value-hash
+oracles, like pipeline.multimodal's feature extractors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from shaclapi_spark import audio_codec
+
+TRIM_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType()),
+        StructField("n_samples", LongType()),
+        StructField("lead_sil", LongType()),
+        StructField("trail_sil", LongType()),
+        StructField("n_silent", LongType()),
+        StructField("n_kept", LongType()),
+    ]
+)
+
+TRIM_BYTES_SCHEMA = StructType(
+    TRIM_SCHEMA.fields + [StructField("bytes_trimmed", BinaryType())]
+)
+
+
+def _leading_trailing(active: np.ndarray) -> tuple[int, int]:
+    """(leading, trailing) run lengths of False in a boolean 'active' mask."""
+    n = len(active)
+    idx = np.flatnonzero(active)
+    if len(idx) == 0:
+        return n, 0  # all silent: the whole clip is the leading run
+    return int(idx[0]), int(n - 1 - idx[-1])
+
+
+def trim_silence(
+    df: DataFrame,
+    thresh: int = 500,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    with_bytes: bool = False,
+) -> DataFrame:
+    """Leading/trailing-silence trim per clip (|s| < ``thresh`` = silent).
+
+    Returns integer-exact bounds — ``lead_sil``/``trail_sil`` sample runs,
+    total ``n_silent`` and the post-trim length ``n_kept`` — and, with
+    ``with_bytes=True``, the trimmed clip re-encoded into the same codec
+    (the actual transform output a pipeline writes back). An all-silent
+    clip trims to 0 samples (``lead_sil = n_samples``, ``trail_sil = 0``
+    by convention: one run, counted once).
+
+    Scale shape: single mapInPandas pass, no shuffle; undecodable/NULL
+    blobs are skipped (same policy as multimodal.audio_frame_features).
+    """
+    schema = TRIM_BYTES_SCHEMA if with_bytes else TRIM_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for cid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                try:
+                    hdr, s = audio_codec.decode_clip(bytes(blob))
+                except (ValueError, TypeError):
+                    continue
+                if len(s) == 0:
+                    continue
+                s64 = s.astype(np.int64)
+                active = np.abs(s64) >= thresh
+                lead, trail = _leading_trailing(active)
+                n = len(s64)
+                n_silent = int(n - active.sum())
+                n_kept = n - lead - trail
+                row = [str(cid), n, lead, trail, n_silent, n_kept]
+                if with_bytes:
+                    kept = s[lead : n - trail]
+                    row.append(
+                        audio_codec.encode_samples(
+                            kept, hdr["codec"], hdr["sr_hz"],
+                            hdr["freq_hz"], hdr["amp"],
+                        )
+                    )
+                rows.append(tuple(row))
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(gen, schema=schema)
+
+
+FINGERPRINT_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType()),
+        StructField("codec", StringType()),
+        StructField("n_samples", LongType()),
+        StructField("pcm_md5", StringType()),
+    ]
+)
+
+
+def _canonical_md5(samples: np.ndarray) -> str:
+    """md5 of the canonical sample-vector string: str(int) joined by ','.
+
+    The canonical form is chosen to be derivable in pure SQL
+    (``md5(string_agg(val, ',' ORDER BY i))``) so an independent engine
+    reaches the same digest from the same container bytes.
+    """
+    return hashlib.md5(
+        ",".join(map(str, samples.astype(np.int64).tolist())).encode()
+    ).hexdigest()
+
+
+def pcm_fingerprint(
+    df: DataFrame, id_col: str = "clip_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """Decoded-PCM content fingerprint per clip.
+
+    ``pcm_md5`` identifies the *audio*, not the container: a lossless
+    re-encode (pcm_s16le vs flac of the same take) maps to the same
+    digest, a lossy one (opus) does not. This is the audio analog of
+    text exact-dedup's md5-of-normalized-text (pipeline/dedup.py).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for cid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                try:
+                    hdr, s = audio_codec.decode_clip(bytes(blob))
+                except (ValueError, TypeError):
+                    continue
+                if len(s) == 0:
+                    continue
+                rows.append((str(cid), hdr["codec"], len(s), _canonical_md5(s)))
+            yield pd.DataFrame(rows, columns=FINGERPRINT_SCHEMA.fieldNames())
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        gen, schema=FINGERPRINT_SCHEMA
+    )
+
+
+def content_dup_groups(df: DataFrame, **kw) -> DataFrame:
+    """Groups of clips whose decoded PCM is bit-identical (size > 1).
+
+    Output: (pcm_md5, n_samples, n_clips, n_codecs, first_clip, last_clip).
+    ``n_codecs > 1`` rows are exactly the dups that byte-level /
+    container-level dedup cannot see. The groupBy shuffles 32-char
+    digests and two small strings per clip — payload bytes never move.
+    """
+    fp = pcm_fingerprint(df, **kw)
+    return (
+        fp.groupBy("pcm_md5")
+        .agg(
+            F.max("n_samples").alias("n_samples"),
+            F.count("*").alias("n_clips"),
+            F.countDistinct("codec").alias("n_codecs"),
+            F.min("clip_id").alias("first_clip"),
+            F.max("clip_id").alias("last_clip"),
+        )
+        .filter(F.col("n_clips") > 1)
+    )
+
+
+TRANSCODE_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType()),
+        StructField("codec", StringType()),
+        StructField("bytes", BinaryType()),
+    ]
+)
+
+
+def transcode(
+    df: DataFrame,
+    to_codec: str,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Re-containerize clips into ``to_codec`` (decode → re-encode).
+
+    pcm_s16le ↔ flac transcodes are bit-exact (both lossless), so the
+    output fingerprints to the same ``pcm_md5`` as the input — the
+    canonical source of "same audio, different container" duplicates
+    that :func:`content_dup_groups` exists to catch. Transcoding INTO
+    opus quantizes (lossy), matching real-codec semantics.
+
+    One mapInPandas pass, no shuffle; header reference-signal metadata
+    (freq/amp) carries through unchanged.
+    """
+    if to_codec not in audio_codec.CODEC_IDS:
+        raise ValueError(f"unknown codec {to_codec!r}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for cid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                try:
+                    hdr, s = audio_codec.decode_clip(bytes(blob))
+                except (ValueError, TypeError):
+                    continue
+                rows.append(
+                    (
+                        str(cid),
+                        to_codec,
+                        audio_codec.encode_samples(
+                            s, to_codec, hdr["sr_hz"], hdr["freq_hz"], hdr["amp"]
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=TRANSCODE_SCHEMA.fieldNames())
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        gen, schema=TRANSCODE_SCHEMA
+    )
+
+
+DECIMATE_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType()),
+        StructField("sr_out", IntegerType()),
+        StructField("n_out", LongType()),
+        StructField("dec_md5", StringType()),
+    ]
+)
+
+DECIMATE_BYTES_SCHEMA = StructType(
+    DECIMATE_SCHEMA.fields + [StructField("bytes_out", BinaryType())]
+)
+
+
+def decimate(
+    df: DataFrame,
+    factor: int = 4,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    with_bytes: bool = False,
+) -> DataFrame:
+    """Integer-factor decimation resample: keep every ``factor``-th sample.
+
+    The pipeline normalization step "resample everything to the model
+    rate" in its exactly-reproducible form — no anti-alias filter state,
+    no float resampler drift, so the output is integer-exact and
+    cross-engine checkable (``dec_md5`` over the kept samples,
+    ``sr_out = header_sr // factor``, ``n_out = ceil(n / factor)``).
+    ``with_bytes=True`` re-encodes the decimated vector into the same
+    codec at the new rate (the payload a pipeline would write back).
+    """
+    if factor < 1:
+        raise ValueError(f"decimation factor must be >= 1, got {factor}")
+    schema = DECIMATE_BYTES_SCHEMA if with_bytes else DECIMATE_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for cid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                try:
+                    hdr, s = audio_codec.decode_clip(bytes(blob))
+                except (ValueError, TypeError):
+                    continue
+                if len(s) == 0:
+                    continue
+                kept = s[::factor]
+                sr_out = int(hdr["sr_hz"]) // factor
+                row = [str(cid), sr_out, len(kept), _canonical_md5(kept)]
+                if with_bytes:
+                    row.append(
+                        audio_codec.encode_samples(
+                            kept, hdr["codec"], sr_out, hdr["freq_hz"], hdr["amp"]
+                        )
+                    )
+                rows.append(tuple(row))
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(gen, schema=schema)

@@ -1,0 +1,149 @@
+"""Audio transform ops: silence trim, PCM content fingerprint / cross-codec
+dedup, integer decimation resample — integer-exact vs pure-numpy references."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from shaclapi_spark import audio_codec as ac
+from shaclapi_spark.pipeline import audio_transform as at
+
+
+def _padded_clip(lead=37, body=200, trail=11, amp=20000, codec="pcm_s16le", sr=16000):
+    """Clip with known silence padding: zeros, then a loud square, then zeros."""
+    s = np.concatenate(
+        [
+            np.zeros(lead, dtype=np.int16),
+            np.full(body, amp, dtype=np.int16),
+            np.zeros(trail, dtype=np.int16),
+        ]
+    )
+    return ac.encode_samples(s, codec, sr), s
+
+
+def test_encode_samples_roundtrip():
+    s = np.arange(-300, 300, 7, dtype=np.int16)
+    for codec in ("pcm_s16le", "flac", "opus"):
+        hdr, out = ac.decode_clip(ac.encode_samples(s, codec, 8000))
+        assert hdr["codec"] == codec and hdr["sr_hz"] == 8000
+        if codec == "opus":
+            assert np.max(np.abs(out.astype(int) - s.astype(int))) < 64
+        else:
+            assert np.array_equal(out, s)
+
+
+def test_trim_silence_bounds(spark):
+    blob, _ = _padded_clip(lead=37, body=200, trail=11)
+    df = spark.createDataFrame([Row(clip_id="c1", bytes=bytearray(blob))])
+    r = at.trim_silence(df, thresh=500).collect()[0]
+    assert (r.n_samples, r.lead_sil, r.trail_sil) == (248, 37, 11)
+    assert r.n_kept == 200
+    assert r.n_silent == 48
+
+
+def test_trim_silence_bytes_roundtrip(spark):
+    blob, s = _padded_clip(lead=5, body=50, trail=9, codec="flac")
+    df = spark.createDataFrame([Row(clip_id="c1", bytes=bytearray(blob))])
+    r = at.trim_silence(df, thresh=500, with_bytes=True).collect()[0]
+    hdr, out = ac.decode_clip(bytes(r.bytes_trimmed))
+    assert hdr["codec"] == "flac"
+    assert np.array_equal(out, s[5:-9])
+
+
+def test_trim_all_silent_clip(spark):
+    s = np.zeros(64, dtype=np.int16)
+    df = spark.createDataFrame(
+        [Row(clip_id="z", bytes=bytearray(ac.encode_samples(s, "pcm_s16le", 8000)))]
+    )
+    r = at.trim_silence(df, thresh=500, with_bytes=True).collect()[0]
+    assert (r.lead_sil, r.trail_sil, r.n_kept, r.n_silent) == (64, 0, 0, 64)
+    _, out = ac.decode_clip(bytes(r.bytes_trimmed))
+    assert len(out) == 0
+
+
+def test_fingerprint_cross_codec(spark):
+    s = ac.synth_sine(440.0, 16000, 300, 0.6)
+    rows = [
+        Row(clip_id="pcm", bytes=bytearray(ac.encode_samples(s, "pcm_s16le", 16000))),
+        Row(clip_id="flc", bytes=bytearray(ac.encode_samples(s, "flac", 16000))),
+        Row(clip_id="ops", bytes=bytearray(ac.encode_samples(s, "opus", 16000))),
+    ]
+    fp = {r.clip_id: r.pcm_md5 for r in at.pcm_fingerprint(spark.createDataFrame(rows)).collect()}
+    # lossless containers agree on content; lossy does not
+    assert fp["pcm"] == fp["flc"] != fp["ops"]
+    # canonical digest matches an independent derivation
+    expect = hashlib.md5(",".join(map(str, s.astype(int).tolist())).encode()).hexdigest()
+    assert fp["pcm"] == expect
+
+
+def test_content_dup_groups(spark):
+    s1 = ac.synth_sine(440.0, 16000, 300, 0.6)
+    s2 = ac.synth_sine(523.0, 16000, 280, 0.4)
+    rows = [
+        Row(clip_id="a", bytes=bytearray(ac.encode_samples(s1, "pcm_s16le", 16000))),
+        Row(clip_id="b", bytes=bytearray(ac.encode_samples(s1, "flac", 16000))),
+        Row(clip_id="c", bytes=bytearray(ac.encode_samples(s2, "flac", 16000))),
+    ]
+    groups = at.content_dup_groups(spark.createDataFrame(rows)).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert (g.n_clips, g.n_codecs, g.first_clip, g.last_clip) == (2, 2, "a", "b")
+
+
+def test_decimate_exact(spark):
+    s = ac.synth_sine(440.0, 16000, 333, 0.7)
+    df = spark.createDataFrame(
+        [Row(clip_id="c1", bytes=bytearray(ac.encode_samples(s, "pcm_s16le", 16000)))]
+    )
+    r = at.decimate(df, factor=4, with_bytes=True).collect()[0]
+    kept = s[::4]
+    assert (r.sr_out, r.n_out) == (4000, len(kept))
+    expect = hashlib.md5(",".join(map(str, kept.astype(int).tolist())).encode()).hexdigest()
+    assert r.dec_md5 == expect
+    hdr, out = ac.decode_clip(bytes(r.bytes_out))
+    assert hdr["sr_hz"] == 4000 and np.array_equal(out, kept)
+
+
+def test_decimate_factor_validation(spark):
+    df = spark.createDataFrame([Row(clip_id="c", bytes=bytearray(b""))])
+    with pytest.raises(ValueError):
+        at.decimate(df, factor=0)
+
+
+def test_transcode_lossless_roundtrip(spark):
+    s = ac.synth_sine(330.0, 8000, 256, 0.5)
+    df = spark.createDataFrame(
+        [Row(clip_id="c1", bytes=bytearray(ac.encode_samples(s, "flac", 8000)))]
+    )
+    out = at.transcode(df, "pcm_s16le").collect()[0]
+    hdr, dec = ac.decode_clip(bytes(out.bytes))
+    assert hdr["codec"] == "pcm_s16le" and np.array_equal(dec, s)
+    with pytest.raises(ValueError):
+        at.transcode(df, "mp3")
+
+
+def test_transforms_on_fixture(spark, fixture_tables):
+    """The ops run over the real fixture and skip corrupt/NULL rows the
+    same way the other multimodal extractors do."""
+    from pyspark.sql import functions as F
+
+    clips = fixture_tables["clips"]
+    n_fp = at.pcm_fingerprint(clips).count()
+    n_tr = at.trim_silence(clips).count()
+    assert n_fp == n_tr
+    assert n_fp > 0
+    # content dups exist by fixture construction (sample content has
+    # period 1280 in i, so i and i+1280 collide)
+    assert at.content_dup_groups(clips).count() > 0
+    # cross-container dups: a lossless flac -> pcm transcode fingerprints
+    # identically, and content dedup catches it where byte dedup cannot
+    flac = clips.filter(F.col("codec") == "flac").limit(50)
+    xcoded = at.transcode(flac, "pcm_s16le").withColumn(
+        "clip_id", F.concat(F.lit("xcode_"), F.col("clip_id"))
+    )
+    unioned = clips.select("clip_id", "bytes").unionByName(
+        xcoded.select("clip_id", "bytes")
+    )
+    assert at.content_dup_groups(unioned).filter("n_codecs > 1").count() > 0
