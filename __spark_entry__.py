@@ -34,6 +34,7 @@ from shaclapi_spark.pipeline import audio_transform as at
 from shaclapi_spark.pipeline import multimodal as mm
 from shaclapi_spark.pipeline import similarity as sim
 from shaclapi_spark.pipeline import text as tx
+from shaclapi_spark.pipeline import webclean as wc
 from shaclapi_spark.suite import Constraint, Shape, Suite
 
 # ---------------------------------------------------------------------------
@@ -539,6 +540,56 @@ def q_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encoding_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mojibake / replacement-char / control-byte scoring over
+    # deterministically-augmented text (raw docs are clean ASCII, so the
+    # query plants artifacts: doc_id%3 'Ã©'s, 'â€™' on %4, '�' on %7, a
+    # bell byte on %11 — both engines build the identical text)
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.repeat(F.lit("Ã©"), (F.col("doc_id") % 3).cast("int")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("â€™")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("�")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("\x07")).otherwise(F.lit("")),
+    )
+    out = wc.with_encoding_quality(
+        d.select("doc_id", aug.alias("text")), max_per_kchar=2
+    )
+    return out.select("doc_id", "n_mojibake", "n_repl", "n_ctrl", "enc_ok")
+
+
+def q_domain_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-domain URL statistics + blocklist flag over augmented text (raw
+    # docs carry no URLs: one rotating site link per doc, an ad-tracker
+    # link on every 6th)
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" see https://site"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 6 == 0, F.lit(" http://ads.spam.bad/x")).otherwise(
+            F.lit("")
+        ),
+    )
+    return wc.domain_stats(
+        d.select("doc_id", aug.alias("text")), blocklist=("ads.spam.bad",)
+    )
+
+
+def q_substring_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # verbatim canary-string contamination: needles are 40-char substrings
+    # of every 97th doc; any doc containing one verbatim is flagged with
+    # its distinct-needle hit count (docs 0 mod 97 self-match by design)
+    d = _t(spark, sf_dir, "documents")
+    needles = d.filter(
+        (F.col("doc_id") % 97 == 0) & (F.length("text") >= 60)
+    ).select(F.substring("text", 10, 40).alias("needle"))
+    return dd.substring_contaminated(d, needles)
+
+
 def q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PII redaction over deterministically-augmented text (the raw docs
     # carry no PII, so the query plants one email + one phone per doc and a
@@ -973,6 +1024,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "top_docs_per_source": q_top_docs_per_source,
         "pii_scrub_docs": q_pii_scrub_docs,
+        "encoding_quality_docs": q_encoding_quality_docs,
+        "domain_stats_docs": q_domain_stats_docs,
+        "substring_decontam_docs": q_substring_decontam_docs,
         "line_dedup_docs": q_line_dedup_docs,
         "epoch_shuffle_docs": q_epoch_shuffle_docs,
         "topk_cosine": q_topk_cosine,
@@ -1464,6 +1518,66 @@ GROUP BY dm.clip_id, h.sr
 """
 
 
+def _encoding_quality_sql() -> str:
+    """Artifact counts generated from webclean.ARTIFACT_PATTERNS — the SQL
+    derives from the same registry the Spark path uses (no drift), with
+    the identical deterministic augmentation."""
+    aug = (
+        "text || repeat('Ã©', CAST(doc_id % 3 AS INT)) || "
+        "CASE WHEN doc_id % 4 = 0 THEN 'â€™' ELSE '' END || "
+        "CASE WHEN doc_id % 7 = 0 THEN '�' ELSE '' END || "
+        "CASE WHEN doc_id % 11 = 0 THEN chr(7) ELSE '' END"
+    )
+    count_cols = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in wc.ARTIFACT_PATTERNS
+    )
+    total = " + ".join(f"n_{name}" for name, _ in wc.ARTIFACT_PATTERNS)
+    return f"""
+WITH aug AS (SELECT doc_id, {aug} AS text FROM documents),
+c AS (SELECT doc_id, {count_cols}, length(text) AS n FROM aug)
+SELECT doc_id, n_mojibake, n_repl, n_ctrl,
+  ({total}) * 1000 < n * 2 AS enc_ok
+FROM c
+"""
+
+
+def _domain_stats_sql() -> str:
+    """URL extraction + per-domain rollup from the same URL_PATTERN
+    literal the Spark path compiles (quote-escaped for SQL)."""
+    pat = wc.URL_PATTERN.replace("'", "''")
+    host = wc.HOST_PATTERN.replace("'", "''")
+    aug = (
+        "text || ' see https://site' || CAST(doc_id % 10 AS VARCHAR) || "
+        "'.example.com/p/' || CAST(doc_id AS VARCHAR) || "
+        "CASE WHEN doc_id % 6 = 0 THEN ' http://ads.spam.bad/x' ELSE '' END"
+    )
+    return f"""
+WITH aug AS (SELECT doc_id, {aug} AS text FROM documents),
+u AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{pat}')) AS url FROM aug
+),
+d AS (SELECT doc_id, regexp_extract(url, '{host}', 1) AS domain FROM u)
+SELECT domain,
+  CAST(count(*) AS BIGINT) AS n_urls,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  bool_or(domain = 'ads.spam.bad') AS blocked
+FROM d GROUP BY 1
+"""
+
+
+def _substring_decontam_sql() -> str:
+    return """
+WITH needles AS (
+  SELECT DISTINCT substr(text, 10, 40) AS needle
+  FROM documents WHERE doc_id % 97 = 0 AND length(text) >= 60
+)
+SELECT d.doc_id, CAST(count(DISTINCT n.needle) AS BIGINT) AS n_hits
+FROM documents d JOIN needles n ON strpos(d.text, n.needle) > 0
+GROUP BY 1
+"""
+
+
 def _pii_scrub_sql() -> str:
     """Progressive per-kind redaction generated from scrub.PII_PATTERNS —
     the SQL is derived from the same registry the Spark path uses, so the
@@ -1912,6 +2026,9 @@ SELECT w.doc_id,
 FROM w LEFT JOIN scored USING (doc_id)
 """,
         "pii_scrub_docs": _pii_scrub_sql(),
+        "encoding_quality_docs": _encoding_quality_sql(),
+        "domain_stats_docs": _domain_stats_sql(),
+        "substring_decontam_docs": _substring_decontam_sql(),
         "line_dedup_docs": """
 WITH lns AS (
   SELECT doc_id, l, l[i] AS line, i

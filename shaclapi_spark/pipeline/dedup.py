@@ -498,6 +498,41 @@ def contaminated_ids(
     )
 
 
+def substring_contaminated(
+    docs: DataFrame,
+    needles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    needle_col: str = "needle",
+) -> DataFrame:
+    """Exact-substring contamination: (doc id, n_hits) for every corpus
+    doc whose text contains ≥1 needle VERBATIM, with the count of
+    distinct needles it contains.
+
+    The n-gram variant (:func:`contaminated_ids`) is robust to
+    whitespace/case noise but needs ≥n words of overlap; the verbatim
+    variant is the complement — it catches short canary strings, exact
+    answer keys, and license sentinels of any length.
+
+    Scale shape: the needle relation is distinct-ed and BROADCAST (canary
+    sets are small by construction), then evaluated as a broadcast
+    nested-loop join with a JVM `contains` predicate — one corpus scan,
+    NO corpus shuffle; the only aggregation groups the matched (id,
+    needle) pairs. Cost is O(docs × needles) contains-scans, which is the
+    honest price of verbatim matching — for needle sets beyond ~10^3 use
+    `contaminated_ids`' hashed blocking instead.
+    """
+    uniq = F.broadcast(
+        needles.select(F.col(needle_col).alias("__needle")).distinct()
+    )
+    hits = docs.select(id_col, text_col).join(
+        uniq, F.col(text_col).contains(F.col("__needle")), "inner"
+    )
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("__needle").alias("n_hits")
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
