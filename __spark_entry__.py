@@ -805,6 +805,31 @@ def q_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dur_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-entity anomaly verdicts against the row's own codec's exact
+    # [p05, p95] dur_ms band (null dur -> unknown verdict)
+    out = stats_ops.quantile_anomalies(
+        _uniq_clips(spark, sf_dir).select("clip_id", "codec", "dur_ms"),
+        "codec",
+        "dur_ms",
+        0.05,
+        0.95,
+    )
+    return out.select(
+        "clip_id", "codec", "dur_ms", "band_lo", "band_hi", "is_anomaly"
+    )
+
+
+def q_events_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-event-type freshness/completeness: newest row within 30 min of
+    # the table's newest, largest internal gap under 10000 s — integer-
+    # microsecond arithmetic, exact across engines
+    return stats_ops.freshness_check(
+        _t(spark, sf_dir, "events"), "event_type", "ts",
+        max_lag_s=1800, max_gap_s=10000,
+    )
+
+
 def q_audio_trim_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # silence-trim bounds per clip (|s| < 500 = silent): integer-exact
     # lead/trail runs, total silent count, post-trim length
@@ -1039,6 +1064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_frames": q_audio_frames,
         "clip_loudness": q_clip_loudness,
         "clip_sample_quality": q_sample_quality,
+        "dur_anomalies": q_dur_anomalies,
+        "events_freshness": q_events_freshness,
         "audio_trim_silence": q_audio_trim_silence,
         "audio_content_dups": q_audio_content_dups,
         "audio_decimate": q_audio_decimate,
@@ -2119,6 +2146,42 @@ FROM ({verdict_union}) GROUP BY 1, 2
         "audio_frames": _audio_frames_sql(),
         "clip_loudness": _clip_loudness_sql(),
         "clip_sample_quality": _sample_quality_sql(clip_thresh=26000),
+        "dur_anomalies": f"""
+WITH u AS (
+  SELECT clip_id, codec, dur_ms FROM {c}
+  WHERE clip_id IN (SELECT clip_id FROM {c} GROUP BY 1 HAVING count(*) = 1)
+),
+b AS (
+  SELECT codec,
+    quantile_cont(dur_ms, 0.05) AS band_lo,
+    quantile_cont(dur_ms, 0.95) AS band_hi
+  FROM u WHERE dur_ms IS NOT NULL GROUP BY 1
+)
+SELECT u.clip_id, u.codec, u.dur_ms, b.band_lo, b.band_hi,
+  CASE WHEN u.dur_ms IS NULL THEN NULL
+       ELSE u.dur_ms < b.band_lo OR u.dur_ms > b.band_hi END AS is_anomaly
+FROM u LEFT JOIN b USING (codec)
+""",
+        "events_freshness": """
+WITH g AS (
+  SELECT event_type,
+    epoch_us(ts) - lag(epoch_us(ts))
+      OVER (PARTITION BY event_type ORDER BY ts) AS gap
+  FROM events
+),
+per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, max(ts) AS max_ts
+  FROM events GROUP BY 1
+),
+ga AS (SELECT event_type, max(gap) AS max_gap_us FROM g GROUP BY 1),
+gl AS (SELECT max(epoch_us(ts)) AS glob_us FROM events)
+SELECT per.event_type, per.n_events, per.max_ts,
+  CAST(gl.glob_us - epoch_us(per.max_ts) AS BIGINT) AS lag_us,
+  gl.glob_us - epoch_us(per.max_ts) <= CAST(1800 AS BIGINT) * 1000000 AS fresh_ok,
+  CAST(ga.max_gap_us AS BIGINT) AS max_gap_us,
+  COALESCE(ga.max_gap_us, 0) <= CAST(10000 AS BIGINT) * 1000000 AS gap_ok
+FROM per LEFT JOIN ga USING (event_type) CROSS JOIN gl
+""",
         "audio_trim_silence": _trim_silence_sql(thresh=500),
         "audio_content_dups": _content_dups_sql(),
         "audio_decimate": _decimate_sql(factor=4),

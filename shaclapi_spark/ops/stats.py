@@ -15,7 +15,7 @@ map-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def column_stats(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -149,3 +149,99 @@ def grouped_quantiles(
             F.percentile(F.col(value_col), F.lit(q)).alias(name)
         )
     return df.groupBy(group_col).agg(*aggs)
+
+
+def freshness_check(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    max_lag_s: int = 3600,
+    max_gap_s: int = 3600,
+) -> DataFrame:
+    """Per-group data-freshness / completeness verdicts over an event-time
+    column: is each group's newest row close enough to the table's newest
+    row (``lag_us`` vs ``max_lag_s``), and is the largest gap between
+    consecutive rows within the group bounded (``max_gap_us`` vs
+    ``max_gap_s``)? A silent upstream producer shows up as a stale or
+    gappy group long before row counts drift.
+
+    All arithmetic is integer microseconds — exact cross-engine.
+
+    Output: (group, n_events, max_ts, lag_us, fresh_ok, max_gap_us,
+    gap_ok).
+
+    Scale shape: the per-group max/count is a map-side-combinable
+    aggregate; the intra-group gap needs one hash exchange on the group
+    key + a per-group sort (same key as the aggregate, so AQE reuses the
+    exchange); the table-wide max is a 1-row broadcast join.
+    """
+    from shaclapi_spark.pipeline.sessions import _micros
+
+    us = _micros(df, ts_col)
+    gaps = df.select(
+        F.col(group_col),
+        (us - F.lag(us).over(Window.partitionBy(group_col).orderBy(ts_col))).alias(
+            "__gap"
+        ),
+    )
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.col(ts_col)).alias("max_ts"),
+        F.max(us).alias("__max_us"),
+    )
+    gap_agg = gaps.groupBy(group_col).agg(F.max("__gap").alias("max_gap_us"))
+    glob = df.agg(F.max(us).alias("__glob_us"))
+    out = (
+        per.join(gap_agg, group_col, "left")
+        .join(F.broadcast(glob))
+        .withColumn("lag_us", F.col("__glob_us") - F.col("__max_us"))
+    )
+    return out.select(
+        group_col,
+        "n_events",
+        "max_ts",
+        "lag_us",
+        (F.col("lag_us") <= F.lit(int(max_lag_s) * 1_000_000)).alias("fresh_ok"),
+        "max_gap_us",
+        (F.coalesce(F.col("max_gap_us"), F.lit(0))
+         <= F.lit(int(max_gap_s) * 1_000_000)).alias("gap_ok"),
+    )
+
+
+def quantile_anomalies(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Per-row anomaly verdicts against each row's OWN group's exact
+    quantile band: value outside [p<lo>, p<hi>] of its group ⇒ anomaly.
+
+    This is the per-entity form of the suite's distribution checks — the
+    reference's per-entity verdict tuples (shaclapi/multiprocessing/
+    functions.py:13-16) where the "shape" is membership in the group's
+    central band. NULL values get a NULL verdict (unknown, not violated —
+    the engine's unbound⇒valid convention leaves policy to the caller).
+
+    Output: (group, id columns passed through, value, lo, hi, is_anomaly).
+
+    Scale shape: the quantile relation is one row per group — BROADCAST
+    back onto the fact scan, so the verdict pass adds no second shuffle
+    beyond the quantile aggregate itself.
+    """
+    bands = grouped_quantiles(df, group_col, value_col, [lo_q, hi_q])
+    lo_name = f"p{int(round(lo_q * 100)):02d}"
+    hi_name = f"p{int(round(hi_q * 100)):02d}"
+    bands = bands.select(
+        group_col,
+        F.col(lo_name).alias("__lo"),
+        F.col(hi_name).alias("__hi"),
+    )
+    out = df.join(F.broadcast(bands), group_col, "left")
+    return out.withColumn(
+        "is_anomaly",
+        F.when(F.col(value_col).isNull(), F.lit(None).cast("boolean")).otherwise(
+            (F.col(value_col) < F.col("__lo")) | (F.col(value_col) > F.col("__hi"))
+        ),
+    ).withColumnRenamed("__lo", "band_lo").withColumnRenamed("__hi", "band_hi")

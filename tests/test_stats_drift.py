@@ -133,3 +133,52 @@ def test_speech_rate_check_bounds_and_nulls(spark):
     )
     out = {r.transcript_id: r.rate_ok for r in speech_rate_check(clips, tr).collect()}
     assert out == {"t1": True, "t2": False, "t3": False, "t4": True, "t5": None}
+
+
+def test_quantile_anomalies(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(id=i, g="a", v=float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 100])]
+        + [Row(id=99, g="a", v=None), Row(id=100, g="b", v=5.0)]
+    )
+    out = {r.id: r for r in stats_ops.quantile_anomalies(df, "g", "v", 0.05, 0.95).collect()}
+    # group a: p05/p95 of 1..9,100 — the 100 outlier is above p95
+    assert out[9].is_anomaly is True
+    assert out[0].is_anomaly is True  # 1 < p05 = 1.45
+    assert out[4].is_anomaly is False
+    assert out[99].is_anomaly is None  # null value -> unknown verdict
+    # singleton group: band collapses to the value itself -> not anomalous
+    assert out[100].is_anomaly is False
+
+
+def test_freshness_check(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    rows = [
+        Row(g="hot", ts=datetime(2024, 1, 1, 0, 0, 0)),
+        Row(g="hot", ts=datetime(2024, 1, 1, 0, 30, 0)),
+        Row(g="hot", ts=datetime(2024, 1, 1, 1, 0, 0)),
+        Row(g="stale", ts=datetime(2023, 12, 31, 20, 0, 0)),
+        Row(g="gappy", ts=datetime(2024, 1, 1, 0, 0, 0)),
+        Row(g="gappy", ts=datetime(2024, 1, 1, 0, 59, 0)),
+        Row(g="gappy", ts=datetime(2024, 1, 1, 0, 59, 30)),
+    ]
+    out = {
+        r.g: r
+        for r in stats_ops.freshness_check(
+            spark.createDataFrame(rows), "g", "ts", max_lag_s=3600, max_gap_s=1800
+        ).collect()
+    }
+    # hot: newest row IS the table max, gaps exactly at the 30-min limit
+    assert out["hot"].fresh_ok and out["hot"].gap_ok
+    assert out["hot"].lag_us == 0
+    assert out["hot"].max_gap_us == 30 * 60 * 1_000_000
+    # stale: 5h behind the table max
+    assert not out["stale"].fresh_ok
+    assert out["stale"].gap_ok  # single row: no gap -> coalesce(0) ok
+    # gappy: 30s behind (fresh) but with a 59-minute internal gap
+    assert out["gappy"].fresh_ok
+    assert not out["gappy"].gap_ok
