@@ -22,6 +22,7 @@ from shaclapi_spark import fixture_io, fixtures, oracle
 from shaclapi_spark import verdicts as V
 from shaclapi_spark.datagen import fixture_n_clips
 from shaclapi_spark.engine import EngineConfig, run_suite
+from shaclapi_spark.ops import diff as diff_ops
 from shaclapi_spark.ops import stats as stats_ops
 from shaclapi_spark.pipeline import cluster as cl
 from shaclapi_spark.pipeline import corpus
@@ -805,6 +806,29 @@ def q_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # keyed snapshot diff between two table versions, rolled up per codec:
+    # the "old" snapshot is simulated deterministically from the current
+    # one (every 31st key deleted, every 17th dur_ms bumped) so both
+    # engines derive the identical churn
+    c = _uniq_clips(spark, sf_dir).withColumn(
+        "__i", F.substring("clip_id", 6, 8).cast("long")
+    )
+    old = c.filter(F.col("__i") % 31 != 0).withColumn(
+        "dur_ms",
+        F.when(F.col("__i") % 17 == 0, F.col("dur_ms") + 1).otherwise(
+            F.col("dur_ms")
+        ),
+    )
+    return diff_ops.snapshot_diff_summary(
+        old,
+        c,
+        ["clip_id"],
+        ["sr_hz", "dur_ms", "codec", "transcript"],
+        "codec",
+    )
+
+
 def q_dur_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-entity anomaly verdicts against the row's own codec's exact
     # [p05, p95] dur_ms band (null dur -> unknown verdict)
@@ -1064,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_frames": q_audio_frames,
         "clip_loudness": q_clip_loudness,
         "clip_sample_quality": q_sample_quality,
+        "snapshot_diff_codec": q_snapshot_diff_codec,
         "dur_anomalies": q_dur_anomalies,
         "events_freshness": q_events_freshness,
         "audio_trim_silence": q_audio_trim_silence,
@@ -2146,6 +2171,51 @@ FROM ({verdict_union}) GROUP BY 1, 2
         "audio_frames": _audio_frames_sql(),
         "clip_loudness": _clip_loudness_sql(),
         "clip_sample_quality": _sample_quality_sql(clip_thresh=26000),
+        "snapshot_diff_codec": f"""
+WITH u AS (
+  SELECT clip_id, sr_hz, dur_ms, codec, transcript,
+    CAST(substr(clip_id, 6) AS BIGINT) AS i
+  FROM {c}
+  WHERE clip_id IN (SELECT clip_id FROM {c} GROUP BY 1 HAVING count(*) = 1)
+),
+fp_new AS (
+  SELECT clip_id, codec, md5(concat_ws(chr(0)||'|',
+    coalesce(CAST(sr_hz AS VARCHAR), chr(0)||'N'),
+    coalesce(CAST(dur_ms AS VARCHAR), chr(0)||'N'),
+    coalesce(codec, chr(0)||'N'),
+    coalesce(transcript, chr(0)||'N'))) AS fp
+  FROM u
+),
+fp_old AS (
+  SELECT clip_id, codec, md5(concat_ws(chr(0)||'|',
+    coalesce(CAST(sr_hz AS VARCHAR), chr(0)||'N'),
+    coalesce(CAST(CASE WHEN i % 17 = 0 THEN dur_ms + 1 ELSE dur_ms END
+                  AS VARCHAR), chr(0)||'N'),
+    coalesce(codec, chr(0)||'N'),
+    coalesce(transcript, chr(0)||'N'))) AS fp
+  FROM u WHERE i % 31 <> 0
+),
+d AS (
+  SELECT coalesce(n.codec, o.codec) AS codec,
+    CASE WHEN o.fp IS NULL THEN 'added'
+         WHEN n.fp IS NULL THEN 'removed'
+         WHEN o.fp <> n.fp THEN 'changed'
+         ELSE 'unchanged' END AS status
+  FROM fp_old o FULL OUTER JOIN fp_new n USING (clip_id)
+),
+s AS (
+  SELECT codec,
+    CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+    CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+    CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+    CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+  FROM d GROUP BY 1
+)
+SELECT codec, n_added, n_removed, n_changed, n_unchanged,
+  n_removed + n_changed + n_unchanged AS n_old,
+  n_added + n_changed + n_unchanged AS n_new
+FROM s
+""",
         "dur_anomalies": f"""
 WITH u AS (
   SELECT clip_id, codec, dur_ms FROM {c}

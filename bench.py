@@ -190,6 +190,32 @@ def main() -> None:
         "boilerplate_score",
         lambda: force(entry_mod.q_boilerplate_docs(spark, sf_dir)),
     )
+    # round-3 session additions: audio transforms (decode-heavy mapInPandas),
+    # content-fingerprint dedup, verbatim decontam, freshness/anomaly checks
+    timed(
+        "audio_trim_silence",
+        lambda: force(entry_mod.q_audio_trim_silence(spark, sf_dir)),
+    )
+    timed(
+        "audio_content_dups",
+        lambda: force(entry_mod.q_audio_content_dups(spark, sf_dir)),
+    )
+    timed(
+        "audio_decimate",
+        lambda: force(entry_mod.q_audio_decimate(spark, sf_dir)),
+    )
+    timed(
+        "substring_decontam",
+        lambda: force(entry_mod.q_substring_decontam_docs(spark, sf_dir)),
+    )
+    timed(
+        "dur_anomalies",
+        lambda: force(entry_mod.q_dur_anomalies(spark, sf_dir)),
+    )
+    timed(
+        "events_freshness",
+        lambda: force(entry_mod.q_events_freshness(spark, sf_dir)),
+    )
 
     total = round(sum(timings.values()), 3)
     clips_per_sec = round(n_clips / timings["clip_validation"], 1)
