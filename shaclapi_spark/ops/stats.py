@@ -170,32 +170,34 @@ def freshness_check(
     Output: (group, n_events, max_ts, lag_us, fresh_ok, max_gap_us,
     gap_ok).
 
-    Scale shape: the per-group max/count is a map-side-combinable
-    aggregate; the intra-group gap needs one hash exchange on the group
-    key + a per-group sort (same key as the aggregate, so AQE reuses the
-    exchange); the table-wide max is a 1-row broadcast join.
+    Scale shape: ONE table scan. The intra-group gap window needs one
+    hash exchange on the group key + per-group sort; the per-group
+    aggregate that follows is on the same key, so it rides the window's
+    partitioning with no second exchange. The table-wide max is then
+    derived from the per-group maxes — a window over the tiny per-group
+    relation (one row per group; groups are operationally small:
+    event types, sources, codecs) — not a rescan of the table.
     """
     from shaclapi_spark.pipeline.sessions import _micros
 
     us = _micros(df, ts_col)
-    gaps = df.select(
+    base = df.select(
         F.col(group_col),
+        F.col(ts_col),
+        us.alias("__us"),
         (us - F.lag(us).over(Window.partitionBy(group_col).orderBy(ts_col))).alias(
             "__gap"
         ),
     )
-    per = df.groupBy(group_col).agg(
+    per = base.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.max(F.col(ts_col)).alias("max_ts"),
-        F.max(us).alias("__max_us"),
+        F.max("__us").alias("__max_us"),
+        F.max("__gap").alias("max_gap_us"),
     )
-    gap_agg = gaps.groupBy(group_col).agg(F.max("__gap").alias("max_gap_us"))
-    glob = df.agg(F.max(us).alias("__glob_us"))
-    out = (
-        per.join(gap_agg, group_col, "left")
-        .join(F.broadcast(glob))
-        .withColumn("lag_us", F.col("__glob_us") - F.col("__max_us"))
-    )
+    out = per.withColumn(
+        "__glob_us", F.max("__max_us").over(Window.partitionBy())
+    ).withColumn("lag_us", F.col("__glob_us") - F.col("__max_us"))
     return out.select(
         group_col,
         "n_events",
