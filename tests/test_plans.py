@@ -168,3 +168,61 @@ def test_curation_funnel_scans_corpus_once(spark, docs):
 
     for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text#" not in keys
+
+
+def test_freshness_single_scan_single_exchange(spark):
+    from datetime import datetime
+
+    from shaclapi_spark.ops import stats as stats_ops
+
+    df = spark.createDataFrame(
+        [Row(g="a", ts=datetime(2024, 1, 1)), Row(g="b", ts=datetime(2024, 1, 2))]
+    )
+    plan = _plan(stats_ops.freshness_check(df, "g", "ts"))
+    # one hash exchange for the gap window; the per-group aggregate rides
+    # it, and the global max reads the rollup, never the table
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Scan ExistingRDD") + plan.count("FileScan") <= 1
+
+
+def test_quantile_anomalies_broadcasts_bands(spark):
+    from shaclapi_spark.ops import stats as stats_ops
+
+    df = spark.createDataFrame(
+        [Row(id=1, g="a", v=1.0), Row(id=2, g="a", v=2.0)]
+    )
+    plan = _plan(stats_ops.quantile_anomalies(df, "g", "v"))
+    # the band relation (one row per group) comes back via broadcast —
+    # the fact side is never exchanged for the verdict join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_audio_transforms_shuffle_free(spark):
+    from shaclapi_spark.pipeline import audio_transform as at
+
+    df = spark.createDataFrame(
+        [Row(clip_id="c", bytes=bytearray(ac.encode_clip(440.0, 16000, 700, 0.5, "pcm_s16le")))]
+    )
+    for op in (
+        at.trim_silence(df),
+        at.decimate(df, 4),
+        at.pcm_fingerprint(df),
+        at.transcode(df, "flac"),
+    ):
+        assert "Exchange" not in _plan(op)
+
+
+def test_content_dup_groups_shuffles_digests_only(spark):
+    from shaclapi_spark.pipeline import audio_transform as at
+
+    df = spark.createDataFrame(
+        [Row(clip_id="c", bytes=bytearray(ac.encode_clip(440.0, 16000, 700, 0.5, "pcm_s16le")))]
+    )
+    plan = _plan(at.content_dup_groups(df))
+    # the digest groupBy only (countDistinct expands to two digest-keyed
+    # exchanges: partial by (md5, codec), final by md5 — both tiny rows)
+    assert plan.count("Exchange hashpartitioning") <= 2
+    # payload bytes must not survive past the fingerprint projection:
+    # everything above MapInPandas operates on digests and ids only
+    above_map = plan.split("MapInPandas")[0]
+    assert "bytes" not in above_map
