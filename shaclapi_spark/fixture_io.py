@@ -160,11 +160,18 @@ def ensure_fixture_pandas(n_clips: int, root: str = FIXTURE_ROOT) -> dict[str, s
     if os.path.exists(paths["_marker"]):
         return paths
     os.makedirs(os.path.dirname(paths["clips"]), exist_ok=True)
+    # bounded row groups: Spark's parquet split granularity is the row
+    # group, so a single-group file serializes every downstream
+    # mapInPandas decode onto ONE task no matter the cluster size. Real
+    # Iceberg tables come as many files/row groups; 5k-row groups give
+    # the local fixture the same property (measured: the PCM-fingerprint
+    # stage went from 1 task / 20.6 s to parallel across cores).
     pq.write_table(
         pa.Table.from_pandas(
             clips_pdf(n_clips), schema=CLIPS_ARROW_SCHEMA, preserve_index=False
         ),
         paths["clips"],
+        row_group_size=5000,
     )
     pq.write_table(
         pa.Table.from_pandas(
@@ -173,6 +180,7 @@ def ensure_fixture_pandas(n_clips: int, root: str = FIXTURE_ROOT) -> dict[str, s
             preserve_index=False,
         ),
         paths["transcripts"],
+        row_group_size=5000,
     )
     pq.write_table(
         pa.Table.from_pandas(reference_histograms_pdf(), preserve_index=False),
