@@ -23,6 +23,7 @@ from shaclapi_spark import verdicts as V
 from shaclapi_spark.datagen import fixture_n_clips
 from shaclapi_spark.engine import EngineConfig, run_suite
 from shaclapi_spark.ops import diff as diff_ops
+from shaclapi_spark.ops import privacy as privacy_ops
 from shaclapi_spark.ops import stats as stats_ops
 from shaclapi_spark.pipeline import cluster as cl
 from shaclapi_spark.pipeline import corpus
@@ -806,6 +807,17 @@ def q_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-anonymity verdicts: quasi-identifier = (lang, source, n_chars//100);
+    # docs in a cell of fewer than 3 rows are re-identifiable -> invalid
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "chars_bin", F.expr("n_chars DIV 100")
+    )
+    return privacy_ops.k_anonymity_verdicts(
+        d, "doc_id", ["lang", "source", "chars_bin"], k=3
+    )
+
+
 def q_snapshot_diff_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keyed snapshot diff between two table versions, rolled up per codec:
     # the "old" snapshot is simulated deterministically from the current
@@ -1089,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_loudness": q_clip_loudness,
         "clip_sample_quality": q_sample_quality,
         "snapshot_diff_codec": q_snapshot_diff_codec,
+        "k_anonymity_docs": q_k_anonymity_docs,
         "dur_anomalies": q_dur_anomalies,
         "events_freshness": q_events_freshness,
         "audio_trim_silence": q_audio_trim_silence,
@@ -2171,6 +2184,18 @@ FROM ({verdict_union}) GROUP BY 1, 2
         "audio_frames": _audio_frames_sql(),
         "clip_loudness": _clip_loudness_sql(),
         "clip_sample_quality": _sample_quality_sql(clip_thresh=26000),
+        "k_anonymity_docs": """
+WITH b AS (
+  SELECT doc_id, lang, source, n_chars // 100 AS chars_bin FROM documents
+),
+c AS (
+  SELECT lang, source, chars_bin, CAST(count(*) AS BIGINT) AS cell_n
+  FROM b GROUP BY 1, 2, 3
+)
+SELECT b.doc_id, b.lang, b.source, b.chars_bin, c.cell_n,
+  c.cell_n >= 3 AS is_valid
+FROM b JOIN c USING (lang, source, chars_bin)
+""",
         "snapshot_diff_codec": f"""
 WITH u AS (
   SELECT clip_id, sr_hz, dur_ms, codec, transcript,

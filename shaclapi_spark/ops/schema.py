@@ -1,0 +1,76 @@
+"""Schema conformance check: compare a DataFrame's actual schema against
+a declared expectation and emit verdict rows — the reference's shape-
+schema idea applied to the TABLE's shape instead of its rows (a missing
+or retyped column should fail validation before any row constraint runs,
+with the same verdict vocabulary).
+
+Driver-side only: inspects ``df.schema``, touches no data, launches no
+job — safe to run as a pre-flight gate in front of every suite
+evaluation (engine callers can treat a failed schema check exactly like
+a failed constraint wave).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+@dataclass(frozen=True)
+class ExpectedColumn:
+    name: str
+    type: str  # Spark simpleString form: "string", "int", "binary", ...
+    nullable: bool = True  # False = column must be declared non-nullable
+
+
+def expected_from_ddl(ddl: str) -> list[ExpectedColumn]:
+    """Parse a DDL string ("clip_id string, sr_hz int, ...") into
+    expectations (all nullable-tolerant)."""
+    struct = StructType.fromDDL(ddl)
+    return [
+        ExpectedColumn(f.name, f.dataType.simpleString(), True) for f in struct.fields
+    ]
+
+
+def schema_check(
+    spark: SparkSession,
+    df: DataFrame,
+    expected: list[ExpectedColumn],
+    allow_extra: bool = False,
+) -> DataFrame:
+    """Verdict rows, one per expected or unexpected column:
+    (column, status, expected_type, actual_type, is_valid) with status ∈
+    {ok, missing, type_mismatch, nullability, extra}.
+
+    ``allow_extra=True`` downgrades surplus columns to valid (schema
+    evolution by addition is often fine; renames and drops never are).
+    """
+    actual = {f.name: f for f in df.schema.fields}
+    rows: list[tuple] = []
+    for exp in expected:
+        f = actual.get(exp.name)
+        if f is None:
+            rows.append((exp.name, "missing", exp.type, None, False))
+        elif f.dataType.simpleString() != exp.type:
+            rows.append(
+                (exp.name, "type_mismatch", exp.type, f.dataType.simpleString(), False)
+            )
+        elif not exp.nullable and f.nullable:
+            rows.append((exp.name, "nullability", exp.type, f.dataType.simpleString(), False))
+        else:
+            rows.append((exp.name, "ok", exp.type, f.dataType.simpleString(), True))
+    declared = {e.name for e in expected}
+    for name, f in actual.items():
+        if name not in declared:
+            rows.append(
+                (name, "extra", None, f.dataType.simpleString(), bool(allow_extra))
+            )
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "column string, status string, expected_type string, "
+            "actual_type string, is_valid boolean"
+        ),
+    )
