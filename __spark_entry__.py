@@ -896,6 +896,12 @@ def q_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return at.decimate(_uniq_clips(spark, sf_dir), factor=4)
 
 
+def q_audio_gain_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # peak normalization to 26000: Q15 integer gain + canonical digest of
+    # the gained samples (floor((s*g)/2^15) — exact on both engines)
+    return at.normalize_gain(_uniq_clips(spark, sf_dir), target_peak=26000)
+
+
 def q_multimodal_byte_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _clip_tables(spark, sf_dir)
     per_row = mm.byte_histogram_counts(t["clips"], "clip_id", "bytes", n_bins=16)
@@ -1107,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_trim_silence": q_audio_trim_silence,
         "audio_content_dups": q_audio_content_dups,
         "audio_decimate": q_audio_decimate,
+        "audio_gain_norm": q_audio_gain_norm,
         "multimodal_byte_hist": q_multimodal_byte_hist,
     }
 
@@ -1640,6 +1647,31 @@ WITH needles AS (
 SELECT d.doc_id, CAST(count(DISTINCT n.needle) AS BIGINT) AS n_hits
 FROM documents d JOIN needles n ON strpos(d.text, n.needle) > 0
 GROUP BY 1
+"""
+
+
+def _gain_norm_sql(target_peak: int) -> str:
+    """Q15 peak-normalization gain + digest of the gained samples.
+    floor(val*g/32768.0) is exact in IEEE double (|val*g| < 2^53, power-
+    of-two divisor) and matches numpy's arithmetic right shift."""
+    return f"""
+WITH {_audio_decode_ctes()},
+mx AS (SELECT clip_id, CAST(max(abs(val)) AS INT) AS max_abs FROM dec GROUP BY 1),
+gg AS (
+  SELECT clip_id, max_abs,
+    CAST(CASE WHEN max_abs = 0 THEN 32768
+              ELSE ({target_peak} * 32768) // max_abs END AS BIGINT) AS gain_q15
+  FROM mx
+),
+n AS (
+  SELECT d.clip_id, d.i,
+    CAST(floor(d.val * g.gain_q15 / 32768.0) AS BIGINT) AS nv
+  FROM dec d JOIN gg g USING (clip_id)
+)
+SELECT g.clip_id, g.max_abs, g.gain_q15,
+  md5(string_agg(CAST(n.nv AS VARCHAR), ',' ORDER BY n.i)) AS norm_md5
+FROM n JOIN gg g USING (clip_id)
+GROUP BY 1, 2, 3
 """
 
 
@@ -2280,6 +2312,7 @@ FROM per LEFT JOIN ga USING (event_type) CROSS JOIN gl
         "audio_trim_silence": _trim_silence_sql(thresh=500),
         "audio_content_dups": _content_dups_sql(),
         "audio_decimate": _decimate_sql(factor=4),
+        "audio_gain_norm": _gain_norm_sql(target_peak=26000),
         "speech_segments": _speech_segments_sql(),
         "speech_activity": _speech_activity_sql(),
         "sessionize_events": _sessionize_sql(gap_minutes=30),

@@ -197,6 +197,77 @@ def content_dup_groups(df: DataFrame, **kw) -> DataFrame:
     )
 
 
+GAIN_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType()),
+        StructField("max_abs", IntegerType()),
+        StructField("gain_q15", LongType()),
+        StructField("norm_md5", StringType()),
+    ]
+)
+
+GAIN_BYTES_SCHEMA = StructType(
+    GAIN_SCHEMA.fields + [StructField("bytes_norm", BinaryType())]
+)
+
+
+def normalize_gain(
+    df: DataFrame,
+    target_peak: int = 26000,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    with_bytes: bool = False,
+) -> DataFrame:
+    """Peak normalization: scale every clip so its largest |sample| lands
+    at (just under) ``target_peak`` — the third leg of the normalization
+    triple (trim / resample / gain) a speech pipeline applies before
+    training.
+
+    The gain is the Q15 fixed-point integer ``g = (target_peak << 15) //
+    max_abs`` and each sample maps to ``floor(s * g / 2^15)`` (arithmetic
+    shift — exactly reproducible in SQL as floor(x / 32768.0), which is
+    exact in IEEE double because |s*g| < 2^53 and the divisor is a power
+    of two). All-silent clips keep unity gain (g = 2^15). By construction
+    the output peak is <= target_peak, so no clamp is needed on either
+    engine.
+
+    One mapInPandas pass, no shuffle; ``with_bytes=True`` re-encodes the
+    gained samples into the source codec.
+    """
+    if not (0 < target_peak <= 32767):
+        raise ValueError(f"target_peak must be in (0, 32767], got {target_peak}")
+    schema = GAIN_BYTES_SCHEMA if with_bytes else GAIN_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for cid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                try:
+                    hdr, s = audio_codec.decode_clip(bytes(blob))
+                except (ValueError, TypeError):
+                    continue
+                if len(s) == 0:
+                    continue
+                s64 = s.astype(np.int64)
+                max_abs = int(np.abs(s64).max())
+                g = (target_peak << 15) // max_abs if max_abs else 1 << 15
+                gained = (s64 * g) >> 15  # floor division by 2^15
+                row = [str(cid), max_abs, g, _canonical_md5(gained)]
+                if with_bytes:
+                    row.append(
+                        audio_codec.encode_samples(
+                            gained.astype(np.int16), hdr["codec"], hdr["sr_hz"],
+                            hdr["freq_hz"], hdr["amp"],
+                        )
+                    )
+                rows.append(tuple(row))
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(gen, schema=schema)
+
+
 TRANSCODE_SCHEMA = StructType(
     [
         StructField("clip_id", StringType()),

@@ -147,3 +147,35 @@ def test_transforms_on_fixture(spark, fixture_tables):
         xcoded.select("clip_id", "bytes")
     )
     assert at.content_dup_groups(unioned).filter("n_codecs > 1").count() > 0
+
+
+def test_normalize_gain_exact(spark):
+    s = ac.synth_sine(440.0, 16000, 300, 0.5)  # peak ~16384
+    df = spark.createDataFrame(
+        [Row(clip_id="c1", bytes=bytearray(ac.encode_samples(s, "pcm_s16le", 16000)))]
+    )
+    r = at.normalize_gain(df, target_peak=26000, with_bytes=True).collect()[0]
+    s64 = s.astype(np.int64)
+    max_abs = int(np.abs(s64).max())
+    g = (26000 << 15) // max_abs
+    gained = (s64 * g) >> 15
+    assert (r.max_abs, r.gain_q15) == (max_abs, g)
+    expect = hashlib.md5(",".join(map(str, gained.tolist())).encode()).hexdigest()
+    assert r.norm_md5 == expect
+    hdr, out = ac.decode_clip(bytes(r.bytes_norm))
+    assert np.array_equal(out.astype(np.int64), gained)
+    # peak lands at (just under) the target, never over
+    assert 25900 <= np.abs(gained).max() <= 26000
+
+
+def test_normalize_gain_silent_and_validation(spark):
+    z = np.zeros(32, dtype=np.int16)
+    df = spark.createDataFrame(
+        [Row(clip_id="z", bytes=bytearray(ac.encode_samples(z, "flac", 8000)))]
+    )
+    r = at.normalize_gain(df).collect()[0]
+    assert (r.max_abs, r.gain_q15) == (0, 1 << 15)  # unity gain convention
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        at.normalize_gain(df, target_peak=0)
