@@ -166,17 +166,26 @@ def shingle_hash_array(text_col, k: int = 5):
     normalized text column — a pure per-row expression (no explode)."""
     p = _MERSENNE_61
     norm = normalize_text(text_col)
-    sh = F.filter(
-        F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))
-                ),
-                lambda i: norm.substr(i, F.lit(k)),
-            )
+    # bind the normalized text to a lambda variable before the per-index
+    # transform touches it: higher-order functions are interpreted, and a
+    # sub-expression inlined into the lambda body re-evaluates per element
+    # — norm.substr(i, k) would re-normalize the whole doc once per
+    # character position, O(len²) per doc (same fix as text.word_ngrams)
+    nested = F.transform(
+        F.array(norm),
+        lambda t: F.filter(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))
+                    ),
+                    lambda i: t.substr(i, F.lit(k)),
+                )
+            ),
+            lambda x: F.length(x) >= 1,
         ),
-        lambda x: F.length(x) >= 1,
     )
+    sh = F.element_at(nested, 1)
     return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
 
 

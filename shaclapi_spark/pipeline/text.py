@@ -87,15 +87,28 @@ def word_ngrams(text: Column, n: int) -> Column:
     """Array of space-joined word n-grams of the normalized text; empty when
     the doc has fewer than n words. Guarded sequence: Spark's
     sequence(1, 0) DESCENDS, so the < n case short-circuits to an empty
-    array instead of relying on an empty range."""
+    array instead of relying on an empty range.
+
+    The word array is BOUND to a lambda variable via the
+    ``transform(array(words), w -> ...)`` wrapper before the per-index
+    transform uses it. Higher-order functions are interpreted (no
+    codegen), and a sub-expression embedded in a lambda body is
+    re-evaluated per element — inlining ``words`` into ``slice(words, i,
+    n)`` re-splits the whole document once per gram, O(words²) per doc
+    (measured 7.4× slower at sf0.1). The binding evaluates the split
+    exactly once per row and is bit-identical."""
     words = F.filter(F.split(normalize_text(text), " "), lambda x: x != "")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    nested = F.transform(
+        F.array(words),
+        lambda w: F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
-    return F.when(F.size(words) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.element_at(nested, 1)
 
 
 def repetition_columns(text: Column, n: int = 2) -> dict[str, Column]:
