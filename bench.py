@@ -205,6 +205,10 @@ def main() -> None:
         lambda: force(entry_mod.q_audio_decimate(spark, sf_dir)),
     )
     timed(
+        "audio_gain_norm",
+        lambda: force(entry_mod.q_audio_gain_norm(spark, sf_dir)),
+    )
+    timed(
         "substring_decontam",
         lambda: force(entry_mod.q_substring_decontam_docs(spark, sf_dir)),
     )
