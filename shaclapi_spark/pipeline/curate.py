@@ -3,9 +3,11 @@ actually runs before mixing/packing: quality filter → language filter →
 exact dedup → (optional MinHash near-dedup) → benchmark decontamination.
 
 Scale shape (the part that matters at 100 TB): the funnel counts are
-computed in ONE pass over the corpus. A naive funnel (count each
-intermediate DataFrame) re-scans the corpus once per stage branch; here
-every stage's survival is a per-row FLAG on a single scan —
+computed from per-row FLAGS in ONE aggregate over TWO narrow corpus
+scans (a naive funnel re-scans the corpus once per stage branch, 5+).
+Two scans — (id, gram) for contamination and a row-local flag scan —
+beat one because a generator's companion expressions are re-evaluated
+per emitted row; quality/md5 must not ride the gram explode —
 
 * quality and language are row-local codegen predicates;
 * exact-dedup survivorship is ``min(id) over (partition by content_md5)``
@@ -54,9 +56,10 @@ def _flag_relation(
     max_token_len: int,
     n: int,
 ) -> DataFrame:
-    """One row per doc with per-stage survival flags, from ONE corpus scan:
-    (__id, __q quality, __l +language, __d +exact-dedup survivor,
-    __contam shares an n-gram with the benchmark)."""
+    """One row per doc with per-stage survival flags, from two narrow
+    corpus scans (see module docstring): (__id, __q quality, __l
+    +language, __d +exact-dedup survivor, __contam shares an n-gram with
+    the benchmark)."""
     qc = quality_columns(F.col(text_col))
     q_pred = (qc["n_tokens"] >= F.lit(min_tokens)) & (
         qc["max_token_len"] <= F.lit(max_token_len)
@@ -69,19 +72,30 @@ def _flag_relation(
         .distinct()
         .withColumn("__hit", F.lit(True))
     )
-    flagged = docs.select(
+    # TWO narrow corpus scans, deliberately: a generator's companion
+    # expressions are re-evaluated PER EMITTED ROW (interpreted HOFs ride
+    # inside Generate), so carrying quality/md5 through the gram explode
+    # costs O(grams) re-evaluations of per-doc expressions — measured 9 s
+    # vs 2 s at sf0.1. The gram scan carries only (id, gram); the flag
+    # scan is row-local codegen. All stage counts still come from ONE
+    # aggregate over the joined flag relation.
+    contam = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.explode_outer(word_ngram_hashes(F.col(text_col), n)).alias("__g"),
+        )
+        .join(F.broadcast(bench_grams), "__g", "left")
+        .groupBy("__id")
+        .agg(F.coalesce(F.max("__hit"), F.lit(False)).alias("__contam"))
+    )
+    row_flags = docs.select(
         F.col(id_col).alias("__id"),
         q_pred.alias("__q"),
         (q_pred & l_pred).alias("__l"),
         F.md5(normalize_text(F.col(text_col))).alias("__md5"),
-        F.explode_outer(word_ngram_hashes(F.col(text_col), n)).alias("__g"),
     )
-    per_doc = (
-        flagged.join(F.broadcast(bench_grams), "__g", "left")
-        .groupBy("__id", "__q", "__l", "__md5")
-        .agg(
-            F.coalesce(F.max("__hit"), F.lit(False)).alias("__contam")
-        )
+    per_doc = row_flags.join(contam, "__id", "left").withColumn(
+        "__contam", F.coalesce(F.col("__contam"), F.lit(False))
     )
     # exact-dedup survivor: min id per content digest AMONG lang survivors
     # (identical to exact_dedup(s_lang) ∘ semi-join, without the re-scan)
@@ -131,7 +145,8 @@ def curate(
     semi-joined against the surviving id set); ``funnel`` is
     (stage_idx, stage, n_docs) — the row count after each stage, the
     monitoring relation every production curation job materializes. The
-    funnel action scans the corpus ONCE (see module docstring); with
+    funnel action scans the corpus twice, narrowly (see module
+    docstring); with
     ``near_dup=True`` a 6th stage drops MinHash-LSH near-duplicate cluster
     losers between exact dedup and decontamination (its pair-graph sub-plan
     adds its own corpus scans).

@@ -151,17 +151,20 @@ def test_interval_join_is_equi_join_not_nested_loop(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
-def test_curation_funnel_scans_corpus_once(spark, docs):
-    """The funnel counts are per-row flags aggregated in one pass: the
-    funnel action's plan must contain exactly TWO parquet scans total —
-    one of the corpus, one of the benchmark — not one corpus scan per
-    stage branch (the round-2 anti-pattern)."""
+def test_curation_funnel_scan_budget(spark, docs):
+    """The funnel counts come from per-row flags in ONE aggregate over at
+    most THREE parquet scans — the narrow (id, gram) scan, the row-local
+    flag scan, and the benchmark — never one corpus scan per stage
+    branch (the round-2 anti-pattern was 5+). Two corpus scans are
+    deliberate: a generator's companion expressions re-evaluate per
+    emitted row, so quality/md5 must not ride the gram explode (see
+    curate._flag_relation)."""
     from shaclapi_spark.pipeline import curate as cu, sampling as sp
 
     bench = sp.hash_sample(docs, "doc_id", rate=0.1, salt="b")
     _, funnel = cu.curate(docs, bench, min_tokens=5)
     plan = _plan(funnel)
-    assert plan.count("Scan parquet") == 2
+    assert plan.count("Scan parquet") <= 3
     # the corpus text never crosses a shuffle — every hash-partition
     # exchange keys on ids/digests/flags, not the raw text column
     import re
