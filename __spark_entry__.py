@@ -246,6 +246,44 @@ def q_clip_cycle_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.verdicts.select("entity_id", "shape", "is_valid")
 
 
+def _mutated_clip_versions(spark: SparkSession, sf_dir: str):
+    """(old tables, new tables) for the incremental-revalidation queries —
+    the deterministic mutation is fixtures.mutate_clip_tables, mirrored in
+    SQL by oracle.mutated_clips_sql/mutated_transcripts_sql."""
+    old = _clip_tables(spark, sf_dir)
+    nc, nt = fixtures.mutate_clip_tables(old["clips"], old["transcripts"])
+    new = dict(old)
+    new["clips"] = nc
+    new["transcripts"] = nt
+    return old, new
+
+
+def q_incremental_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # validate v1 fully, mutate to v2, re-validate ONLY the affected entity
+    # populations (revalidate.py), merge with the v1 verdicts — the result
+    # must equal a full validation of v2, which is exactly what the DuckDB
+    # oracle computes (verdict union SQL over the mutated CTEs)
+    from shaclapi_spark import revalidate
+
+    old, new = _mutated_clip_versions(spark, sf_dir)
+    suite = fixtures.clip_suite(include_audio=True, include_drift=False)
+    old_res = run_suite(spark, suite, old, config=_CFG)
+    inc = revalidate.revalidate_incremental(
+        spark, suite, old, new, old_res.verdicts, config=_CFG
+    )
+    return inc.verdicts.select("entity_id", "shape", "is_valid")
+
+
+def q_verdict_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-(shape, transition) rollup of verdict flips between two table
+    # versions — the promotion-gate readout (ops/diff.verdict_diff)
+    old, new = _mutated_clip_versions(spark, sf_dir)
+    suite = fixtures.clip_suite(include_audio=True, include_drift=False)
+    old_v = run_suite(spark, suite, old, config=_CFG).verdicts
+    new_v = run_suite(spark, suite, new, config=_CFG).verdicts
+    return diff_ops.verdict_diff_summary(old_v, new_v)
+
+
 def q_clip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _clip_tables(spark, sf_dir)
     return stats_ops.column_profile(
@@ -1054,6 +1092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdict_counts": q_verdict_counts,
         "clip_summary": q_clip_summary,
         "clip_cycle_verdicts": q_clip_cycle_verdicts,
+        "incremental_verdicts": q_incremental_verdicts,
+        "verdict_regression": q_verdict_regression,
         "clip_stats": q_clip_stats,
         "grouped_stats_codec": q_grouped_stats_codec,
         "dup_clip_ids": q_dup_clip_ids,
@@ -1941,11 +1981,42 @@ FROM g
 """
 
 
+def _mutated_verdict_union_sql() -> str:
+    """Full-validation verdicts of the MUTATED table version (the oracle for
+    incremental revalidation: merged-incremental == full-on-new)."""
+    mc = f"({oracle.mutated_clips_sql(_clips_pq('clips'))})"
+    mt = f"({oracle.mutated_transcripts_sql(_clips_pq('transcripts'))})"
+    return (
+        f"SELECT * FROM ({oracle.clip_verdict_sql(mc, mt, include_audio=True)})"
+        f" UNION ALL SELECT * FROM ({oracle.transcript_verdict_sql(mc, mt)})"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     c = _clips_pq("clips")
     verdict_union = _clip_verdict_union_sql()
     return {
         "clip_verdicts": verdict_union,
+        "incremental_verdicts": _mutated_verdict_union_sql(),
+        "verdict_regression": f"""
+WITH o AS ({verdict_union}),
+     n AS ({_mutated_verdict_union_sql()}),
+j AS (
+  SELECT coalesce(o.entity_id, n.entity_id) AS entity_id,
+         coalesce(o.shape, n.shape) AS shape,
+         o.is_valid AS ov, n.is_valid AS nv
+  FROM o FULL OUTER JOIN n
+    ON o.entity_id = n.entity_id AND o.shape = n.shape
+)
+SELECT shape,
+  CASE WHEN ov IS NULL THEN 'appeared'
+       WHEN nv IS NULL THEN 'removed'
+       WHEN ov AND NOT nv THEN 'regressed'
+       WHEN nv AND NOT ov THEN 'repaired'
+       ELSE 'unchanged' END AS transition,
+  count(*) AS n
+FROM j GROUP BY shape, transition
+""",
         # restricted run: verdict VALUES are population-independent (helper
         # propagation covers every transcript a restricted clip needs), so
         # the oracle is the full verdict relation filtered to the restricted

@@ -510,7 +510,7 @@ def run_suite(
     config: EngineConfig | None = None,
     prune: bool = True,
     preseeded_verdicts: dict[str, DataFrame] | None = None,
-    target_population: "str | DataFrame | None" = None,
+    target_population: "str | DataFrame | dict | None" = None,
     order_strategy: str = "heuristic",
     seed_shape: str | None = None,
 ) -> SuiteResult:
@@ -529,7 +529,10 @@ def run_suite(
     SQL boolean over the target shape's table (an entity belongs to the
     population iff ANY of its rows satisfies it — every row of a selected
     entity is then validated, so uniqueness/count semantics are unchanged),
-    or a single-column DataFrame of entity ids. The restriction propagates
+    or a single-column DataFrame of entity ids, or a dict mapping target
+    shape name → either of those (per-shape restrictions; targets absent
+    from the dict evaluate unrestricted — the incremental-revalidation path
+    in revalidate.py uses this form). The restriction propagates
     to referenced helper shapes via (child, fk) semi-joins — helper verdicts
     are computed only for the child entities the restricted targets can
     reach; shapes inside cyclic groups stay unrestricted (fixpoint feedback
@@ -658,7 +661,7 @@ def _propagate_population(
     reduced: Suite,
     groups: list[EvalGroup],
     targets: list[str],
-    restriction: "str | DataFrame",
+    restriction: "str | DataFrame | dict",
     tables: dict[str, DataFrame],
 ) -> tuple[dict[str, DataFrame], dict[str, DataFrame]]:
     """(eval populations, raw target populations), both shape → entity-id
@@ -679,15 +682,19 @@ def _propagate_population(
         s = shape_by_name.get(name)
         if s is None:
             continue
+        r = restriction.get(name) if isinstance(restriction, dict) else restriction
+        if r is None:
+            # dict form with no entry for this target: unrestricted — leave it
+            # out of pops entirely so it evaluates (and emits) its full
+            # population, exactly like a shape no caller asked to restrict
+            continue
         df = tables[s.table]
         if s.target_filter:
             df = df.filter(F.expr(s.target_filter))
-        if isinstance(restriction, str):
-            df = df.filter(F.expr(restriction))
+        if isinstance(r, str):
+            df = df.filter(F.expr(r))
         else:
-            ids = restriction.select(
-                F.col(restriction.columns[0]).alias("__pop_id")
-            )
+            ids = r.select(F.col(r.columns[0]).alias("__pop_id"))
             df = df.join(
                 ids, df[s.entity_col] == ids["__pop_id"], "leftsemi"
             )

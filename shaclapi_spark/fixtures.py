@@ -9,6 +9,8 @@ clip_cycle_suite() adds the tc3-style back-edge TranscriptShape→ClipShape.
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, functions as F
+
 from shaclapi_spark.suite import Constraint, Shape, Suite
 
 
@@ -134,3 +136,43 @@ def clip_cycle_suite() -> Suite:
         )
     )
     return Suite(shapes=[clip_shape(include_audio=False, include_drift=False), ts])
+
+
+def mutate_clip_tables(
+    clips: DataFrame, transcripts: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic 'next table version' of the clip fixture — the input to
+    revalidate.revalidate_incremental tests and the `incremental_verdicts`
+    contract query. The SAME mutation is expressed in ANSI SQL by
+    oracle.mutation_sql so DuckDB sees bit-identical new versions.
+
+    clips:        DELETE entities with id index % 23 == 5;
+                  UPDATE dur_ms += 40000 where index % 17 == 3 (flips the
+                  dur_range / or_dur constraints)
+    transcripts:  DELETE rows with id index % 29 == 11 (parents lose tr_min1);
+                  UPDATE text ||= '!?' where index % 13 == 4 (breaks
+                  tr_text_match -> transcript invalid -> parent tr_valid);
+                  INSERT a copy (id || '_x') of rows with index % 19 == 7
+                  (parents overflow tr_max1)
+
+    TRY_CAST, not CAST: Catalyst's InferFiltersFromConstraints copies the
+    branch filters through equi-join conditions onto join partners (e.g. a
+    population id relation that DOES contain '_x' ids), and ANSI CAST would
+    throw there. Raw fixture ids are always numeric, so TRY_CAST is
+    value-identical on the actual mutation input."""
+    ci = F.expr("TRY_CAST(substr(clip_id, 6) AS BIGINT)")
+    new_clips = clips.filter(~(ci % 23 == 5)).withColumn(
+        "dur_ms",
+        F.when(ci % 17 == 3, F.col("dur_ms") + 40000).otherwise(F.col("dur_ms")),
+    )
+    tj = F.expr("TRY_CAST(substr(transcript_id, 4) AS BIGINT)")
+    kept = transcripts.filter(~(tj % 29 == 11)).withColumn(
+        "text",
+        F.when(tj % 13 == 4, F.concat(F.col("text"), F.lit("!?"))).otherwise(
+            F.col("text")
+        ),
+    )
+    inserted = transcripts.filter(tj % 19 == 7).withColumn(
+        "transcript_id", F.concat(F.col("transcript_id"), F.lit("_x"))
+    )
+    return new_clips, kept.unionByName(inserted)

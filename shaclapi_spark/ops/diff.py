@@ -109,3 +109,34 @@ def snapshot_diff_summary(
         "n_new",
         F.col("n_added") + F.col("n_changed") + F.col("n_unchanged"),
     )
+
+
+def verdict_diff(old_verdicts: DataFrame, new_verdicts: DataFrame) -> DataFrame:
+    """Per-(entity, shape) verdict transition between two validation runs
+    (e.g. two table versions): ``transition`` ∈ {appeared, removed,
+    regressed (valid→invalid), repaired (invalid→valid), unchanged}.
+
+    The validation analog of snapshot_diff: a promotion gate reads the
+    `regressed` rows. One shuffle on (entity_id, shape)."""
+    o = old_verdicts.select("entity_id", "shape", F.col("is_valid").alias("__ov"))
+    n = new_verdicts.select("entity_id", "shape", F.col("is_valid").alias("__nv"))
+    j = o.join(n, ["entity_id", "shape"], "full_outer")
+    transition = (
+        F.when(F.col("__ov").isNull(), F.lit("appeared"))
+        .when(F.col("__nv").isNull(), F.lit("removed"))
+        .when(F.col("__ov") & ~F.col("__nv"), F.lit("regressed"))
+        .when(~F.col("__ov") & F.col("__nv"), F.lit("repaired"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("entity_id", "shape", transition.alias("transition"))
+
+
+def verdict_diff_summary(
+    old_verdicts: DataFrame, new_verdicts: DataFrame
+) -> DataFrame:
+    """Per-(shape, transition) rollup of verdict_diff."""
+    return (
+        verdict_diff(old_verdicts, new_verdicts)
+        .groupBy("shape", "transition")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

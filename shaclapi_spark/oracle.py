@@ -173,3 +173,29 @@ SELECT clip_id AS entity_id, 'ClipShape' AS shape, ok AS is_valid FROM cv{iters}
 UNION ALL
 SELECT transcript_id AS entity_id, 'TranscriptShape' AS shape, ok AS is_valid FROM tv{iters}
 """
+
+
+def mutated_clips_sql(clips: str) -> str:
+    """ANSI-SQL form of fixtures.mutate_clip_tables' clips mutation."""
+    return f"""
+SELECT clip_id, bytes, sr_hz,
+       CASE WHEN i % 17 = 3 THEN dur_ms + 40000 ELSE dur_ms END AS dur_ms,
+       codec, transcript
+FROM (SELECT *, TRY_CAST(substr(clip_id, 6) AS BIGINT) AS i FROM {clips})
+WHERE NOT (i % 23 = 5)
+"""
+
+
+def mutated_transcripts_sql(transcripts: str) -> str:
+    """ANSI-SQL form of fixtures.mutate_clip_tables' transcripts mutation."""
+    return f"""
+SELECT transcript_id, clip_id,
+       CASE WHEN j % 13 = 4 THEN text || '!?' ELSE text END AS text,
+       lang, n_tokens
+FROM (SELECT *, TRY_CAST(substr(transcript_id, 4) AS BIGINT) AS j FROM {transcripts})
+WHERE NOT (j % 29 = 11)
+UNION ALL
+SELECT transcript_id || '_x' AS transcript_id, clip_id, text, lang, n_tokens
+FROM (SELECT *, TRY_CAST(substr(transcript_id, 4) AS BIGINT) AS j FROM {transcripts})
+WHERE j % 19 = 7
+"""

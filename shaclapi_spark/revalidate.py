@@ -1,0 +1,257 @@
+"""Incremental revalidation: re-validate ONLY the entities a new table
+version can have changed, and merge with the previous run's verdicts.
+
+The reference re-runs its whole validation per request; its only
+incrementality is query-driven target restriction
+(ref shaclapi/reduction/Reduction.py:25-64). At 10^12 rows a full re-run per
+table version is the dominant cost, so this module derives the *affected
+entity population* from a keyed snapshot diff (ops/diff.py semantics) and
+feeds it through the engine's existing query-driven population machinery
+(engine.run_suite(target_population=...)): the result is bit-identical to a
+full re-validation of the new version — `merged == run_suite(new)` is the
+pytest/DuckDB oracle — while only the changed slice is re-evaluated.
+
+Change propagation is computed per shape, prerequisites-first:
+
+  own rows      — entities whose row-MULTISET over the shape's table changed
+                  (count + sum-of-row-hashes fingerprint per entity key; a
+                  multiset fingerprint is required because uniqueness/count
+                  constraints see every row of an entity)
+  fk_exists /   — entities whose local key hits a parent key whose parent
+  fk_match        row-multiset changed (conservative superset: any parent
+                  change re-checks its referencing entities)
+  min_count /   — parent entities whose child-row multiset (keyed by fk)
+  max_count /     changed
+  qualified_shape — additionally, parents linked (through the NEW child
+                  table) to referenced-shape entities that are themselves
+                  affected — verdict changes propagate UP the shape DAG
+
+Conservative supersets are sound: re-validating an unchanged entity
+reproduces its old verdict. Cyclic suites fall back to a full run (fixpoint
+feedback makes population pruning unsafe — same rule as engine's
+_propagate_population); drift constraints are dataset-grain aggregates with
+no per-entity locality, so suites carrying them are rejected (recompute
+drift with a normal run, it is one scan of two numeric columns).
+
+At Iceberg scale the `changed_entity_keys` diff would read the snapshot's
+changed-data-file manifest instead of both full versions; here it is
+expressed as the general two-version scan (shuffles only (key, count,
+64-bit hash sum) — never payload bytes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from shaclapi_spark import verdicts as V
+from shaclapi_spark.compiler import compile_suite
+from shaclapi_spark.engine import EngineConfig, SuiteResult, run_suite
+from shaclapi_spark.suite import Constraint, Suite
+
+
+def changed_entity_keys(
+    old: DataFrame, new: DataFrame, key_col: str
+) -> DataFrame:
+    """Keys whose row-multiset differs between two versions of a table
+    (added, removed, or changed rows — all columns compared).
+
+    One column ``__pop_id`` (native key type). Shuffles one
+    (key, count, decimal hash-sum) row per key and side — payload columns
+    are consumed scan-side by the hash. NULL keys are dropped: a NULL-keyed
+    row cannot be addressed by an entity population (the engine's population
+    semi-join is an equality join)."""
+    cols = old.columns
+
+    def fp(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col(key_col).isNotNull())
+            .groupBy(F.col(key_col).alias("__key"))
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                # exact decimal sum of per-row 64-bit hashes: order-free,
+                # multiset-sensitive (unlike XOR, which cancels duplicate
+                # pairs), no long-overflow wrap
+                F.sum(F.xxhash64(*cols).cast("decimal(20,0)")).alias("__h"),
+            )
+        )
+
+    o, n = fp(old), fp(new)
+    j = o.alias("o").join(
+        n.alias("n"), F.col("o.__key") == F.col("n.__key"), "full_outer"
+    )
+    return (
+        j.filter(
+            F.col("o.__key").isNull()
+            | F.col("n.__key").isNull()
+            | (F.col("o.__n") != F.col("n.__n"))
+            | ~(F.col("o.__h").eqNullSafe(F.col("n.__h")))
+        )
+        .select(F.coalesce(F.col("n.__key"), F.col("o.__key")).alias("__pop_id"))
+    )
+
+
+def _walk(c: Constraint):
+    yield c
+    for b in c.branches:
+        yield from _walk(b)
+
+
+def affected_populations(
+    suite: Suite,
+    old_tables: dict[str, DataFrame],
+    new_tables: dict[str, DataFrame],
+    target_shapes: list[str] | None = None,
+) -> dict[str, DataFrame]:
+    """shape name → single-column (``__pop_id``) DataFrame of entities whose
+    verdict may differ between the two table versions. Prerequisite shapes
+    are resolved first so qualified-shape references propagate upward."""
+    targets = target_shapes or suite.names()
+    reduced, groups = compile_suite(suite, targets)
+    if any(g.cyclic for g in groups):
+        raise ValueError(
+            "incremental revalidation requires an acyclic suite "
+            "(cyclic fixpoint feedback defeats population pruning) — "
+            "run a full run_suite instead"
+        )
+    shape_by_name = {s.name: s for s in reduced.shapes}
+    entity_col_by_shape = {s.name: s.entity_col for s in reduced.shapes}
+
+    # per-(table, key) diffs are shared across consumers — compute lazily, once
+    diff_cache: dict[tuple[str, str], DataFrame] = {}
+
+    def diff(table: str, key: str) -> DataFrame:
+        if (table, key) not in diff_cache:
+            diff_cache[(table, key)] = changed_entity_keys(
+                old_tables[table], new_tables[table], key
+            ).persist()
+        return diff_cache[(table, key)]
+
+    def map_keys_to_entities(
+        shape, keys: DataFrame, local_col: str
+    ) -> DataFrame:
+        """Entities of `shape` (NEW version) whose `local_col` hits `keys`.
+        When the local column IS the entity key the ids are the keys."""
+        if local_col == shape.entity_col:
+            return keys
+        t = new_tables[shape.table]
+        return (
+            t.join(keys, t[local_col] == keys["__pop_id"], "leftsemi")
+            .select(F.col(shape.entity_col).alias("__pop_id"))
+        )
+
+    pops: dict[str, DataFrame] = {}
+    for group in groups:  # prerequisites-first
+        name = group.shapes[0]
+        s = shape_by_name[name]
+        parts = [diff(s.table, s.entity_col)]
+        for c0 in s.constraints:
+            for c in _walk(c0):
+                if c.kind in ("min_count", "max_count", "qualified_shape"):
+                    fk_changed = diff(c.params["child"], c.params["fk"])
+                    local = c.params.get("local_key") or s.entity_col
+                    parts.append(map_keys_to_entities(s, fk_changed, local))
+                if c.kind == "qualified_shape":
+                    ref = c.params["shape"]
+                    ref_aff = pops.get(ref)
+                    if ref_aff is not None:
+                        child = new_tables[c.params["child"]]
+                        ref_col = (
+                            c.params.get("ref_key") or entity_col_by_shape[ref]
+                        )
+                        linked_fks = (
+                            child.join(
+                                ref_aff,
+                                child[ref_col] == ref_aff["__pop_id"],
+                                "leftsemi",
+                            )
+                            .select(F.col(c.params["fk"]).alias("__pop_id"))
+                            .filter(F.col("__pop_id").isNotNull())
+                        )
+                        local = c.params.get("local_key") or s.entity_col
+                        parts.append(
+                            map_keys_to_entities(s, linked_fks, local)
+                        )
+                elif c.kind == "fk_exists":
+                    pk = diff(c.params["parent"], c.params["parent_col"])
+                    parts.append(map_keys_to_entities(s, pk, c.params["column"]))
+                elif c.kind == "fk_match":
+                    pk = diff(c.params["parent"], c.params["parent_key"])
+                    parts.append(map_keys_to_entities(s, pk, c.params["key"]))
+                elif c.kind == "drift":
+                    raise ValueError(
+                        f"shape {s.name!r} carries dataset-level drift "
+                        "constraints — drift has no per-entity locality; "
+                        "recompute it with a full run_suite"
+                    )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        pops[name] = out.distinct().persist()
+    return pops
+
+
+def revalidate_incremental(
+    spark: SparkSession,
+    suite: Suite,
+    old_tables: dict[str, DataFrame],
+    new_tables: dict[str, DataFrame],
+    old_verdicts: DataFrame,
+    old_violations: DataFrame | None = None,
+    target_shapes: list[str] | None = None,
+    config: EngineConfig | None = None,
+) -> SuiteResult:
+    """Verdicts for the NEW table version, computed by re-validating only the
+    affected entity populations and carrying every other verdict over from
+    ``old_verdicts`` (the output of a full run on the OLD version).
+
+    Result invariant (the oracle): ``merged.verdicts`` equals
+    ``run_suite(spark, suite, new_tables).verdicts`` on
+    (entity_id, shape, is_valid) — removed entities drop out (they are in
+    the affected set and the fresh run emits nothing for them), added
+    entities appear, changed entities flip, everything else is carried."""
+    targets = target_shapes or suite.names()
+    pops = affected_populations(suite, old_tables, new_tables, targets)
+
+    res = run_suite(
+        spark,
+        suite,
+        new_tables,
+        target_shapes=targets,
+        target_population={n: pops[n] for n in targets if n in pops},
+        config=config,
+    )
+
+    def merge(old: DataFrame | None, fresh: DataFrame | None) -> DataFrame | None:
+        if old is None:
+            return fresh
+        merged_parts = []
+        for t in targets:
+            ids = pops[t].select(
+                F.col("__pop_id").cast("string").alias("__pop_id")
+            )
+            keep = old.filter(F.col("shape") == F.lit(t))
+            keep = keep.join(
+                ids, keep["entity_id"] == ids["__pop_id"], "left_anti"
+            )
+            merged_parts.append(keep)
+            if fresh is not None:
+                # a target that is ALSO a referenced helper evaluates on its
+                # affected pop ∪ the population propagated from its referrers
+                # — emit only the affected slice, the rest is already carried
+                # over from old_verdicts
+                f_t = fresh.filter(F.col("shape") == F.lit(t))
+                merged_parts.append(
+                    f_t.join(ids, f_t["entity_id"] == ids["__pop_id"], "leftsemi")
+                )
+        return V.union_all(merged_parts)
+
+    verdicts = merge(old_verdicts, res.verdicts)
+    violations = merge(old_violations, res.violations)
+    summary = V.summarize(verdicts) if verdicts is not None else None
+    return SuiteResult(
+        verdicts=verdicts,
+        violations=violations,
+        summary=summary,
+        shapes_evaluated=res.shapes_evaluated,
+        verdicts_by_shape=res.verdicts_by_shape,
+    )

@@ -1,0 +1,128 @@
+"""Incremental revalidation: merged (old verdicts − affected ∪ fresh) must
+equal a full run on the new table version — the reference's semantics are a
+full re-validation per request (ref shaclapi/reduction/Reduction.py:25-64
+only restricts by the caller's query); the incremental path must be an
+invisible optimization.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from shaclapi_spark import fixtures, revalidate
+from shaclapi_spark.engine import EngineConfig, run_suite
+
+CFG = EngineConfig(short_circuit=True)
+
+
+@pytest.fixture(scope="module")
+def versions(fixture_tables):
+    old = dict(fixture_tables)
+    nc, nt = fixtures.mutate_clip_tables(old["clips"], old["transcripts"])
+    new = dict(old)
+    new["clips"] = nc
+    new["transcripts"] = nt
+    return old, new
+
+
+def _sets(verdicts):
+    # multiset, not set: a duplicate (entity, shape) row in the merge is a
+    # bug a set-compare would hide
+    from collections import Counter
+
+    return Counter(
+        (r.entity_id, r.shape, r.is_valid)
+        for r in verdicts.select("entity_id", "shape", "is_valid").collect()
+    )
+
+
+def test_incremental_equals_full_run(spark, versions):
+    old, new = versions
+    suite = fixtures.clip_suite(include_audio=True, include_drift=False)
+    old_res = run_suite(spark, suite, old, config=CFG)
+    full_new = run_suite(spark, suite, new, config=CFG)
+    inc = revalidate.revalidate_incremental(
+        spark, suite, old, new, old_res.verdicts, config=CFG
+    )
+    assert _sets(inc.verdicts) == _sets(full_new.verdicts)
+
+
+def test_affected_population_is_a_strict_subset(spark, versions):
+    old, new = versions
+    suite = fixtures.clip_suite(include_audio=False, include_drift=False)
+    pops = revalidate.affected_populations(suite, old, new)
+    n_clips = new["clips"].select("clip_id").distinct().count()
+    n_aff = pops["ClipShape"].count()
+    # the mutation touches a bounded slice (~1/23 + 1/17 own + fk fan-in);
+    # incrementality is pointless unless the affected set is well under half
+    assert 0 < n_aff < 0.5 * n_clips
+
+
+def test_affected_covers_every_flip(spark, versions):
+    # every entity whose verdict differs between old and new full runs must
+    # be inside the affected population (soundness of the superset)
+    old, new = versions
+    suite = fixtures.clip_suite(include_audio=False, include_drift=False)
+    old_v = _sets(run_suite(spark, suite, old, config=CFG).verdicts)
+    new_v = _sets(run_suite(spark, suite, new, config=CFG).verdicts)
+    pops = revalidate.affected_populations(suite, old, new)
+    affected = {
+        "ClipShape": {r[0] for r in pops["ClipShape"].collect()},
+        "TranscriptShape": {
+            r[0] for r in pops["TranscriptShape"].collect()
+        },
+    }
+    flips = set(new_v) ^ set(old_v)
+    for entity_id, shape, _ in flips:
+        assert entity_id in affected[shape], (entity_id, shape)
+
+
+def test_violations_merge_matches_full_run(spark, versions):
+    old, new = versions
+    suite = fixtures.clip_suite(include_audio=False, include_drift=False)
+    old_res = run_suite(spark, suite, old, config=CFG)
+    full_new = run_suite(spark, suite, new, config=CFG)
+    inc = revalidate.revalidate_incremental(
+        spark,
+        suite,
+        old,
+        new,
+        old_res.verdicts,
+        old_violations=old_res.violations,
+        config=CFG,
+    )
+    from collections import Counter
+
+    cols = ["entity_id", "shape", "constraint_id"]
+    got = Counter(tuple(r) for r in inc.violations.select(*cols).collect())
+    exp = Counter(tuple(r) for r in full_new.violations.select(*cols).collect())
+    assert got == exp
+
+
+def test_changed_entity_keys_multiset_sensitivity(spark):
+    # two identical rows -> one: XOR-style fingerprints would cancel; the
+    # (count, hash-sum) fingerprint must flag it
+    old = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2)], ["k", "v"]
+    )
+    new = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    got = {
+        r[0]
+        for r in revalidate.changed_entity_keys(old, new, "k").collect()
+    }
+    assert got == {"a"}
+
+
+def test_cyclic_suite_rejected(spark, versions):
+    old, new = versions
+    with pytest.raises(ValueError, match="acyclic"):
+        revalidate.affected_populations(fixtures.clip_cycle_suite(), old, new)
+
+
+def test_drift_suite_rejected(spark, versions):
+    old, new = versions
+    with pytest.raises(ValueError, match="drift"):
+        revalidate.affected_populations(
+            fixtures.clip_suite(include_audio=False, include_drift=True),
+            old,
+            new,
+        )
