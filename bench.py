@@ -134,6 +134,10 @@ def main() -> None:
             )
         ),
     )
+    timed(
+        "incremental_verdicts",
+        lambda: force(entry_mod.q_incremental_verdicts(spark, sf_dir)),
+    )
     timed("tpch_verdicts", lambda: force(entry_mod.q_tpch_verdicts(spark, sf_dir)))
     timed("events_hourly", lambda: force(entry_mod.q_events_hourly(spark, sf_dir)))
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

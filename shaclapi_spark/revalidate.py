@@ -50,17 +50,21 @@ from shaclapi_spark.suite import Constraint, Suite
 
 
 def changed_entity_keys(
-    old: DataFrame, new: DataFrame, key_col: str
+    old: DataFrame, new: DataFrame, key_col: str, cols: list[str] | None = None
 ) -> DataFrame:
     """Keys whose row-multiset differs between two versions of a table
-    (added, removed, or changed rows — all columns compared).
+    (added, removed, or changed rows — all columns compared unless ``cols``
+    narrows the comparison; narrowing to the columns the suite actually
+    reads lets the scan skip wide payload columns entirely — at 10^12 rows
+    the audio `bytes` column dominates I/O and no constraint outcome can
+    depend on a column no constraint reads).
 
     One column ``__pop_id`` (native key type). Shuffles one
     (key, count, decimal hash-sum) row per key and side — payload columns
     are consumed scan-side by the hash. NULL keys are dropped: a NULL-keyed
     row cannot be addressed by an entity population (the engine's population
     semi-join is an equality join)."""
-    cols = old.columns
+    cols = cols or old.columns
 
     def fp(df: DataFrame) -> DataFrame:
         return (
@@ -101,10 +105,17 @@ def affected_populations(
     old_tables: dict[str, DataFrame],
     new_tables: dict[str, DataFrame],
     target_shapes: list[str] | None = None,
+    compare_cols: dict[str, list[str]] | None = None,
 ) -> dict[str, DataFrame]:
     """shape name → single-column (``__pop_id``) DataFrame of entities whose
     verdict may differ between the two table versions. Prerequisite shapes
-    are resolved first so qualified-shape references propagate upward."""
+    are resolved first so qualified-shape references propagate upward.
+
+    ``compare_cols``: optional table → columns narrowing for the version
+    diff. MUST cover every column any constraint of the suite reads on that
+    table (constraint columns, entity/fk/local keys, expr references) —
+    a change in an uncovered column is invisible to the diff and its verdict
+    flips would be missed. Default: all columns (always sound)."""
     targets = target_shapes or suite.names()
     reduced, groups = compile_suite(suite, targets)
     if any(g.cyclic for g in groups):
@@ -122,7 +133,10 @@ def affected_populations(
     def diff(table: str, key: str) -> DataFrame:
         if (table, key) not in diff_cache:
             diff_cache[(table, key)] = changed_entity_keys(
-                old_tables[table], new_tables[table], key
+                old_tables[table],
+                new_tables[table],
+                key,
+                cols=(compare_cols or {}).get(table),
             ).persist()
         return diff_cache[(table, key)]
 
@@ -199,6 +213,7 @@ def revalidate_incremental(
     old_violations: DataFrame | None = None,
     target_shapes: list[str] | None = None,
     config: EngineConfig | None = None,
+    compare_cols: dict[str, list[str]] | None = None,
 ) -> SuiteResult:
     """Verdicts for the NEW table version, computed by re-validating only the
     affected entity populations and carrying every other verdict over from
@@ -210,7 +225,9 @@ def revalidate_incremental(
     the affected set and the fresh run emits nothing for them), added
     entities appear, changed entities flip, everything else is carried."""
     targets = target_shapes or suite.names()
-    pops = affected_populations(suite, old_tables, new_tables, targets)
+    pops = affected_populations(
+        suite, old_tables, new_tables, targets, compare_cols=compare_cols
+    )
 
     res = run_suite(
         spark,

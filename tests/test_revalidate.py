@@ -126,3 +126,53 @@ def test_drift_suite_rejected(spark, versions):
             old,
             new,
         )
+
+
+def test_incremental_three_level_dag(spark):
+    # TPC-H 3-level DAG (Customer -> Order -> Lineitem): a lineitem change
+    # must propagate up TWO qualified-shape levels; keys are native ints
+    # (exercises the cast-to-string merge path)
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    suite = entry._tpch_suite()
+    old = entry._tpch_tables(spark, sf_dir)
+    li = old["lineitem"]
+    lk = F.col("l_orderkey")
+    new = dict(old)
+    # flip li_qty out of range for a slice; delete a slice of orders
+    new["lineitem"] = li.withColumn(
+        "l_quantity",
+        F.when(lk % 31 == 2, F.lit(99)).otherwise(F.col("l_quantity")),
+    )
+    new["orders"] = old["orders"].filter(~(F.col("o_orderkey") % 37 == 3))
+
+    old_res = run_suite(spark, suite, old, config=CFG)
+    full_new = run_suite(spark, suite, new, config=CFG)
+    inc = revalidate.revalidate_incremental(
+        spark, suite, old, new, old_res.verdicts, config=CFG
+    )
+    assert _sets(inc.verdicts) == _sets(full_new.verdicts)
+
+    pops = revalidate.affected_populations(suite, old, new)
+    n_cust = old["customer"].count()
+    # upward propagation reached customers, but only a bounded slice
+    n_aff_cust = pops["CustomerShape"].count()
+    assert 0 < n_aff_cust < n_cust
+
+
+def test_compare_cols_narrowing(spark, versions):
+    # dropping the payload column from the diff (no constraint reads bytes
+    # in the audio-less suite) must not change the result
+    old, new = versions
+    suite = fixtures.clip_suite(include_audio=False, include_drift=False)
+    cc = {
+        "clips": ["clip_id", "sr_hz", "dur_ms", "codec", "transcript"],
+        "transcripts": ["transcript_id", "clip_id", "text", "lang", "n_tokens"],
+    }
+    old_res = run_suite(spark, suite, old, config=CFG)
+    full_new = run_suite(spark, suite, new, config=CFG)
+    inc = revalidate.revalidate_incremental(
+        spark, suite, old, new, old_res.verdicts, config=CFG, compare_cols=cc
+    )
+    assert _sets(inc.verdicts) == _sets(full_new.verdicts)
