@@ -274,6 +274,26 @@ def q_incremental_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inc.verdicts.select("entity_id", "shape", "is_valid")
 
 
+def q_incremental_changelog_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same invariant as incremental_verdicts, but the affected populations
+    # come from Iceberg-changelog-shaped change relations (INSERT/DELETE rows
+    # only — neither version is scanned for the diff); synthesized here from
+    # the two parquet versions, read from the snapshot changelog on Iceberg
+    from shaclapi_spark import revalidate
+
+    old, new = _mutated_clip_versions(spark, sf_dir)
+    suite = fixtures.clip_suite(include_audio=True, include_drift=False)
+    cls = {
+        t: revalidate.synthesize_changelog(old[t], new[t])
+        for t in ("clips", "transcripts")
+    }
+    old_res = run_suite(spark, suite, old, config=_CFG)
+    inc = revalidate.revalidate_incremental_from_changelogs(
+        spark, suite, cls, new, old_res.verdicts, config=_CFG
+    )
+    return inc.verdicts.select("entity_id", "shape", "is_valid")
+
+
 def q_verdict_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-(shape, transition) rollup of verdict flips between two table
     # versions — the promotion-gate readout (ops/diff.verdict_diff)
@@ -1093,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_summary": q_clip_summary,
         "clip_cycle_verdicts": q_clip_cycle_verdicts,
         "incremental_verdicts": q_incremental_verdicts,
+        "incremental_changelog_verdicts": q_incremental_changelog_verdicts,
         "verdict_regression": q_verdict_regression,
         "clip_stats": q_clip_stats,
         "grouped_stats_codec": q_grouped_stats_codec,
@@ -1998,6 +2019,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "clip_verdicts": verdict_union,
         "incremental_verdicts": _mutated_verdict_union_sql(),
+        "incremental_changelog_verdicts": _mutated_verdict_union_sql(),
         "verdict_regression": f"""
 WITH o AS ({verdict_union}),
      n AS ({_mutated_verdict_union_sql()}),

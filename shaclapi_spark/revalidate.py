@@ -36,7 +36,17 @@ drift with a normal run, it is one scan of two numeric columns).
 At Iceberg scale the `changed_entity_keys` diff would read the snapshot's
 changed-data-file manifest instead of both full versions; here it is
 expressed as the general two-version scan (shuffles only (key, count,
-64-bit hash sum) — never payload bytes).
+64-bit hash sum) — never payload bytes). The changelog path implements
+exactly that: `revalidate_incremental_from_changelogs` takes per-table
+change relations in Iceberg's changelog-view shape (the table's columns
+plus ``_change_type`` ∈ INSERT/DELETE/UPDATE_BEFORE/UPDATE_AFTER, as
+produced by the `create_changelog_view` procedure or an
+incremental-snapshot read) and derives the affected populations from the
+CHANGED ROWS ONLY — neither table version is ever scanned for the diff;
+cost is proportional to the delta, not the table. `synthesize_changelog`
+builds the same relation from two plain parquet versions (row-multiset
+exceptAll both ways) so the path is testable — and usable — without an
+Iceberg runtime.
 """
 
 from __future__ import annotations
@@ -116,6 +126,74 @@ def affected_populations(
     table (constraint columns, entity/fk/local keys, expr references) —
     a change in an uncovered column is invisible to the diff and its verdict
     flips would be missed. Default: all columns (always sound)."""
+
+    def diff(table: str, key: str) -> DataFrame:
+        return changed_entity_keys(
+            old_tables[table],
+            new_tables[table],
+            key,
+            cols=(compare_cols or {}).get(table),
+        )
+
+    return _expand_affected(suite, target_shapes, new_tables, diff)
+
+
+def synthesize_changelog(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Changelog relation (Iceberg changelog-view shape: the table's columns
+    plus ``_change_type``) derived from two plain table versions: rows in
+    new-but-not-old (multiset semantics) are INSERT, rows in old-but-not-new
+    are DELETE. Updates appear as a DELETE + INSERT pair, which is equally
+    informative for key extraction. This is the parquet-version stand-in for
+    Iceberg's `create_changelog_view`; it scans both versions (the thing the
+    real changelog avoids), so it exists for tests and for users who version
+    tables as plain parquet directories."""
+    return new.exceptAll(old).withColumn(
+        "_change_type", F.lit("INSERT")
+    ).unionByName(
+        old.exceptAll(new).withColumn("_change_type", F.lit("DELETE"))
+    )
+
+
+def affected_populations_from_changelogs(
+    suite: Suite,
+    changelogs: dict[str, DataFrame],
+    new_tables: dict[str, DataFrame],
+    target_shapes: list[str] | None = None,
+) -> dict[str, DataFrame]:
+    """Like :func:`affected_populations`, but the per-table change evidence
+    is a changelog relation (table columns + ``_change_type``) instead of
+    two full versions — e.g. Iceberg's changelog view between two snapshots,
+    or :func:`synthesize_changelog`. The affected keys for any key column
+    are simply the distinct non-null values of that column over the change
+    rows: every multiset change at a key materializes at least one
+    INSERT/DELETE/UPDATE_* row carrying that key, so this is the same
+    conservative superset the two-version diff computes — at delta cost.
+
+    Every table any suite constraint reads MUST have a changelogs entry
+    (missing-table KeyError is deliberate: an absent changelog means changes
+    there would be silently missed)."""
+
+    def diff(table: str, key: str) -> DataFrame:
+        cl = changelogs[table]
+        return (
+            cl.filter(F.col(key).isNotNull())
+            .select(F.col(key).alias("__pop_id"))
+            .distinct()
+        )
+
+    return _expand_affected(suite, target_shapes, new_tables, diff)
+
+
+def _expand_affected(
+    suite: Suite,
+    target_shapes: list[str] | None,
+    new_tables: dict[str, DataFrame],
+    diff_fn,
+) -> dict[str, DataFrame]:
+    """Shared DAG expansion: per-(table, key) change evidence from
+    ``diff_fn(table, key) -> DataFrame['__pop_id']`` propagated up the shape
+    dependency order (own rows, fk parents, child links, qualified-shape
+    verdict dependencies)."""
     targets = target_shapes or suite.names()
     reduced, groups = compile_suite(suite, targets)
     if any(g.cyclic for g in groups):
@@ -132,12 +210,7 @@ def affected_populations(
 
     def diff(table: str, key: str) -> DataFrame:
         if (table, key) not in diff_cache:
-            diff_cache[(table, key)] = changed_entity_keys(
-                old_tables[table],
-                new_tables[table],
-                key,
-                cols=(compare_cols or {}).get(table),
-            ).persist()
+            diff_cache[(table, key)] = diff_fn(table, key).persist()
         return diff_cache[(table, key)]
 
     def map_keys_to_entities(
@@ -228,7 +301,46 @@ def revalidate_incremental(
     pops = affected_populations(
         suite, old_tables, new_tables, targets, compare_cols=compare_cols
     )
+    return _run_restricted_and_merge(
+        spark, suite, new_tables, old_verdicts, old_violations, targets, pops, config
+    )
 
+
+def revalidate_incremental_from_changelogs(
+    spark: SparkSession,
+    suite: Suite,
+    changelogs: dict[str, DataFrame],
+    new_tables: dict[str, DataFrame],
+    old_verdicts: DataFrame,
+    old_violations: DataFrame | None = None,
+    target_shapes: list[str] | None = None,
+    config: EngineConfig | None = None,
+) -> SuiteResult:
+    """:func:`revalidate_incremental` with the version diff replaced by
+    per-table changelog relations (Iceberg changelog view /
+    :func:`synthesize_changelog`): the affected populations are derived from
+    the change rows alone, so the pre-validation cost is proportional to the
+    delta between snapshots, never to the table. Same result invariant:
+    equals a full ``run_suite`` of the new version."""
+    targets = target_shapes or suite.names()
+    pops = affected_populations_from_changelogs(
+        suite, changelogs, new_tables, targets
+    )
+    return _run_restricted_and_merge(
+        spark, suite, new_tables, old_verdicts, old_violations, targets, pops, config
+    )
+
+
+def _run_restricted_and_merge(
+    spark: SparkSession,
+    suite: Suite,
+    new_tables: dict[str, DataFrame],
+    old_verdicts: DataFrame,
+    old_violations: DataFrame | None,
+    targets: list[str],
+    pops: dict[str, DataFrame],
+    config: EngineConfig | None,
+) -> SuiteResult:
     res = run_suite(
         spark,
         suite,

@@ -1,3 +1,9 @@
+from shaclapi_spark.streaming.cdc import (  # noqa: F401
+    apply_changelog,
+    empty_changelog,
+    latest_verdicts,
+    revalidate_changelog_stream,
+)
 from shaclapi_spark.streaming.incremental import (  # noqa: F401
     row_verdict_stream,
     validate_stream,

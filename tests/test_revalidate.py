@@ -176,3 +176,42 @@ def test_compare_cols_narrowing(spark, versions):
         spark, suite, old, new, old_res.verdicts, config=CFG, compare_cols=cc
     )
     assert _sets(inc.verdicts) == _sets(full_new.verdicts)
+
+
+def test_changelog_path_equals_full_rerun(spark, versions):
+    # Iceberg-changelog-shaped change relations (synthesized here from the
+    # two parquet versions) must drive the SAME result as the full re-run;
+    # the affected populations must also match the two-version diff's
+    old, new = versions
+    suite = fixtures.clip_suite(include_audio=True, include_drift=False)
+    cls = {
+        t: revalidate.synthesize_changelog(old[t], new[t])
+        for t in ("clips", "transcripts")
+    }
+    # the synthesized changelog carries _change_type alongside table columns
+    assert "_change_type" in cls["clips"].columns
+    assert set(cls["clips"].columns) - {"_change_type"} == set(old["clips"].columns)
+
+    old_res = run_suite(spark, suite, old, config=CFG)
+    full_new = run_suite(spark, suite, new, config=CFG)
+    inc = revalidate.revalidate_incremental_from_changelogs(
+        spark, suite, cls, new, old_res.verdicts, config=CFG
+    )
+    assert _sets(inc.verdicts) == _sets(full_new.verdicts)
+
+    pops_cl = revalidate.affected_populations_from_changelogs(suite, cls, new)
+    pops_2v = revalidate.affected_populations(suite, old, new)
+    for shape in pops_2v:
+        a = {r["__pop_id"] for r in pops_cl[shape].collect()}
+        b = {r["__pop_id"] for r in pops_2v[shape].collect()}
+        assert a == b, shape
+
+
+def test_changelog_missing_table_raises(spark, versions):
+    # an absent changelog for a table the suite reads must fail loudly —
+    # silently assuming "no changes" would miss verdict flips
+    old, new = versions
+    suite = fixtures.clip_suite(include_audio=False, include_drift=False)
+    cls = {"clips": revalidate.synthesize_changelog(old["clips"], new["clips"])}
+    with pytest.raises(KeyError):
+        revalidate.affected_populations_from_changelogs(suite, cls, new)
