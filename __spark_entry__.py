@@ -246,6 +246,77 @@ def q_clip_cycle_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.verdicts.select("entity_id", "shape", "is_valid")
 
 
+def q_fdep_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # functional_dep: transcript must be constant within each clip entity
+    # (the %997 duplicate rows carry a conflicting '(alt)' transcript).
+    # Rides the same single entity groupBy as `unique`, shuffling 8-byte
+    # xxhash64 values instead of raw transcripts.
+    t = _clip_tables(spark, sf_dir)
+    suite = Suite(
+        shapes=[
+            Shape(
+                name="ClipShape",
+                table="clips",
+                entity_col="clip_id",
+                constraints=[
+                    Constraint("clip_unique", "unique", {"column": "clip_id"}),
+                    Constraint(
+                        "tr_constant", "functional_dep", {"column": "transcript"}
+                    ),
+                ],
+            )
+        ]
+    )
+    res = run_suite(spark, suite, t, config=_CFG)
+    return res.verdicts.select("entity_id", "shape", "is_valid", "reason")
+
+
+def q_stat_bound_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dataset-grain aggregate bounds (null-rate / central tendency /
+    # row count / minimum) — all four fused into ONE aggregate job over the
+    # clips scan; sb_avg_dur is seeded to fail (fixture avg dur ≈ 16.7 s).
+    t = _clip_tables(spark, sf_dir)
+    suite = Suite(
+        shapes=[
+            Shape(
+                name="ClipShape",
+                table="clips",
+                entity_col="clip_id",
+                constraints=[
+                    Constraint(
+                        "sb_null_rate",
+                        "stat_bound",
+                        {
+                            "metric": "avg(CASE WHEN sr_hz IS NULL THEN 1.0 ELSE 0.0 END)",
+                            "max": 0.02,
+                            "columns": ["sr_hz"],
+                        },
+                    ),
+                    Constraint(
+                        "sb_avg_dur",
+                        "stat_bound",
+                        {"metric": "avg(dur_ms)", "max": 10000, "columns": ["dur_ms"]},
+                    ),
+                    Constraint(
+                        "sb_rows",
+                        "stat_bound",
+                        {"metric": "count(*)", "min": 100, "columns": []},
+                    ),
+                    Constraint(
+                        "sb_min_dur",
+                        "stat_bound",
+                        {"metric": "min(dur_ms)", "min": 400, "columns": ["dur_ms"]},
+                    ),
+                ],
+            )
+        ]
+    )
+    res = run_suite(spark, suite, t, config=_CFG)
+    return res.verdicts.filter(F.col("entity_id") == "__dataset__").select(
+        "entity_id", "shape", "is_valid", "reason"
+    )
+
+
 def _mutated_clip_versions(spark: SparkSession, sf_dir: str):
     """(old tables, new tables) for the incremental-revalidation queries —
     the deterministic mutation is fixtures.mutate_clip_tables, mirrored in
@@ -1112,6 +1183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdict_counts": q_verdict_counts,
         "clip_summary": q_clip_summary,
         "clip_cycle_verdicts": q_clip_cycle_verdicts,
+        "fdep_verdicts": q_fdep_verdicts,
+        "stat_bound_verdicts": q_stat_bound_verdicts,
         "incremental_verdicts": q_incremental_verdicts,
         "incremental_changelog_verdicts": q_incremental_changelog_verdicts,
         "verdict_regression": q_verdict_regression,
@@ -2057,6 +2130,36 @@ WHERE clip_id IS NOT NULL
   AND clip_id NOT IN (SELECT clip_id FROM {c})
 """,
         "clip_violations": _clip_violations_sql(),
+        "fdep_verdicts": f"""
+SELECT clip_id AS entity_id, 'ClipShape' AS shape,
+  (count(*) = 1 AND count(DISTINCT transcript) <= 1) AS is_valid,
+  CASE WHEN count(*) > 1 THEN 'clip_unique'
+       WHEN count(DISTINCT transcript) > 1 THEN 'tr_constant'
+       ELSE NULL END AS reason
+FROM {c} GROUP BY clip_id
+""",
+        "stat_bound_verdicts": f"""
+WITH m AS (
+  SELECT avg(CASE WHEN sr_hz IS NULL THEN 1.0 ELSE 0.0 END) AS null_rate,
+         avg(dur_ms) AS avg_dur,
+         count(*) AS n,
+         min(dur_ms) AS min_dur
+  FROM {c}
+)
+SELECT '__dataset__' AS entity_id, 'ClipShape' AS shape,
+       (null_rate <= 0.02) AS is_valid,
+       CASE WHEN null_rate <= 0.02 THEN NULL ELSE 'sb_null_rate' END AS reason
+FROM m
+UNION ALL
+SELECT '__dataset__', 'ClipShape', (avg_dur <= 10000),
+       CASE WHEN avg_dur <= 10000 THEN NULL ELSE 'sb_avg_dur' END FROM m
+UNION ALL
+SELECT '__dataset__', 'ClipShape', (n >= 100),
+       CASE WHEN n >= 100 THEN NULL ELSE 'sb_rows' END FROM m
+UNION ALL
+SELECT '__dataset__', 'ClipShape', (min_dur >= 400),
+       CASE WHEN min_dur >= 400 THEN NULL ELSE 'sb_min_dur' END FROM m
+""",
         "verdict_counts": f"""
 SELECT shape,
   CAST(sum(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,

@@ -31,8 +31,16 @@ from shaclapi_spark import verdicts as V
 from shaclapi_spark.compiler import EvalGroup, compile_suite
 from shaclapi_spark.ops import audio as audio_ops
 from shaclapi_spark.ops import drift as drift_ops
+from shaclapi_spark.ops import stats as stats_ops
 from shaclapi_spark.ops.row_checks import describe, row_predicate
-from shaclapi_spark.suite import CHILD_KINDS, ROW_KINDS, Constraint, Shape, Suite
+from shaclapi_spark.suite import (
+    CHILD_KINDS,
+    DATASET_KINDS,
+    ROW_KINDS,
+    Constraint,
+    Shape,
+    Suite,
+)
 
 
 @dataclass
@@ -90,6 +98,7 @@ class _ShapeEvaluator:
         self.fk_cs: list[Constraint] = []
         self.child_cs: list[Constraint] = []
         self.unique_cs: list[Constraint] = []
+        self.fdep_cs: list[Constraint] = []
         self.dataset_cs: list[Constraint] = []
         self.or_groups: list[Constraint] = []
         self._classify()
@@ -107,9 +116,11 @@ class _ShapeEvaluator:
                 self.row_cs.append(c)
             elif c.kind == "unique":
                 self.unique_cs.append(c)
+            elif c.kind == "functional_dep":
+                self.fdep_cs.append(c)
             elif c.kind in CHILD_KINDS:
                 self.child_cs.append(c)
-            elif c.kind == "drift":
+            elif c.kind in DATASET_KINDS:
                 self.dataset_cs.append(c)
             else:  # pragma: no cover
                 raise ValueError(c.kind)
@@ -205,6 +216,15 @@ class _ShapeEvaluator:
                     keep.add(c.params["column"])
                     proj.append(raw)
                 match_col[c.id] = raw
+        # functional_dep carries xxhash64(column) (8 B per row) across the
+        # entity groupBy instead of the raw value — constancy is decidable
+        # from the hash alone (min==max), and payload-width columns
+        # (transcripts) never cross the shuffle
+        for c in self.fdep_cs:
+            raw = F.col(c.params["column"])
+            proj.append(
+                F.when(raw.isNotNull(), F.xxhash64(raw)).alias(f"__fd_{c.id}")
+            )
         all_row_names = row_bool_names + [f"b_{c.id}" for c in self.audio_cs]
         proj += [F.col(n) for n in all_row_names]
         df = df.select(*proj)
@@ -284,15 +304,20 @@ class _ShapeEvaluator:
 
         all_row_names = row_bool_names + [f"b_{c.id}" for c in self.audio_cs]
 
-        # entity-grain reduction: one shuffle, or zero if no uniqueness demanded
+        # entity-grain reduction: one shuffle, or zero if no uniqueness /
+        # per-entity-constancy demanded (functional_dep rides the same
+        # single groupBy as unique — min/max over the 8-byte value hash)
         entity = shape.entity_col
-        grouped = bool(self.unique_cs)
+        grouped = bool(self.unique_cs or self.fdep_cs)
         if grouped:
             aggs = (
                 [F.count(F.lit(1)).alias("__n_rows")]
                 + [F.bool_and(F.col(n)).alias(n) for n in all_row_names]
                 + [F.first(F.col(k)).alias(k) for k in local_keys]
             )
+            for c in self.fdep_cs:
+                aggs.append(F.min(F.col(f"__fd_{c.id}")).alias(f"__fdlo_{c.id}"))
+                aggs.append(F.max(F.col(f"__fd_{c.id}")).alias(f"__fdhi_{c.id}"))
             ent = df.groupBy(F.col(entity).alias("entity_id")).agg(*aggs)
         else:
             ent = df.withColumn("__n_rows", F.lit(1)).withColumnRenamed(
@@ -304,6 +329,11 @@ class _ShapeEvaluator:
         bools.update({c.id: F.col(f"b_{c.id}") for c in self.audio_cs})
         for c in self.unique_cs:
             bools[c.id] = F.col("__n_rows") == 1
+        for c in self.fdep_cs:
+            lo, hi = F.col(f"__fdlo_{c.id}"), F.col(f"__fdhi_{c.id}")
+            # min/max skip NULLs: lo NULL ⇒ all values NULL ⇒ vacuously
+            # constant (not_null's job, not functional_dep's)
+            bools[c.id] = lo.isNull() | (lo == hi)
 
         # child aggregates: one groupBy per (child table, fk, local join key),
         # all count columns for that child fused into the single pass
@@ -409,7 +439,7 @@ class _ShapeEvaluator:
         # top-level combine honoring or_groups, in declaration order
         top: list[tuple[Constraint, Column]] = []
         for c in self.shape.constraints:
-            if c.kind == "drift":
+            if c.kind in DATASET_KINDS:
                 continue  # dataset-level, handled by the engine
             if c.kind == "or_group":
                 col = F.lit(False)
@@ -633,19 +663,23 @@ def run_suite(
                         ids, d[name]["entity_id"] == ids["__pop_id"], "leftsemi"
                     )
 
-    # dataset-level drift constraints (any shape)
+    # dataset-level constraints (any shape): drift + stat_bound, each fused
+    # into one job per distinct (table, target_filter) source
     drift_vd, drift_vl = drift_ops.evaluate_drift_constraints(
+        spark, reduced, tables
+    )
+    sb_vd, sb_vl = stats_ops.evaluate_stat_bound_constraints(
         spark, reduced, tables
     )
 
     keep = [n for n in verdicts_by_shape if n not in (preseeded_verdicts or {})]
     verdicts = V.union_all(
         [verdicts_by_shape[n] for n in keep]
-        + ([drift_vd] if drift_vd is not None else [])
+        + [d for d in (drift_vd, sb_vd) if d is not None]
     )
     violations = V.union_all(
         [violations_by_shape[n] for n in keep]
-        + ([drift_vl] if drift_vl is not None else [])
+        + [d for d in (drift_vl, sb_vl) if d is not None]
     )
     summary = V.summarize(verdicts, cfg.n_buckets)
     return SuiteResult(

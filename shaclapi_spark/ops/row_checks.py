@@ -54,6 +54,13 @@ def describe(c: Constraint) -> str:
         return f"audio_valid({p['column']} snr>={p.get('min_snr_db', 30.0)}dB)"
     if c.kind == "unique":
         return f"unique({p.get('column', '<entity>')})"
+    if c.kind == "functional_dep":
+        return f"functional_dep({p['column']} constant per entity)"
+    if c.kind == "stat_bound":
+        return (
+            f"stat_bound({p['metric']} in "
+            f"[{p.get('min')},{p.get('max')}])"
+        )
     if c.kind == "min_count":
         return f"min_count({p['child']}.{p['fk']} >= {p['min']}" + (
             f" where {p['where']})" if p.get("where") else ")"

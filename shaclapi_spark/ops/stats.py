@@ -247,3 +247,73 @@ def quantile_anomalies(
             (F.col(value_col) < F.col("__lo")) | (F.col(value_col) > F.col("__hi"))
         ),
     ).withColumnRenamed("__lo", "band_lo").withColumnRenamed("__hi", "band_hi")
+
+
+def evaluate_stat_bound_constraints(spark, suite, tables: dict[str, DataFrame]):
+    """Dataset-level verdict rows (entity_id='__dataset__') for every
+    ``stat_bound`` constraint in the suite — the north-star's per-column
+    stats (null-rate, row-count, cardinality, central tendency) promoted
+    from a report to first-class pass/fail constraints. Returns
+    (verdicts_df|None, violations_df|None), the same contract as
+    ops/drift.evaluate_drift_constraints.
+
+    ALL stat_bound constraints over the same (table, target_filter) source
+    are fused into ONE aggregate job: an N-metric suite costs one scan and
+    one single-row partial-agg exchange, never N sequential jobs. The
+    collected result is one row per source — driver-side work is O(metrics).
+
+    Semantics: the metric is any aggregate SQL expression over the source;
+    the constraint holds iff min <= metric <= max (either bound optional).
+    A NULL metric (e.g. avg() of an empty source) is vacuously valid —
+    the engine's unbound-implies-valid convention.
+    """
+    by_source: dict[tuple, list] = {}
+    for shape in suite.shapes:
+        for c in shape.constraints:
+            if c.kind != "stat_bound":
+                continue
+            by_source.setdefault((shape.table, shape.target_filter), []).append(
+                (shape, c)
+            )
+    if not by_source:
+        return None, None
+
+    vrows, xrows = [], []
+    for (table, tfilter), ss in sorted(by_source.items(), key=lambda kv: kv[0][0]):
+        df = tables[table]
+        if tfilter:
+            df = df.filter(F.expr(tfilter))
+        aggs = [
+            F.expr(c.params["metric"]).cast("double").alias(f"m_{i}")
+            for i, (_s, c) in enumerate(ss)
+        ]
+        row = df.agg(*aggs).collect()[0]
+        for i, (shape, c) in enumerate(ss):
+            p = c.params
+            v = row[f"m_{i}"]
+            ok = True
+            if v is not None:
+                if p.get("min") is not None and v < float(p["min"]):
+                    ok = False
+                if p.get("max") is not None and v > float(p["max"]):
+                    ok = False
+            vrows.append(("__dataset__", shape.name, ok, None if ok else c.id))
+            if not ok:
+                xrows.append(
+                    (
+                        "__dataset__",
+                        shape.name,
+                        c.id,
+                        f"stat_bound({p['metric']}) value={v} "
+                        f"min={p.get('min')} max={p.get('max')}",
+                    )
+                )
+    vd = spark.createDataFrame(
+        vrows,
+        schema="entity_id string, shape string, is_valid boolean, reason string",
+    )
+    vl = spark.createDataFrame(
+        xrows,
+        schema="entity_id string, shape string, constraint_id string, detail string",
+    )
+    return vd, vl

@@ -20,6 +20,10 @@ row-level (pure map-side, no shuffle):
 
 entity-level (fused into ONE groupBy per shape):
   unique(column?)                 — clip_id uniqueness: exactly one row per entity
+  functional_dep(column)          — the column is constant within each entity
+        (all non-null values equal; ignores nulls — not_null's job). The
+        per-entity reduction carries xxhash64(column) (8 B), never the raw
+        value, and rides the same single entity groupBy as `unique`.
 
 child-level (one groupBy+join per (child_table, fk)):
   min_count / max_count(child, fk, where?)   — sh:minCount/maxCount over a path
@@ -37,6 +41,14 @@ child-level (one groupBy+join per (child_table, fk)):
 dataset-level:
   drift(column, max_psi?, max_ks?)  — KS/PSI vs the broadcast reference
         histogram table (T3); verdict entity_id = '__dataset__'
+  stat_bound(metric, min?, max?, columns?) — an aggregate SQL metric over the
+        shape's (filtered) table must land inside [min, max]: null-rate /
+        row-count / cardinality / central-tendency bounds (the north-star's
+        per-column stats as first-class constraints, not just a report).
+        All stat_bound constraints over the same source run in ONE fused
+        aggregate job; a NULL metric (empty source) is vacuously valid.
+        `columns` optionally names the table columns the metric reads, for
+        query-driven constraint pruning.
 """
 
 from __future__ import annotations
@@ -45,9 +57,10 @@ import json
 from dataclasses import dataclass, field
 
 ROW_KINDS = {"not_null", "range", "in_set", "regex", "expr", "audio_valid"}
+ENTITY_KINDS = {"unique", "functional_dep"}
 CHILD_KINDS = {"min_count", "max_count", "fk_exists", "fk_match", "qualified_shape"}
-DATASET_KINDS = {"drift"}
-ALL_KINDS = ROW_KINDS | CHILD_KINDS | DATASET_KINDS | {"unique", "or_group"}
+DATASET_KINDS = {"drift", "stat_bound"}
+ALL_KINDS = ROW_KINDS | ENTITY_KINDS | CHILD_KINDS | DATASET_KINDS | {"or_group"}
 
 
 @dataclass
@@ -70,6 +83,7 @@ class Constraint:
         cols = set()
         if self.kind != "unique" and "column" in self.params:
             cols.add(self.params["column"])
+        cols |= set(self.params.get("columns", ()))  # stat_bound metric reads
         for b in self.branches:
             cols |= b.columns()
         return cols
