@@ -317,6 +317,75 @@ def q_stat_bound_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_monotonic_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # monotonic constraint kind: per user, event ids must be assigned in
+    # event-time order (ingestion-order vs event-time consistency) and the
+    # value column must be non-decreasing over time (seeded to fail for most
+    # users — mixed verdicts). Both constraints share order plumbing; each
+    # distinct order_by gets ONE (entity, order_key) pre-aggregate + window.
+    events = _t(spark, sf_dir, "events")
+    suite = Suite(
+        shapes=[
+            Shape(
+                name="EventShape",
+                table="events",
+                entity_col="user_id",
+                constraints=[
+                    Constraint(
+                        "mono_ts",
+                        "monotonic",
+                        {"order_by": "event_id", "column": "ts"},
+                    ),
+                    Constraint(
+                        "mono_val",
+                        "monotonic",
+                        {"order_by": "ts", "column": "value"},
+                    ),
+                ],
+            )
+        ]
+    )
+    res = run_suite(spark, suite, {"events": events}, config=_CFG)
+    return res.verdicts.select("entity_id", "shape", "is_valid", "reason")
+
+
+def q_blocklist_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fk_not_exists (blocklist/disjointness): clips must NOT appear in the
+    # quarantine relation (here derived deterministically from the clips
+    # table itself: long flac clips). The blocklist parent aggregates to
+    # distinct keys before the join — at 10^12 rows the quarantine side is
+    # tiny and broadcast; the clip side never shuffles payload bytes.
+    t = _clip_tables(spark, sf_dir)
+    t["quarantine"] = (
+        t["clips"]
+        .filter((F.col("codec") == "flac") & (F.col("dur_ms") > 25000))
+        .select("clip_id")
+    )
+    suite = Suite(
+        shapes=[
+            Shape(
+                name="ClipShape",
+                table="clips",
+                entity_col="clip_id",
+                constraints=[
+                    Constraint("clip_unique", "unique", {"column": "clip_id"}),
+                    Constraint(
+                        "not_quarantined",
+                        "fk_not_exists",
+                        {
+                            "column": "clip_id",
+                            "parent": "quarantine",
+                            "parent_col": "clip_id",
+                        },
+                    ),
+                ],
+            )
+        ]
+    )
+    res = run_suite(spark, suite, t, config=_CFG)
+    return res.verdicts.select("entity_id", "shape", "is_valid", "reason")
+
+
 def _mutated_clip_versions(spark: SparkSession, sf_dir: str):
     """(old tables, new tables) for the incremental-revalidation queries —
     the deterministic mutation is fixtures.mutate_clip_tables, mirrored in
@@ -1184,6 +1253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_summary": q_clip_summary,
         "clip_cycle_verdicts": q_clip_cycle_verdicts,
         "fdep_verdicts": q_fdep_verdicts,
+        "monotonic_verdicts": q_monotonic_verdicts,
+        "blocklist_verdicts": q_blocklist_verdicts,
         "stat_bound_verdicts": q_stat_bound_verdicts,
         "incremental_verdicts": q_incremental_verdicts,
         "incremental_changelog_verdicts": q_incremental_changelog_verdicts,
@@ -2137,6 +2208,53 @@ SELECT clip_id AS entity_id, 'ClipShape' AS shape,
        WHEN count(DISTINCT transcript) > 1 THEN 'tr_constant'
        ELSE NULL END AS reason
 FROM {c} GROUP BY clip_id
+""",
+        "monotonic_verdicts": """
+WITH g1 AS (
+  SELECT user_id, event_id, min(ts) AS lo, max(ts) AS hi
+  FROM events WHERE event_id IS NOT NULL GROUP BY 1, 2
+), m1 AS (
+  SELECT user_id, coalesce(bool_and(lo IS NULL OR pm IS NULL OR lo >= pm), TRUE) AS ok
+  FROM (
+    SELECT user_id, lo,
+      max(hi) OVER (PARTITION BY user_id ORDER BY event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+    FROM g1
+  ) GROUP BY 1
+), g2 AS (
+  SELECT user_id, ts, min(value) AS lo, max(value) AS hi
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), m2 AS (
+  SELECT user_id, coalesce(bool_and(lo IS NULL OR pm IS NULL OR lo >= pm), TRUE) AS ok
+  FROM (
+    SELECT user_id, lo,
+      max(hi) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+    FROM g2
+  ) GROUP BY 1
+), ents AS (SELECT DISTINCT user_id FROM events)
+SELECT CAST(ents.user_id AS VARCHAR) AS entity_id, 'EventShape' AS shape,
+  (coalesce(m1.ok, TRUE) AND coalesce(m2.ok, TRUE)) AS is_valid,
+  CASE WHEN NOT coalesce(m1.ok, TRUE) THEN 'mono_ts'
+       WHEN NOT coalesce(m2.ok, TRUE) THEN 'mono_val'
+       ELSE NULL END AS reason
+FROM ents
+LEFT JOIN m1 ON ents.user_id = m1.user_id
+LEFT JOIN m2 ON ents.user_id = m2.user_id
+""",
+        "blocklist_verdicts": f"""
+WITH quarantine AS (
+  SELECT DISTINCT clip_id FROM {c}
+  WHERE codec = 'flac' AND dur_ms > 25000
+), ent AS (
+  SELECT clip_id, count(*) AS n FROM {c} GROUP BY 1
+)
+SELECT ent.clip_id AS entity_id, 'ClipShape' AS shape,
+  (n = 1 AND q.clip_id IS NULL) AS is_valid,
+  CASE WHEN n <> 1 THEN 'clip_unique'
+       WHEN q.clip_id IS NOT NULL THEN 'not_quarantined'
+       ELSE NULL END AS reason
+FROM ent LEFT JOIN quarantine q ON ent.clip_id = q.clip_id
 """,
         "stat_bound_verdicts": f"""
 WITH m AS (

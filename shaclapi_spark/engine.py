@@ -26,6 +26,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from shaclapi_spark import verdicts as V
 from shaclapi_spark.compiler import EvalGroup, compile_suite
@@ -99,6 +100,7 @@ class _ShapeEvaluator:
         self.child_cs: list[Constraint] = []
         self.unique_cs: list[Constraint] = []
         self.fdep_cs: list[Constraint] = []
+        self.mono_cs: list[Constraint] = []
         self.dataset_cs: list[Constraint] = []
         self.or_groups: list[Constraint] = []
         self._classify()
@@ -110,7 +112,7 @@ class _ShapeEvaluator:
                     walk(b)
             elif c.kind == "audio_valid":
                 self.audio_cs.append(c)
-            elif c.kind in ("fk_exists", "fk_match"):
+            elif c.kind in ("fk_exists", "fk_not_exists", "fk_match"):
                 self.fk_cs.append(c)
             elif c.kind in ROW_KINDS:
                 self.row_cs.append(c)
@@ -118,6 +120,8 @@ class _ShapeEvaluator:
                 self.unique_cs.append(c)
             elif c.kind == "functional_dep":
                 self.fdep_cs.append(c)
+            elif c.kind == "monotonic":
+                self.mono_cs.append(c)
             elif c.kind in CHILD_KINDS:
                 self.child_cs.append(c)
             elif c.kind in DATASET_KINDS:
@@ -147,6 +151,11 @@ class _ShapeEvaluator:
                 df[shape.entity_col] == self.population["__pop_id"],
                 "leftsemi",
             )
+
+        # monotonic constraints re-aggregate the filtered source at
+        # (entity, order_by) grain — capture it before the narrow projection
+        # below drops their order/value columns
+        mono_src = df if self.mono_cs else None
 
         top_level_ids = {c.id for c in shape.constraints}
         row_bool_names: list[str] = []
@@ -197,7 +206,9 @@ class _ShapeEvaluator:
         fk_keys = set()
         for c in self.fk_cs:
             fk_keys.add(
-                c.params["column"] if c.kind == "fk_exists" else c.params["key"]
+                c.params["key"]
+                if c.kind == "fk_match"
+                else c.params["column"]
             )
         keep = {shape.entity_col, *fk_keys, *local_keys}
         proj: list[Column] = [F.col(n) for n in sorted(keep)]
@@ -235,10 +246,10 @@ class _ShapeEvaluator:
         by_parent: dict[tuple[str, str, str], list[Constraint]] = {}
         for c in self.fk_cs:
             p = c.params
-            if c.kind == "fk_exists":
-                key = (p["parent"], p["column"], p["parent_col"])
-            else:
+            if c.kind == "fk_match":
                 key = (p["parent"], p["key"], p["parent_key"])
+            else:  # fk_exists / fk_not_exists share the aggregated-parent join
+                key = (p["parent"], p["column"], p["parent_col"])
             by_parent.setdefault(key, []).append(c)
         for gi, ((parent_name, local_key, parent_key), cs) in enumerate(
             sorted(by_parent.items())
@@ -280,6 +291,11 @@ class _ShapeEvaluator:
                     b = F.when(
                         F.col(local_key).isNull(), F.lit(True)
                     ).otherwise(F.col(marker).isNotNull())
+                elif c.kind == "fk_not_exists":
+                    # blocklist semantics: valid iff the key hit NO parent row
+                    b = F.when(
+                        F.col(local_key).isNull(), F.lit(True)
+                    ).otherwise(F.col(marker).isNull())
                 else:
                     lv = match_col[c.id]
                     pv = F.col(f"__pv_{c.id}")
@@ -308,7 +324,7 @@ class _ShapeEvaluator:
         # per-entity-constancy demanded (functional_dep rides the same
         # single groupBy as unique — min/max over the 8-byte value hash)
         entity = shape.entity_col
-        grouped = bool(self.unique_cs or self.fdep_cs)
+        grouped = bool(self.unique_cs or self.fdep_cs or self.mono_cs)
         if grouped:
             aggs = (
                 [F.count(F.lit(1)).alias("__n_rows")]
@@ -425,6 +441,60 @@ class _ShapeEvaluator:
                 ):
                     pred = pred & (cnt <= F.lit(int(c.params["max"])))
                 bools[c.id] = pred
+
+        # monotonic constraints: one (entity, order_key) pre-aggregate plus
+        # one entity-window pass per distinct order_by column, every
+        # constraint sharing that order key fused into the same pass.
+        # Tie-robust semantics (suite.py docstring): per order-key group,
+        # min(column) must be >= the running max(column) over all earlier
+        # groups of the entity — i.e. SOME row ordering consistent with
+        # order_by is non-decreasing in column. The pre-aggregate shuffles
+        # only (entity, order_key, min, max) — payload columns never cross —
+        # and the window + final entity rollup reuse its hash partitioning
+        # on the entity key (no extra exchange: window partitionBy(entity)
+        # ⊂ groupBy(entity, order_key) requires one repartition, then the
+        # entity groupBy rides the window's partitioning).
+        by_order: dict[str, list[Constraint]] = {}
+        for c in self.mono_cs:
+            by_order.setdefault(c.params["order_by"], []).append(c)
+        for order_by, cs in sorted(by_order.items()):
+            src = mono_src.filter(F.col(order_by).isNotNull())
+            aggs = []
+            for c in cs:
+                v = F.col(c.params["column"])
+                aggs.append(F.min(v).alias(f"__mlo_{c.id}"))
+                aggs.append(F.max(v).alias(f"__mhi_{c.id}"))
+            g = src.groupBy(
+                F.col(entity).alias("__me"), F.col(order_by).alias("__mo")
+            ).agg(*aggs)
+            w = (
+                Window.partitionBy("__me")
+                .orderBy("__mo")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            for c in cs:
+                lo = F.col(f"__mlo_{c.id}")
+                prev = F.max(F.col(f"__mhi_{c.id}")).over(w)
+                # NULL lo: the group's values are all NULL — ignored
+                # (not_null's job); NULL prev: no earlier non-null value
+                g = g.withColumn(
+                    f"__mok_{c.id}", lo.isNull() | prev.isNull() | (lo >= prev)
+                )
+            ment = g.groupBy("__me").agg(
+                *[
+                    F.bool_and(F.col(f"__mok_{c.id}")).alias(f"__mono_{c.id}")
+                    for c in cs
+                ]
+            )
+            ent = ent.join(
+                ment, ent["entity_id"] == ment["__me"], "left"
+            ).drop("__me")
+            for c in cs:
+                # entities absent from the aggregate (every order key NULL)
+                # are vacuously valid
+                bools[c.id] = F.coalesce(
+                    F.col(f"__mono_{c.id}"), F.lit(True)
+                )
 
         return ent, bools
 

@@ -134,6 +134,20 @@ def _evidence_for(
             parent, df[p["column"]] == parent["__pk"], "leftanti"
         )
         return _emit(dangling, ent, name, c.id, table)
+    if c.kind == "fk_not_exists":
+        # evidence = the rows whose key DID hit a blocklist/parent row
+        p = c.params
+        parent = tables[p["parent"]].select(
+            F.col(p["parent_col"]).alias("__pk")
+        )
+        hits = df.filter(F.col(p["column"]).isNotNull()).join(
+            parent, df[p["column"]] == parent["__pk"], "leftsemi"
+        )
+        return _emit(hits, ent, name, c.id, table)
+    if c.kind == "monotonic":
+        # evidence degrades to the entity's own rows (the offending order
+        # inversion is a property of row PAIRS, not single rows)
+        return _emit(df, ent, name, c.id, table)
     if c.kind == "fk_match":
         p = c.params
         pagg = (

@@ -71,6 +71,10 @@ def describe(c: Constraint) -> str:
         )
     if c.kind == "fk_exists":
         return f"fk_exists({p['column']} -> {p['parent']}.{p['parent_col']})"
+    if c.kind == "fk_not_exists":
+        return f"fk_not_exists({p['column']} !-> {p['parent']}.{p['parent_col']})"
+    if c.kind == "monotonic":
+        return f"monotonic({p['column']} by {p['order_by']} per entity)"
     if c.kind == "fk_match":
         return (
             f"fk_match({p['column']} == {p['parent']}.{p['parent_col']}"

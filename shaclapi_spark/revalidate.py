@@ -258,7 +258,7 @@ def _expand_affected(
                         parts.append(
                             map_keys_to_entities(s, linked_fks, local)
                         )
-                elif c.kind == "fk_exists":
+                elif c.kind in ("fk_exists", "fk_not_exists"):
                     pk = diff(c.params["parent"], c.params["parent_col"])
                     parts.append(map_keys_to_entities(s, pk, c.params["column"]))
                 elif c.kind == "fk_match":

@@ -24,10 +24,24 @@ entity-level (fused into ONE groupBy per shape):
         (all non-null values equal; ignores nulls — not_null's job). The
         per-entity reduction carries xxhash64(column) (8 B), never the raw
         value, and rides the same single entity groupBy as `unique`.
+  monotonic(order_by, column)     — within each entity, `column` is
+        non-decreasing when rows are ordered by `order_by` (ingestion-order
+        vs event-time consistency, segment-offset ordering). Tie-robust:
+        rows sharing an `order_by` value may be emitted in any order, so the
+        check is "SOME ordering consistent with order_by is non-decreasing
+        in column" — per (entity, order_by) group, min(column) must be ≥ the
+        running max(column) over all earlier groups. NULL column values and
+        NULL order keys are ignored (not_null's job); entities with < 2
+        effective rows are vacuously valid.
 
 child-level (one groupBy+join per (child_table, fk)):
   min_count / max_count(child, fk, where?)   — sh:minCount/maxCount over a path
   fk_exists(column, parent, parent_col)      — referential integrity
+  fk_not_exists(column, parent, parent_col)  — blocklist / disjointness: the
+        value must NOT appear in the parent relation (quarantine lists,
+        retracted-consent ids, benchmark-id exclusion). NULL local value is
+        vacuously valid. Fuses into the same aggregated-parent join as
+        fk_exists against the same (parent, parent_col).
   fk_match(key, parent, parent_key, column, parent_col) — cross-table value
         equality: this row's `column` must equal EVERY matching parent
         row's `parent_col` (bool_and over parent rows; when duplicated
@@ -57,8 +71,15 @@ import json
 from dataclasses import dataclass, field
 
 ROW_KINDS = {"not_null", "range", "in_set", "regex", "expr", "audio_valid"}
-ENTITY_KINDS = {"unique", "functional_dep"}
-CHILD_KINDS = {"min_count", "max_count", "fk_exists", "fk_match", "qualified_shape"}
+ENTITY_KINDS = {"unique", "functional_dep", "monotonic"}
+CHILD_KINDS = {
+    "min_count",
+    "max_count",
+    "fk_exists",
+    "fk_not_exists",
+    "fk_match",
+    "qualified_shape",
+}
 DATASET_KINDS = {"drift", "stat_bound"}
 ALL_KINDS = ROW_KINDS | ENTITY_KINDS | CHILD_KINDS | DATASET_KINDS | {"or_group"}
 
@@ -75,6 +96,10 @@ class Constraint:
             raise ValueError(f"unknown constraint kind {self.kind!r}")
         if self.kind == "or_group" and not self.branches:
             raise ValueError("or_group needs branches")
+        if self.kind == "monotonic" and not (
+            self.params.get("order_by") and self.params.get("column")
+        ):
+            raise ValueError("monotonic needs order_by and column params")
 
     def columns(self) -> set[str]:
         """Columns of the shape's own table this constraint touches (for
@@ -83,6 +108,8 @@ class Constraint:
         cols = set()
         if self.kind != "unique" and "column" in self.params:
             cols.add(self.params["column"])
+        if self.kind == "monotonic":
+            cols.add(self.params["order_by"])
         cols |= set(self.params.get("columns", ()))  # stat_bound metric reads
         for b in self.branches:
             cols |= b.columns()
