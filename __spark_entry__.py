@@ -32,6 +32,7 @@ from shaclapi_spark.pipeline import chunk as ck
 from shaclapi_spark.pipeline import dedup as dd
 from shaclapi_spark.pipeline import sampling as sp
 from shaclapi_spark.pipeline import sessions as sess
+from shaclapi_spark.pipeline import audio_analysis as aa
 from shaclapi_spark.pipeline import audio_transform as at
 from shaclapi_spark.pipeline import multimodal as mm
 from shaclapi_spark.pipeline import similarity as sim
@@ -1005,6 +1006,44 @@ def q_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_bandwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # upsample detection: whole-clip zero-crossing rate as an effective-
+    # bandwidth proxy; integer cross-multiplication (zc*4 < (n-1)) flags
+    # content below a quarter of Nyquist — sr cancels, all int64
+    return aa.bandwidth_verdicts(_uniq_clips(spark, sf_dir))
+
+
+def q_audio_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # integer autocorrelation pitch estimate (normalized-score smallest
+    # near-max local max — see pipeline/audio_analysis.pitch_period) on a
+    # deterministic 1/16 subsample: the O(n_lags * window) self-join makes
+    # the full table an audit-scale relation in the SQL oracle
+    c = _uniq_clips(spark, sf_dir).filter(
+        F.expr("TRY_CAST(substr(clip_id, 6) AS BIGINT) % 16 = 0")
+    )
+    return aa.pitch_period(c)
+
+
+def q_audio_container_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # container-integrity accounting parsed with JVM built-ins only; the
+    # fixture's containers are all well-formed, so both engines apply the
+    # same deterministic tampering first (NULL / truncate / magic / codec
+    # corruption by id index) to exercise every status
+    c = _clip_tables(spark, sf_dir)["clips"]
+    idx = F.expr("TRY_CAST(substr(clip_id, 6) AS BIGINT)")
+    tampered = (
+        F.when(idx % 17 == 2, F.lit(None).cast("binary"))
+        .when(idx % 7 == 0, F.expr("substring(bytes, 1, 30)"))
+        .when(idx % 11 == 3, F.expr("concat(X'58', substring(bytes, 2))"))
+        .when(
+            idx % 13 == 5,
+            F.expr("concat(substring(bytes, 1, 4), X'09', substring(bytes, 6))"),
+        )
+        .otherwise(F.col("bytes"))
+    )
+    return aa.container_summary(c.withColumn("bytes", tampered))
+
+
 def q_k_anonymity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k-anonymity verdicts: quasi-identifier = (lang, source, n_chars//100);
     # docs in a cell of fewer than 3 rows are re-identifiable -> invalid
@@ -1319,6 +1358,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_content_dups": q_audio_content_dups,
         "audio_decimate": q_audio_decimate,
         "audio_gain_norm": q_audio_gain_norm,
+        "audio_bandwidth": q_audio_bandwidth,
+        "audio_pitch": q_audio_pitch,
+        "audio_container_summary": q_audio_container_summary,
         "multimodal_byte_hist": q_multimodal_byte_hist,
     }
 
@@ -1994,6 +2036,167 @@ FROM s GROUP BY 1, 2
 """
 
 
+def _audio_bandwidth_sql() -> str:
+    """Whole-clip zero-crossing count + quarter-Nyquist bandwidth verdict
+    over the shared decode CTEs — mirrors pipeline/audio_analysis
+    bandwidth_verdicts (num=1, den=4) value-for-value."""
+    return f"""
+WITH {_audio_decode_ctes()},
+p AS (
+  SELECT clip_id, i, val,
+    lag(val) OVER (PARTITION BY clip_id ORDER BY i) AS pv
+  FROM dec
+),
+z AS (
+  SELECT clip_id,
+    CAST(count(*) AS INT) AS n_samples,
+    CAST(sum(CASE WHEN i <> 0 AND (val < 0) <> (pv < 0) THEN 1 ELSE 0 END)
+         AS INT) AS zero_crossings
+  FROM p GROUP BY 1
+)
+SELECT z.clip_id, CAST(h.sr AS INT) AS sr_hz, z.n_samples, z.zero_crossings,
+  (CAST(z.zero_crossings AS BIGINT) * 4
+     < (CAST(z.n_samples AS BIGINT) - 1) * 1) AS low_bandwidth
+FROM z JOIN hdr h USING (clip_id)
+"""
+
+
+def _audio_pitch_sql() -> str:
+    """Autocorrelation pitch over the shared decode CTEs, 1/16 id
+    subsample: centered <=4096-sample window, R(l) via a lag self-join,
+    exact normalized score max(R,0)*1024 // (m-l), smallest near-max
+    (>= 99.5% of best) local max, fallback smallest global argmax —
+    the same integer selection rule as pitch_period."""
+    return f"""
+WITH {_audio_decode_ctes()},
+meta AS (
+  SELECT h.clip_id, CAST(h.sr AS BIGINT) AS sr, CAST(h.n AS BIGINT) AS n
+  FROM hdr h
+  WHERE CAST(substr(h.clip_id, 6) AS BIGINT) % 16 = 0
+    AND h.codec_id IN (0, 1, 2) AND length(h.h) >= 42 + 4 * h.n
+),
+lagdef AS (
+  SELECT clip_id, sr, n,
+    greatest(0, (n - 4096) // 2) AS off,
+    least(n, 4096) AS m,
+    greatest(2, sr // 2000) AS lag_min,
+    least(least(n, 4096) // 2, sr // 100) AS lag_max
+  FROM meta
+  WHERE least(least(n, 4096) // 2, sr // 100) >= greatest(2, sr // 2000)
+),
+wsamp AS (
+  SELECT d.clip_id, d.i - l.off AS j, d.val
+  FROM dec d JOIN lagdef l USING (clip_id)
+  WHERE d.i >= l.off AND d.i < l.off + l.m
+),
+lags AS (
+  SELECT clip_id, unnest(range(lag_min, lag_max + 1)) AS l FROM lagdef
+),
+r AS (
+  SELECT lg.clip_id, lg.l, sum(a.val * b.val) AS rv
+  FROM lags lg
+  JOIN wsamp a ON a.clip_id = lg.clip_id
+  JOIN wsamp b ON b.clip_id = lg.clip_id AND b.j = a.j + lg.l
+  GROUP BY 1, 2
+),
+sc AS (
+  SELECT r.clip_id, r.l, r.rv,
+    (greatest(r.rv, 0) * 1024) // (w.m - r.l) AS score
+  FROM r JOIN lagdef w USING (clip_id)
+),
+best AS (SELECT clip_id, max(score) AS best FROM sc GROUP BY 1),
+loc AS (
+  SELECT clip_id, l, rv, score,
+    lag(score) OVER (PARTITION BY clip_id ORDER BY l) AS sp,
+    lead(score) OVER (PARTITION BY clip_id ORDER BY l) AS sn
+  FROM sc
+),
+pick AS (
+  SELECT loc.clip_id, loc.l, loc.rv, 1 AS pri
+  FROM loc JOIN best USING (clip_id)
+  WHERE sp IS NOT NULL AND sn IS NOT NULL
+    AND score >= sp AND score >= sn
+    AND score * 1000 >= best * 995
+  UNION ALL
+  SELECT sc.clip_id, sc.l, sc.rv, 2 AS pri
+  FROM sc JOIN best ON sc.clip_id = best.clip_id AND sc.score = best.best
+),
+chosen AS (
+  SELECT clip_id, l, rv FROM (
+    SELECT pick.*,
+      row_number() OVER (PARTITION BY clip_id ORDER BY pri, l) AS rn
+    FROM pick
+  ) WHERE rn = 1
+),
+r0t AS (SELECT clip_id, sum(val * val) AS r0 FROM wsamp GROUP BY 1)
+SELECT ch.clip_id,
+  CAST(w.sr AS INT) AS sr_hz,
+  CAST(w.n AS INT) AS n_samples,
+  CAST(ch.l AS INT) AS best_lag,
+  CAST(ch.rv AS BIGINT) AS r_best,
+  CAST(z.r0 AS BIGINT) AS r0,
+  CAST((1000 * w.sr) // ch.l AS BIGINT) AS pitch_mhz,
+  (2 * ch.rv * w.m > z.r0 * (w.m - ch.l)) AS periodic
+FROM chosen ch
+JOIN lagdef w USING (clip_id)
+JOIN r0t z USING (clip_id)
+"""
+
+
+def _container_summary_sql() -> str:
+    """Container-integrity rollup with the SAME deterministic tampering as
+    q_audio_container_summary, done in the hex/length domain (the status
+    logic only consumes the hex string and the byte length, so corrupting
+    h/blen is equivalent to corrupting the blob)."""
+    c = _clips_pq("clips")
+    return f"""
+WITH raw0 AS (
+  SELECT clip_id, codec, upper(hex(bytes)) AS h0,
+    octet_length(bytes) AS bl0,
+    CAST(substr(clip_id, 6) AS BIGINT) AS idx
+  FROM {c}
+),
+t AS (
+  SELECT clip_id, codec,
+    CASE
+      WHEN idx % 17 = 2 THEN NULL
+      WHEN idx % 7 = 0 THEN substr(h0, 1, 60)
+      WHEN idx % 11 = 3 THEN '58' || substr(h0, 3)
+      WHEN idx % 13 = 5 THEN substr(h0, 1, 8) || '09' || substr(h0, 11)
+      ELSE h0 END AS h,
+    CASE
+      WHEN idx % 17 = 2 THEN NULL
+      WHEN idx % 7 = 0 THEN least(bl0, 30)
+      ELSE bl0 END AS blen
+  FROM raw0
+),
+st AS (
+  SELECT clip_id, codec, h, blen,
+    ('0x' || substr(h, 25, 2) || substr(h, 23, 2)
+          || substr(h, 21, 2) || substr(h, 19, 2))::BIGINT AS n,
+    (h IS NOT NULL AND blen >= 21
+       AND substr(h, 1, 8) = '53474131') AS parseable
+  FROM t
+),
+pc AS (
+  SELECT clip_id, codec, parseable, n, blen,
+    CASE
+      WHEN h IS NULL THEN 'null'
+      WHEN blen < 21 THEN 'bad_magic'
+      WHEN substr(h, 1, 8) <> '53474131' THEN 'bad_magic'
+      WHEN ('0x' || substr(h, 9, 2))::INT NOT IN (0, 1, 2) THEN 'bad_codec'
+      WHEN blen < 21 + 2 * n THEN 'truncated'
+      ELSE 'ok' END AS status
+  FROM st
+)
+SELECT codec, status,
+  CAST(count(*) AS BIGINT) AS n_clips,
+  CAST(sum(CASE WHEN parseable THEN blen - 21 END) AS BIGINT) AS payload_bytes,
+  CAST(sum(CASE WHEN parseable THEN 2 * n END) AS BIGINT) AS raw_bytes
+FROM pc GROUP BY 1, 2
+"""
+
+
 def _speech_activity_sql() -> str:
     return f"""
 WITH seg AS ({_speech_segments_sql()})
@@ -2627,6 +2830,9 @@ FROM per LEFT JOIN ga USING (event_type) CROSS JOIN gl
         "audio_content_dups": _content_dups_sql(),
         "audio_decimate": _decimate_sql(factor=4),
         "audio_gain_norm": _gain_norm_sql(target_peak=26000),
+        "audio_bandwidth": _audio_bandwidth_sql(),
+        "audio_pitch": _audio_pitch_sql(),
+        "audio_container_summary": _container_summary_sql(),
         "speech_segments": _speech_segments_sql(),
         "speech_activity": _speech_activity_sql(),
         "sessionize_events": _sessionize_sql(gap_minutes=30),
