@@ -1044,6 +1044,41 @@ def q_audio_container_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aa.container_summary(c.withColumn("bytes", tampered))
 
 
+def q_bpe_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BPE tokenizer training step 1: adjacent char-pair counts over the
+    # corpus word-frequency dict; top 40 merge candidates in rank order
+    return corpus.bpe_pair_counts(_t(spark, sf_dir, "documents"), top_k=40)
+
+
+def q_pack_clips_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # audio batch packing: clips into 60-second training batches by dur_ms
+    # cumsum (pack_sequences assignment), rolled up per batch with the
+    # transcript token total riding along — duration-bounded AND
+    # token-observable batches
+    t = _clip_tables(spark, sf_dir)
+    tok = (
+        t["transcripts"]
+        .groupBy("clip_id")
+        .agg(F.sum("n_tokens").alias("tok"))
+    )
+    j = (
+        t["clips"]
+        .select("clip_id", "dur_ms")
+        .join(tok, "clip_id", "left")
+        .select("clip_id", "dur_ms", F.coalesce("tok", F.lit(0)).alias("tok"))
+    )
+    out = sp.packed_batch_stats(
+        j, "clip_id", "dur_ms", capacity=60_000, n_shards=8, sum_cols=("tok",)
+    )
+    return out.select(
+        "shard",
+        "seq_in_shard",
+        F.col("n_items").alias("n_clips"),
+        F.col("total_weight").alias("total_dur_ms"),
+        F.col("sum_tok").alias("total_tokens"),
+    )
+
+
 def q_k_anonymity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k-anonymity verdicts: quasi-identifier = (lang, source, n_chars//100);
     # docs in a cell of fewer than 3 rows are re-identifiable -> invalid
@@ -1361,6 +1396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_bandwidth": q_audio_bandwidth,
         "audio_pitch": q_audio_pitch,
         "audio_container_summary": q_audio_container_summary,
+        "bpe_pairs_docs": q_bpe_pairs_docs,
+        "pack_clips_duration": q_pack_clips_duration,
         "multimodal_byte_hist": q_multimodal_byte_hist,
     }
 
@@ -2833,6 +2870,52 @@ FROM per LEFT JOIN ga USING (event_type) CROSS JOIN gl
         "audio_bandwidth": _audio_bandwidth_sql(),
         "audio_pitch": _audio_pitch_sql(),
         "audio_container_summary": _container_summary_sql(),
+        "bpe_pairs_docs": f"""
+WITH w AS (
+  SELECT list_filter(string_split({_NORM}, ' '), t -> t <> '') AS words
+  FROM documents
+),
+wx AS (SELECT unnest(words) AS word FROM w),
+wf AS (
+  SELECT word, count(*) AS n_word FROM wx GROUP BY 1
+  HAVING length(word) >= 2
+),
+p AS (
+  SELECT word, n_word,
+    unnest(list_transform(range(1, length(word)),
+           i -> substr(word, CAST(i AS INT), 2))) AS pair
+  FROM wf
+)
+SELECT pair,
+  CAST(sum(n_word) AS BIGINT) AS n_occurrences,
+  CAST(count(DISTINCT word) AS BIGINT) AS n_distinct_words
+FROM p GROUP BY 1
+ORDER BY n_occurrences DESC, pair ASC LIMIT 40
+""",
+        "pack_clips_duration": f"""
+WITH tok AS (
+  SELECT clip_id, sum(n_tokens) AS tok
+  FROM {_clips_pq("transcripts")} GROUP BY 1
+),
+t AS (
+  SELECT c.clip_id, c.dur_ms, COALESCE(tok.tok, 0) AS tok,
+    ('0x' || substring(md5(CAST(c.clip_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM {_clips_pq("clips")} c LEFT JOIN tok USING (clip_id)
+),
+a AS (
+  SELECT clip_id, dur_ms, tok, CAST(h % 8 AS INT) AS shard, h,
+    COALESCE(sum(dur_ms) OVER (PARTITION BY CAST(h % 8 AS INT)
+      ORDER BY h, clip_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT shard,
+  CAST(cum // 60000 AS BIGINT) AS seq_in_shard,
+  CAST(count(*) AS BIGINT) AS n_clips,
+  CAST(sum(dur_ms) AS BIGINT) AS total_dur_ms,
+  CAST(sum(tok) AS BIGINT) AS total_tokens
+FROM a GROUP BY 1, 2
+""",
         "speech_segments": _speech_segments_sql(),
         "speech_activity": _speech_activity_sql(),
         "sessionize_events": _sessionize_sql(gap_minutes=30),

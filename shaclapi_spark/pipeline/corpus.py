@@ -191,3 +191,55 @@ def distinctive_terms(
         [F.col("score").desc(), F.col("term").asc()],
         k=k,
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """First step of byte-pair-encoding tokenizer training: adjacent
+    character-pair frequencies over the corpus WORD-FREQUENCY dictionary
+    (classic BPE trains merges on the word-count dict, not the raw
+    stream). Output per pair: ``n_occurrences`` (occurrences weighted by
+    word frequency — what the BPE merge rule ranks) and
+    ``n_distinct_words`` (vocabulary support). With ``top_k``, returns
+    the merge candidates in rank order (count desc, pair asc — a total
+    order, so the cut is deterministic).
+
+    Scale shape (100 TB): the corpus-sized stage is the word count —
+    explode + one map-combinable hash aggregation whose shuffle moves
+    (word, partial count), already collapsed per input partition. The
+    pair explode then runs on the VOCABULARY relation (Zipf-small,
+    millions of rows at any corpus size, not corpus-sized), and the
+    final pair aggregation is alphabet^2-bounded. Nothing is collected.
+    All built-ins — substr/sequence/explode stay whole-stage-codegen
+    except the interpreted-but-vocab-sized transform."""
+    from shaclapi_spark.pipeline.text import normalize_text
+
+    words = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda x: x != "")
+    wf = (
+        docs.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_word"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = wf.select(
+        "word",
+        "n_word",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("n_word").cast("long").alias("n_occurrences"),
+        F.count_distinct(F.col("word")).cast("long").alias("n_distinct_words"),
+    )
+    if top_k is not None:
+        agg = agg.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc()).limit(
+            int(top_k)
+        )
+    return agg

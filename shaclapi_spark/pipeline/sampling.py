@@ -304,3 +304,52 @@ def top_per_group(
         .where(F.col(rank_col) <= k)
         .withColumn(rank_col, F.col(rank_col).cast("int"))
     )
+
+
+def packed_batch_stats(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    capacity: int,
+    n_shards: int = 64,
+    salt: str = "",
+    sum_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-BATCH rollup of the ``pack_sequences`` assignment — the relation
+    a dataloader actually consumes: one row per (shard, seq_in_shard) with
+    the item count, the packed weight, and optional extra sums (e.g. pack
+    audio clips by ``dur_ms`` and carry the transcript token total, so a
+    batch is bounded in playback seconds AND observable in text tokens).
+
+    The assignment is identical to ``pack_sequences`` (hash shard,
+    deterministic in-shard order by (hash, id), running-sum DIV capacity)
+    and therefore a pure function of (input, capacity, n_shards, salt).
+    Duplicate ids assign as a deterministic multiset: equal rows share a
+    hash and adjacent cum slots, so the batch-level sums are reproducible
+    even when the in-window order between equal rows is not.
+
+    Scale shape: the same single hash exchange + per-shard window cumsum
+    as ``pack_sequences``, then one batch-grain aggregation — partial
+    aggregation collapses each shard's rows map-side, so the second
+    exchange moves one row per BATCH, not per item."""
+    h = md5_60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    work = df.withColumn("__h", h).withColumn(
+        "shard", (F.col("__h") % F.lit(n_shards)).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(F.col(weight_col)).over(w), F.lit(0))
+    assigned = work.withColumn("__cum", cum_before.cast("long"))
+    return (
+        assigned.groupBy(
+            "shard", F.expr(f"__cum DIV {int(capacity)}").alias("seq_in_shard")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(weight_col).cast("long").alias("total_weight"),
+            *[F.sum(c).cast("long").alias(f"sum_{c}") for c in sum_cols],
+        )
+    )

@@ -228,3 +228,46 @@ def test_weighted_mix_shuffle_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # pure scan-side generator
+
+
+def test_packed_batch_stats_matches_pack_sequences(spark):
+    from pyspark.sql import Row
+    from shaclapi_spark.pipeline import sampling as sp
+
+    rows = [Row(doc_id=i, n_tok=10 + (i % 5), extra=i % 3) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    stats = sp.packed_batch_stats(
+        df, "doc_id", "n_tok", capacity=64, n_shards=4, sum_cols=("extra",)
+    ).collect()
+    assign = sp.pack_sequences(df, "doc_id", "n_tok", capacity=64, n_shards=4).collect()
+    extra_by_id = {r.doc_id: r.extra for r in rows}
+    manual: dict = {}
+    for r in assign:
+        key = (r.shard, r.seq_in_shard)
+        n, w, e = manual.get(key, (0, 0, 0))
+        manual[key] = (n + 1, w + r.n_tokens, e + extra_by_id[r.doc_id])
+    got = {(r.shard, r.seq_in_shard): (r.n_items, r.total_weight, r.sum_extra) for r in stats}
+    assert got == manual
+    # every batch except possibly each shard's last is filled to >= capacity
+    # minus the largest item (14): the running-sum rule leaves no gap bigger
+    # than one straddling item
+    last = {s: max(q for (sh, q) in got if sh == s) for s in {s for (s, _) in got}}
+    for (s, q), (_, w, _) in got.items():
+        if q != last[s]:
+            assert w >= 64 - 14
+
+
+def test_packed_batch_stats_two_exchanges_max(spark):
+    from pyspark.sql import Row
+    from shaclapi_spark.pipeline import sampling as sp
+
+    rows = [Row(doc_id=i, n_tok=10) for i in range(50)]
+    df = spark.createDataFrame(rows)
+    plan = (
+        sp.packed_batch_stats(df, "doc_id", "n_tok", capacity=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one exchange for the shard window + one batch-grain rollup exchange
+    assert plan.count("Exchange") <= 2

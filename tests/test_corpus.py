@@ -63,3 +63,42 @@ def test_boilerplate_plan_broadcasts(spark, docs):
         docs, "doc_id", "text", n=2, min_df=3
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+class TestBpePairs:
+    def test_counts_match_manual(self, spark):
+        from pyspark.sql import Row
+
+        rows = [
+            Row(doc_id="d1", text="aba ab"),
+            Row(doc_id="d2", text="ABA  cd"),  # normalizes to "aba cd"
+            Row(doc_id="d3", text="x"),  # 1-char word: no pairs
+        ]
+        out = {
+            r.pair: (r.n_occurrences, r.n_distinct_words)
+            for r in corpus.bpe_pair_counts(spark.createDataFrame(rows)).collect()
+        }
+        # word freqs: aba=2, ab=1, cd=1, x=1(dropped)
+        # pairs: aba -> ab,ba (x2 weight); ab -> ab; cd -> cd
+        assert out["ab"] == (3, 2)  # 2 from 'aba' + 1 from 'ab'
+        assert out["ba"] == (2, 1)
+        assert out["cd"] == (1, 1)
+        assert "x" not in out
+
+    def test_top_k_rank_order(self, spark):
+        from pyspark.sql import Row
+
+        rows = [Row(doc_id="d", text="zz zz zz yy yy ww")]
+        got = corpus.bpe_pair_counts(
+            spark.createDataFrame(rows), top_k=2
+        ).collect()
+        assert [(r.pair, r.n_occurrences) for r in got] == [("zz", 3), ("yy", 2)]
+
+    def test_repeated_pair_in_word_counts_positions(self, spark):
+        from pyspark.sql import Row
+
+        rows = [Row(doc_id="d", text="aaa")]
+        out = corpus.bpe_pair_counts(spark.createDataFrame(rows)).collect()
+        # "aaa" has pairs at positions 1,2 -> 'aa' twice, one distinct word
+        assert [(r.pair, r.n_occurrences, r.n_distinct_words) for r in out] == [
+            ("aa", 2, 1)
+        ]
