@@ -1044,6 +1044,24 @@ def q_audio_container_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aa.container_summary(c.withColumn("bytes", tampered))
 
 
+def q_audio_speed_perturb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1.1x speed perturbation (ASR augmentation) in its exactly-reproducible
+    # zero-order-hold form: out[j] = s[j*11 DIV 10], digest-verified
+    return at.speed_perturb(_uniq_clips(spark, sf_dir), num=11, den=10)
+
+
+def q_audio_pad_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed-shape batching: every clip becomes exactly 400 samples
+    # (head-trim / tail-zero-pad), digest-verified
+    return at.pad_or_trim(_uniq_clips(spark, sf_dir), target_samples=400)
+
+
+def q_vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc OOV rate vs the corpus' own top-500 vocabulary (total-ordered
+    # cut: count desc, word asc) — the natural-language-vs-garbage signal
+    return corpus.vocab_coverage(_t(spark, sf_dir, "documents"), vocab_size=500)
+
+
 def q_bpe_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BPE tokenizer training step 1: adjacent char-pair counts over the
     # corpus word-frequency dict; top 40 merge candidates in rank order
@@ -1398,6 +1416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_container_summary": q_audio_container_summary,
         "bpe_pairs_docs": q_bpe_pairs_docs,
         "pack_clips_duration": q_pack_clips_duration,
+        "audio_speed_perturb": q_audio_speed_perturb,
+        "audio_pad_trim": q_audio_pad_trim,
+        "vocab_coverage_docs": q_vocab_coverage_docs,
         "multimodal_byte_hist": q_multimodal_byte_hist,
     }
 
@@ -2180,6 +2201,50 @@ JOIN r0t z USING (clip_id)
 """
 
 
+def _speed_perturb_sql(num: int, den: int) -> str:
+    """Zero-order-hold rational resample over the shared decode CTEs:
+    out[j] = s[(j*num) DIV den], n_out = n*den DIV num — identical
+    integer index math to speed_perturb; digest over the output order."""
+    return f"""
+WITH {_audio_decode_ctes()},
+cnt AS (SELECT clip_id, count(*) AS n FROM dec GROUP BY 1),
+g AS (
+  SELECT clip_id, unnest(range(0, (n * {den}) // {num})) AS j FROM cnt
+),
+sel AS (
+  SELECT g.clip_id, g.j, d.val
+  FROM g JOIN dec d ON d.clip_id = g.clip_id AND d.i = (g.j * {num}) // {den}
+)
+SELECT sel.clip_id,
+  CAST(h.sr AS INT) AS sr_hz,
+  CAST(count(*) AS BIGINT) AS n_out,
+  md5(string_agg(CAST(sel.val AS VARCHAR), ',' ORDER BY sel.j)) AS sp_md5
+FROM sel JOIN hdr h USING (clip_id)
+GROUP BY sel.clip_id, h.sr
+"""
+
+
+def _pad_trim_sql(target: int) -> str:
+    """Head-trim / tail-zero-pad to exactly ``target`` samples over the
+    shared decode CTEs; digest over the padded vector."""
+    return f"""
+WITH {_audio_decode_ctes()},
+cnt AS (SELECT clip_id, count(*) AS n FROM dec GROUP BY 1),
+pz AS (
+  SELECT clip_id, i, val FROM dec WHERE i < {target}
+  UNION ALL
+  SELECT c.clip_id, unnest(range(c.n, {target})) AS i, 0 AS val
+  FROM cnt c WHERE c.n < {target}
+)
+SELECT pz.clip_id,
+  CAST(c.n AS BIGINT) AS n_in,
+  CAST(greatest({target} - c.n, 0) AS BIGINT) AS n_pad,
+  md5(string_agg(CAST(pz.val AS VARCHAR), ',' ORDER BY pz.i)) AS pad_md5
+FROM pz JOIN cnt c USING (clip_id)
+GROUP BY pz.clip_id, c.n
+"""
+
+
 def _container_summary_sql() -> str:
     """Container-integrity rollup with the SAME deterministic tampering as
     q_audio_container_summary, done in the hex/length domain (the status
@@ -2870,6 +2935,22 @@ FROM per LEFT JOIN ga USING (event_type) CROSS JOIN gl
         "audio_bandwidth": _audio_bandwidth_sql(),
         "audio_pitch": _audio_pitch_sql(),
         "audio_container_summary": _container_summary_sql(),
+        "audio_speed_perturb": _speed_perturb_sql(num=11, den=10),
+        "audio_pad_trim": _pad_trim_sql(target=400),
+        "vocab_coverage_docs": f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split({_NORM}, ' '), t -> t <> '') AS words
+  FROM documents
+),
+tk AS (SELECT doc_id, unnest(words) AS word FROM w),
+wf AS (SELECT word, count(*) AS n_word FROM tk GROUP BY 1),
+v AS (SELECT word, TRUE AS in_vocab FROM wf
+      ORDER BY n_word DESC, word ASC LIMIT 500)
+SELECT tk.doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM tk LEFT JOIN v USING (word) GROUP BY 1
+""",
         "bpe_pairs_docs": f"""
 WITH w AS (
   SELECT list_filter(string_split({_NORM}, ' '), t -> t <> '') AS words

@@ -256,6 +256,30 @@ def main() -> None:
         "events_freshness",
         lambda: force(entry_mod.q_events_freshness(spark, sf_dir)),
     )
+    timed(
+        "audio_speed_perturb",
+        lambda: force(entry_mod.q_audio_speed_perturb(spark, sf_dir)),
+    )
+    timed(
+        "audio_pitch",
+        lambda: force(entry_mod.q_audio_pitch(spark, sf_dir)),
+    )
+    timed(
+        "audio_bandwidth",
+        lambda: force(entry_mod.q_audio_bandwidth(spark, sf_dir)),
+    )
+    timed(
+        "bpe_pairs",
+        lambda: force(entry_mod.q_bpe_pairs_docs(spark, sf_dir)),
+    )
+    timed(
+        "pack_clips_duration",
+        lambda: force(entry_mod.q_pack_clips_duration(spark, sf_dir)),
+    )
+    timed(
+        "vocab_coverage",
+        lambda: force(entry_mod.q_vocab_coverage_docs(spark, sf_dir)),
+    )
 
     total = round(sum(timings.values()), 3)
     clips_per_sec = round(n_clips / timings["clip_validation"], 1)

@@ -383,3 +383,139 @@ def decimate(
             yield pd.DataFrame(rows, columns=schema.fieldNames())
 
     return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(gen, schema=schema)
+
+
+SPEED_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType()),
+        StructField("sr_hz", IntegerType()),
+        StructField("n_out", LongType()),
+        StructField("sp_md5", StringType()),
+    ]
+)
+
+SPEED_BYTES_SCHEMA = StructType(
+    SPEED_SCHEMA.fields + [StructField("bytes_out", BinaryType())]
+)
+
+
+def speed_perturb(
+    df: DataFrame,
+    num: int,
+    den: int,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    with_bytes: bool = False,
+) -> DataFrame:
+    """Speed perturbation by the rational factor ``num/den`` (the classic
+    ASR augmentation: 0.9x and 1.1x copies of every clip) in its
+    exactly-reproducible zero-order-hold form: the output has
+    ``n_out = n * den DIV num`` samples and ``out[j] = s[j * num DIV den]``
+    — pure integer index math, no interpolation filter, so the result is
+    bit-identical on any engine (``sp_md5`` over the output vector).
+    Speed > 1 (num > den) shortens the clip; the sample rate is
+    unchanged, so pitch shifts with speed exactly as with a resample-
+    based perturbation. ZOH quality caveat: nearest-sample selection
+    aliases above ~sr*den/(2*num) — acceptable for augmentation, not for
+    playback mastering.
+
+    One Arrow-batched mapInPandas pass, no shuffle; undecodable / NULL
+    blobs are skipped."""
+    if num < 1 or den < 1:
+        raise ValueError(f"num/den must be >= 1, got {num}/{den}")
+    schema = SPEED_BYTES_SCHEMA if with_bytes else SPEED_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for cid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                try:
+                    hdr, s = audio_codec.decode_clip(bytes(blob))
+                except (ValueError, TypeError):
+                    continue
+                n = len(s)
+                n_out = n * den // num
+                if n_out == 0:
+                    continue
+                idx = (np.arange(n_out, dtype=np.int64) * num) // den
+                out = s[idx]
+                sr = int(hdr["sr_hz"])
+                row = [str(cid), sr, int(n_out), _canonical_md5(out)]
+                if with_bytes:
+                    row.append(
+                        audio_codec.encode_samples(
+                            out, hdr["codec"], sr, 0.0, 0.0
+                        )
+                    )
+                rows.append(tuple(row))
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(gen, schema=schema)
+
+
+PAD_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType()),
+        StructField("n_in", LongType()),
+        StructField("n_pad", LongType()),
+        StructField("pad_md5", StringType()),
+    ]
+)
+
+PAD_BYTES_SCHEMA = StructType(
+    PAD_SCHEMA.fields + [StructField("bytes_out", BinaryType())]
+)
+
+
+def pad_or_trim(
+    df: DataFrame,
+    target_samples: int,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    with_bytes: bool = False,
+) -> DataFrame:
+    """Fixed-shape batching primitive: every decodable clip becomes exactly
+    ``target_samples`` samples — longer clips keep their head (trim),
+    shorter clips are zero-padded at the tail (the standard ASR batch
+    shape). ``pad_md5`` digests the padded vector (canonical str-int
+    form), ``n_in`` is the original length, ``n_pad`` the zeros appended
+    (0 for trimmed clips). One Arrow-batched mapInPandas pass, no
+    shuffle."""
+    if target_samples < 1:
+        raise ValueError(f"target_samples must be >= 1, got {target_samples}")
+    schema = PAD_BYTES_SCHEMA if with_bytes else PAD_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for cid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                try:
+                    hdr, s = audio_codec.decode_clip(bytes(blob))
+                except (ValueError, TypeError):
+                    continue
+                n = len(s)
+                if n == 0:
+                    continue
+                if n >= target_samples:
+                    out = s[:target_samples]
+                    n_pad = 0
+                else:
+                    out = np.concatenate(
+                        [s, np.zeros(target_samples - n, dtype=s.dtype)]
+                    )
+                    n_pad = target_samples - n
+                row = [str(cid), int(n), int(n_pad), _canonical_md5(out)]
+                if with_bytes:
+                    row.append(
+                        audio_codec.encode_samples(
+                            out, hdr["codec"], int(hdr["sr_hz"]), 0.0, 0.0
+                        )
+                    )
+                rows.append(tuple(row))
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(gen, schema=schema)

@@ -243,3 +243,48 @@ def bpe_pair_counts(
             int(top_k)
         )
     return agg
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus' own top-V
+    vocabulary — the curation signal that separates natural-language docs
+    from code dumps / garbage / wrong-language residue (their tokens
+    miss the head of the corpus distribution). Output per doc:
+    ``n_tokens``, ``n_oov`` (tokens outside the top-``vocab_size`` words
+    by corpus frequency; rank ties broken by word ASC so the vocabulary
+    cut is a total order).
+
+    Scale shape (100 TB): pass 1 is the canonical word count (explode +
+    map-combinable aggregation, vocabulary-sized output) with the top-V
+    cut as TakeOrderedAndProject (per-partition partial top-V, never a
+    single-task global sort); the V-row vocabulary then BROADCASTS into
+    pass 2's left join, so the per-doc scoring is scan + generator +
+    broadcast hash join + one re-group by doc id — the corpus never
+    shuffles by word."""
+    from pyspark.sql.functions import broadcast
+
+    from shaclapi_spark.pipeline.text import normalize_text
+
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    words = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda x: x != "")
+    toks = docs.select(F.col(id_col), F.explode(words).alias("word"))
+    wf = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_word"))
+    vocab = (
+        wf.orderBy(F.col("n_word").desc(), F.col("word").asc())
+        .limit(int(vocab_size))
+        .select("word")
+        .withColumn("__in_vocab", F.lit(True))
+    )
+    scored = toks.join(broadcast(vocab), "word", "left")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )

@@ -4,6 +4,9 @@ from shaclapi_spark.streaming.cdc import (  # noqa: F401
     latest_verdicts,
     revalidate_changelog_stream,
 )
+from shaclapi_spark.streaming.drift import (  # noqa: F401
+    windowed_psi,
+)
 from shaclapi_spark.streaming.joins import (  # noqa: F401
     stream_interval_join,
 )

@@ -179,3 +179,64 @@ def test_normalize_gain_silent_and_validation(spark):
 
     with _pytest.raises(ValueError):
         at.normalize_gain(df, target_peak=0)
+
+
+def _canon_md5(arr):
+    return hashlib.md5(",".join(str(int(v)) for v in arr).encode()).hexdigest()
+
+
+def test_speed_perturb_exact(spark):
+    s = np.arange(-500, 500, 3, dtype=np.int16)  # 334 samples
+    blob = ac.encode_samples(s, "flac", 16000)
+    df = spark.createDataFrame([Row(clip_id="c", bytes=bytearray(blob))])
+    for num, den in ((11, 10), (9, 10), (1, 1), (2, 1)):
+        r = at.speed_perturb(df, num, den).collect()[0]
+        n_out = len(s) * den // num
+        idx = (np.arange(n_out, dtype=np.int64) * num) // den
+        assert r.n_out == n_out
+        assert r.sr_hz == 16000
+        assert r.sp_md5 == _canon_md5(s[idx])
+
+
+def test_speed_perturb_bytes_roundtrip(spark):
+    s = np.arange(0, 600, 2, dtype=np.int16)
+    blob = ac.encode_samples(s, "pcm_s16le", 8000)
+    df = spark.createDataFrame([Row(clip_id="c", bytes=bytearray(blob))])
+    r = at.speed_perturb(df, 9, 10, with_bytes=True).collect()[0]
+    hdr, out = ac.decode_clip(bytes(r.bytes_out))
+    assert hdr["sr_hz"] == 8000
+    assert _canon_md5(out) == r.sp_md5
+
+
+def test_speed_perturb_validation(spark):
+    df = spark.createDataFrame([("c", None)], "clip_id string, bytes binary")
+    with pytest.raises(ValueError):
+        at.speed_perturb(df, 0, 10)
+    assert at.speed_perturb(df, 11, 10).count() == 0  # null blob skipped
+
+
+def test_pad_or_trim_exact(spark):
+    s = np.arange(-100, 100, dtype=np.int16)  # 200 samples
+    blob = ac.encode_samples(s, "pcm_s16le", 8000)
+    df = spark.createDataFrame([Row(clip_id="c", bytes=bytearray(blob))])
+    # pad up to 300
+    r = at.pad_or_trim(df, 300).collect()[0]
+    assert (r.n_in, r.n_pad) == (200, 100)
+    assert r.pad_md5 == _canon_md5(
+        np.concatenate([s, np.zeros(100, dtype=np.int16)])
+    )
+    # trim down to 50
+    r = at.pad_or_trim(df, 50).collect()[0]
+    assert (r.n_in, r.n_pad) == (200, 0)
+    assert r.pad_md5 == _canon_md5(s[:50])
+
+
+def test_pad_or_trim_bytes(spark):
+    s = np.full(20, 123, dtype=np.int16)
+    blob = ac.encode_samples(s, "opus", 22050)
+    df = spark.createDataFrame([Row(clip_id="c", bytes=bytearray(blob))])
+    r = at.pad_or_trim(df, 32, with_bytes=True).collect()[0]
+    hdr, out = ac.decode_clip(bytes(r.bytes_out))
+    assert hdr["sr_hz"] == 22050 and len(out) == 32
+    # opus is lossy but the PADDED ZEROS stay exact zeros
+    assert np.all(out[20:] == 0)

@@ -102,3 +102,43 @@ class TestBpePairs:
         assert [(r.pair, r.n_occurrences, r.n_distinct_words) for r in out] == [
             ("aa", 2, 1)
         ]
+
+
+class TestVocabCoverage:
+    def test_oov_counts(self, spark):
+        from pyspark.sql import Row
+
+        rows = [
+            Row(doc_id="a", text="the the the cat"),
+            Row(doc_id="b", text="qq zz the"),
+        ]
+        # vocab_size=2: counts the=4, cat=1, qq=1, zz=1 → top2 = the, cat
+        # (ties at 1 broken word ASC: cat < qq < zz)
+        out = {
+            r.doc_id: (r.n_tokens, r.n_oov)
+            for r in corpus.vocab_coverage(
+                spark.createDataFrame(rows), vocab_size=2
+            ).collect()
+        }
+        assert out == {"a": (4, 0), "b": (3, 2)}
+
+    def test_vocab_plan_broadcasts_and_takeordered(self, spark):
+        from pyspark.sql import Row
+
+        rows = [Row(doc_id=str(i), text="w%d common" % i) for i in range(50)]
+        plan = (
+            corpus.vocab_coverage(spark.createDataFrame(rows), vocab_size=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_validation(self, spark):
+        from pyspark.sql import Row
+
+        with pytest.raises(ValueError):
+            corpus.vocab_coverage(
+                spark.createDataFrame([Row(doc_id="a", text="x")]), vocab_size=0
+            )
