@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 
@@ -34,12 +35,31 @@ def main() -> None:
     ap.add_argument("--threads", type=int, required=True)
     ap.add_argument("--include-audio", default="1")
     ap.add_argument("--shuffle-partitions", type=int, default=64)
-    ap.add_argument("--max-partition-bytes", default="256m")
+    ap.add_argument("--max-partition-bytes", default="auto")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--warmups", type=int, default=2)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
+
+    if args.max_partition_bytes == "auto":
+        # size scan partitions off the dominant input so the audio-decode
+        # stage (clips scan + Arrow UDF, the job's critical path) runs ~256
+        # tasks — 8 waves/core at the 4N=32 level. Too few tasks quantize
+        # into waves with long single-task tails (33 tasks at 32 cores = 2
+        # waves, the second one 1 task wide); too many pay a Python-worker
+        # round trip per task. Identical at both parallelism levels (input-
+        # size-driven), so the N/4N decomposition stays comparable.
+        import glob as _glob
+
+        clip_bytes = sum(
+            os.path.getsize(p)
+            for p in _glob.glob(
+                os.path.join(args.fixture_dir, "clips.parquet", "*.parquet")
+            )
+        )
+        target = max(16 * 2**20, min(256 * 2**20, clip_bytes // 256))
+        args.max_partition_bytes = str(target)
 
     spark = (
         SparkSession.builder.appName(f"clip-validate-{args.threads}")

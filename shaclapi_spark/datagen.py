@@ -223,8 +223,20 @@ def ensure_fixture(spark: SparkSession, out_dir: str, n_clips: int) -> dict[str,
     if os.path.exists(marker):
         return paths
     os.makedirs(out_dir, exist_ok=True)
-    clips_df(spark, n_clips).write.mode("overwrite").parquet(paths["clips"])
-    transcripts_df(spark, n_clips).write.mode("overwrite").parquet(paths["transcripts"])
+    # bound row groups to ~32 MB: Spark splits parquet scans only at
+    # row-group boundaries, and the writer's default ~128 MB groups come out
+    # bimodal (a ~170k-row group + a remainder group per file), which (a)
+    # floors the scan-task size at ~130 MB regardless of
+    # spark.sql.files.maxPartitionBytes and (b) gives the audio-decode stage
+    # 2x task skew. 32 MB groups let the scan split into uniform tasks sized
+    # by maxPartitionBytes alone — the decode stage's wave count at high core
+    # counts is what the N→4N scaling ratio is most sensitive to.
+    clips_df(spark, n_clips).write.option(
+        "parquet.block.size", 32 * 1024 * 1024
+    ).mode("overwrite").parquet(paths["clips"])
+    transcripts_df(spark, n_clips).write.option(
+        "parquet.block.size", 32 * 1024 * 1024
+    ).mode("overwrite").parquet(paths["transcripts"])
     ref = reference_histograms_pdf()
     spark.createDataFrame(ref).coalesce(1).write.mode("overwrite").parquet(
         paths["ref_histograms"]
