@@ -1056,10 +1056,42 @@ def q_audio_pad_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return at.pad_or_trim(_uniq_clips(spark, sf_dir), target_samples=400)
 
 
+def q_audio_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic noise-injection augmentation: each clip mixed -6 dB
+    # with the next same-sr clip (id order, wraparound); floor((a+b)/2)
+    # integer mix, digest-verified. 1/8 id subsample: the oracle's
+    # per-sample pair join is audit-scale, like audio_pitch
+    c = _uniq_clips(spark, sf_dir).filter(
+        F.expr("TRY_CAST(substr(clip_id, 6) AS BIGINT) % 8 = 0")
+        & F.col("bytes").isNotNull()
+        & (F.substring(F.hex(F.col("bytes")), 1, 8) == "53474131")
+    )
+    return at.mix_clips(c)
+
+
 def q_vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc OOV rate vs the corpus' own top-500 vocabulary (total-ordered
     # cut: count desc, word asc) — the natural-language-vs-garbage signal
     return corpus.vocab_coverage(_t(spark, sf_dir, "documents"), vocab_size=500)
+
+
+def q_bigram_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style perplexity filter with the surprisal quantized to the
+    # integer floor(log2(ctx/cnt)) == length(bin(ctx DIV cnt)) - 1 — exact
+    # in both engines, no libm log (see corpus.bigram_surprisal)
+    return corpus.bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+def q_source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-source duplication matrix over normalized-content digests —
+    # which source mirrors which, the input to source-precedence dedup.
+    # The synthetic corpus has no cross-source exact copies, so both engines
+    # first add the same deterministic re-crawl: every doc_id % 7 == 0 row
+    # duplicated under source 'mirror' (same tamper-first pattern as
+    # audio_container_summary)
+    d = _t(spark, sf_dir, "documents")
+    mirror = d.filter(F.col("doc_id") % 7 == 0).withColumn("source", F.lit("mirror"))
+    return corpus.source_overlap(d.unionByName(mirror))
 
 
 def q_bpe_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1419,6 +1451,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_speed_perturb": q_audio_speed_perturb,
         "audio_pad_trim": q_audio_pad_trim,
         "vocab_coverage_docs": q_vocab_coverage_docs,
+        "bigram_surprisal_docs": q_bigram_surprisal_docs,
+        "source_overlap_docs": q_source_overlap_docs,
+        "audio_mix": q_audio_mix,
         "multimodal_byte_hist": q_multimodal_byte_hist,
     }
 
@@ -2950,6 +2985,86 @@ SELECT tk.doc_id,
   CAST(count(*) AS BIGINT) AS n_tokens,
   CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
 FROM tk LEFT JOIN v USING (word) GROUP BY 1
+""",
+        "audio_mix": f"""
+WITH {_audio_decode_ctes()},
+pu AS (
+  SELECT c2.clip_id, c2.sr_hz
+  FROM {_clips_pq("clips")} c2 JOIN uniq USING (clip_id)
+  WHERE CAST(substr(c2.clip_id, 6) AS BIGINT) % 8 = 0
+    AND c2.bytes IS NOT NULL AND c2.sr_hz IS NOT NULL
+    AND substr(upper(hex(c2.bytes)), 1, 8) = '53474131'
+),
+pb AS (
+  SELECT clip_id, sr_hz,
+    row_number() OVER (PARTITION BY sr_hz ORDER BY clip_id) AS rn,
+    count(*) OVER (PARTITION BY sr_hz) AS m
+  FROM pu
+),
+pair AS (
+  SELECT a.clip_id, b.clip_id AS noise_id
+  FROM pb a JOIN pb b ON a.sr_hz = b.sr_hz AND b.rn = (a.rn % a.m) + 1
+),
+mix AS (
+  SELECT p.clip_id, p.noise_id, da.i,
+    CAST(floor((da.val + db.val) / 2.0) AS BIGINT) AS mval
+  FROM pair p
+  JOIN dec da ON da.clip_id = p.clip_id
+  JOIN dec db ON db.clip_id = p.noise_id AND db.i = da.i
+)
+SELECT clip_id, noise_id, CAST(count(*) AS BIGINT) AS n_out,
+  md5(string_agg(CAST(mval AS VARCHAR), ',' ORDER BY i)) AS mix_md5
+FROM mix GROUP BY 1, 2
+""",
+        "bigram_surprisal_docs": f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split({_NORM}, ' '), t -> t <> '') AS words
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(words) - 1, 0) + 1),
+           i -> array_to_string(words[i:i+1], ' '))) AS bigram
+  FROM w
+),
+tf AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+model AS (
+  SELECT bigram, CAST(sum(n) AS BIGINT) AS cnt,
+         string_split(bigram, ' ')[1] AS w1
+  FROM tf GROUP BY 1
+),
+ctx AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx_n FROM model GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id, tf.n,
+    CAST(length(bin(ctx.ctx_n // model.cnt)) - 1 AS BIGINT) AS sur
+  FROM tf JOIN model USING (bigram) JOIN ctx ON model.w1 = ctx.w1
+),
+pd AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+         CAST(sum(n * sur) AS BIGINT) AS surprisal_sum
+  FROM sc GROUP BY 1
+)
+SELECT d.doc_id,
+  COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+  COALESCE(pd.surprisal_sum, 0) AS surprisal_sum,
+  CASE WHEN COALESCE(pd.n_bigrams, 0) > 0
+       THEN CAST(pd.surprisal_sum AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE)
+  END AS mean_surprisal
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
+""",
+        "source_overlap_docs": f"""
+WITH aug AS (
+  SELECT text, source FROM documents
+  UNION ALL
+  SELECT text, 'mirror' AS source FROM documents WHERE doc_id % 7 = 0
+),
+ds AS (
+  SELECT DISTINCT md5({_NORM}) AS digest, source AS src FROM aug
+)
+SELECT a.src AS source_a, b.src AS source_b,
+  CAST(count(*) AS BIGINT) AS n_shared_digests
+FROM ds a JOIN ds b ON a.digest = b.digest AND a.src < b.src
+GROUP BY 1, 2
 """,
         "bpe_pairs_docs": f"""
 WITH w AS (

@@ -280,6 +280,14 @@ def main() -> None:
         "vocab_coverage",
         lambda: force(entry_mod.q_vocab_coverage_docs(spark, sf_dir)),
     )
+    timed(
+        "bigram_surprisal",
+        lambda: force(entry_mod.q_bigram_surprisal_docs(spark, sf_dir)),
+    )
+    timed(
+        "audio_mix",
+        lambda: force(entry_mod.q_audio_mix(spark, sf_dir)),
+    )
 
     total = round(sum(timings.values()), 3)
     clips_per_sec = round(n_clips / timings["clip_validation"], 1)

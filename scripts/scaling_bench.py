@@ -180,8 +180,8 @@ def write_bench(
         "N and 4N executors per the driver protocol.",
         "",
         "**Why the N=4 → 4N=16 pair.** A control experiment with a pure register-bound",
-        "loop (no memory traffic, no syscalls; /tmp-style spin kernel, taskset-pinned one",
-        "process per core) shows this VM's per-core throughput is FLAT from 1 to 16",
+        "loop (no memory traffic, no syscalls; scripts/core_capacity_probe.py, taskset-pinned",
+        "one process per core) shows this VM's per-core throughput is FLAT from 1 to 16",
         "concurrent busy cores (~2.25-2.3 s per fixed work unit) but collapses ~40% when",
         "all 32 are busy (median 4.09 s/unit at 32x vs 2.29 at 16x). The hypervisor",
         "over-commits the top half of the vCPU range — so on the 8→32 pair even a",
@@ -215,7 +215,7 @@ def write_bench(
     with open(bench_path, "w") as fh:
         fh.write("\n".join(lines))
         if tail:
-            fh.write(tail)
+            fh.write("\n" + tail)
     print("\n".join(lines))
 
 

@@ -519,3 +519,94 @@ def pad_or_trim(
             yield pd.DataFrame(rows, columns=schema.fieldNames())
 
     return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(gen, schema=schema)
+
+
+MIX_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType()),
+        StructField("noise_id", StringType()),
+        StructField("n_out", LongType()),
+        StructField("mix_md5", StringType()),
+    ]
+)
+
+
+def mix_clips(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    sr_col: str = "sr_hz",
+) -> DataFrame:
+    """Deterministic two-clip mixing — the noise-injection ASR augmentation
+    (mix each utterance with another signal at a fixed gain) in its
+    exactly-reproducible integer form: each clip is paired with the NEXT
+    clip of the same ``sr_col`` value in id order (the last wraps to the
+    first, a singleton group pairs with itself), the pair is truncated to
+    the shorter signal, and ``mixed[i] = floor((a[i] + b[i]) / 2)`` — a
+    -6 dB equal-gain mix in pure integer math (arithmetic right shift on
+    the int32 sum), so the ``mix_md5`` digest is bit-identical on any
+    engine. Pairing by sample rate keeps the mix physically meaningful
+    (no implicit resample).
+
+    NULL blobs are excluded before pairing (both engines see the same
+    pairing universe — the table's own ``sr_col``/``id_col``, never
+    decoded metadata); pairs where either side fails to decode, or whose
+    overlap is empty, emit no row.
+
+    Scale shape (100 TB): this is a genuinely pairwise op — the rotation
+    join moves each payload blob exactly once, keyed by (sr, row_number)
+    inside the sr partition. On a deployment the clips table is bucketed
+    by sr (see sources.bucketed layout), making the self-join co-located;
+    the decode+mix runs in one Arrow mapInPandas pass after the join, and
+    only (id, id, digest)-width rows leave it."""
+    from pyspark.sql.window import Window
+
+    base = (
+        # NULL sr rows are excluded (not grouped): the pairing join is a
+        # plain equality, and a NULL key would silently drop them anyway —
+        # excluding them up front keeps the universe explicit and
+        # SQL-mirrorable
+        df.filter(F.col(bytes_col).isNotNull() & F.col(sr_col).isNotNull())
+        .select(
+            F.col(id_col).cast("string").alias("clip_id"),
+            F.col(sr_col).alias("__sr"),
+            F.col(bytes_col).alias("__ba"),
+        )
+    )
+    w = Window.partitionBy("__sr").orderBy("clip_id")
+    lhs = base.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__m", F.count(F.lit(1)).over(Window.partitionBy("__sr"))
+    )
+    rhs = lhs.select(
+        F.col("clip_id").alias("noise_id"),
+        F.col("__sr").alias("__sr_b"),
+        F.col("__ba").alias("__bb"),
+        F.col("__rn").alias("__rn_b"),
+    )
+    paired = lhs.join(
+        rhs,
+        (F.col("__sr") == F.col("__sr_b"))
+        & (F.col("__rn_b") == (F.col("__rn") % F.col("__m")) + 1),
+    ).select("clip_id", "noise_id", "__ba", "__bb")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for cid, nid, ba, bb in zip(
+                pdf["clip_id"], pdf["noise_id"], pdf["__ba"], pdf["__bb"]
+            ):
+                try:
+                    _, sa = audio_codec.decode_clip(bytes(ba))
+                    _, sb = audio_codec.decode_clip(bytes(bb))
+                except (ValueError, TypeError):
+                    continue
+                n = min(len(sa), len(sb))
+                if n == 0:
+                    continue
+                mixed = (
+                    sa[:n].astype(np.int32) + sb[:n].astype(np.int32)
+                ) >> 1  # floor((a+b)/2): arithmetic shift floors negatives too
+                rows.append((str(cid), str(nid), int(n), _canonical_md5(mixed)))
+            yield pd.DataFrame(rows, columns=MIX_SCHEMA.fieldNames())
+
+    return paired.mapInPandas(gen, schema=MIX_SCHEMA)

@@ -288,3 +288,127 @@ def vocab_coverage(
         .cast("long")
         .alias("n_oov"),
     )
+
+
+def bigram_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document quantized bigram cross-entropy against the corpus' own
+    bigram model — the CCNet-style perplexity filter (low surprisal =
+    templated/common text, high = rare/garbled), kept EXACTLY reproducible
+    cross-engine by quantizing each bigram's surprisal to the integer
+    ``floor(log2(ctx/cnt))`` where ``cnt`` is the corpus count of the
+    bigram and ``ctx`` the corpus count of its left-word context.
+
+    Exactness: for integers a ≥ b ≥ 1, ``floor(log2(a/b)) ==
+    length(bin(a DIV b)) - 1`` — with q = a DIV b and k = bitlen(q)-1,
+    2^k ≤ q ≤ a/b and a/b < q+1 ≤ 2^(k+1), so the float-free bit-length
+    form is the exact value (no libm log in either engine). The per-doc
+    mean is a single IEEE division of two int64s — correctly rounded and
+    identical cross-engine.
+
+    Output per doc (docs with < 2 words keep a row with zeros/NULL mean):
+    ``n_bigrams`` (token instances), ``surprisal_sum`` (Σ count·floor-log2),
+    ``mean_surprisal`` (sum/instances as double, NULL when n_bigrams = 0).
+
+    Scale shape (100 TB): ONE corpus-sized explode; the per-(doc, bigram)
+    count is map-combinable (a doc's bigrams are born co-located in its
+    row); the corpus bigram model reuses that relation (``sum(n)`` by
+    bigram — vocabulary²-bounded, NOT corpus-sized) and the context
+    relation reuses the model (vocabulary-bounded). The scoring join
+    shuffles the (doc, bigram)-distinct relation by bigram; the context
+    join keys a vocabulary-sized relation. Nothing is collected."""
+    from shaclapi_spark.pipeline.text import word_ngrams
+
+    bg = docs.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), 2)).alias("bigram")
+    )
+    # persist point: tf feeds three consumers (the scoring join's left side,
+    # the bigram model, and — through the model — the context relation), and
+    # Catalyst duplicates self-join lineage rather than sharing it, so
+    # without the persist the corpus-sized explode runs 3x (plan-asserted in
+    # test_plans). Same discipline as dedup.minhash_lsh_neardups' sigs/cand.
+    tf = bg.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("n")).persist()
+    model = tf.groupBy("bigram").agg(F.sum("n").cast("long").alias("cnt"))
+    model = model.withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+    ctx = model.groupBy("w1").agg(F.sum("cnt").cast("long").alias("ctx"))
+    scored = (
+        tf.join(model, "bigram")
+        .join(ctx, "w1")
+        .withColumn(
+            "sur",
+            (F.length(F.expr("bin(ctx DIV cnt)")) - F.lit(1)).cast("long"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        F.sum(F.col("n") * F.col("sur")).cast("long").alias("surprisal_sum"),
+    )
+    out = docs.select(id_col).distinct().join(per_doc, id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.col("surprisal_sum"), F.lit(0)).alias("surprisal_sum"),
+        F.when(
+            F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+            F.col("surprisal_sum").cast("double")
+            / F.col("n_bigrams").cast("double"),
+        ).alias("mean_surprisal"),
+    )
+
+
+def source_overlap(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix: for every unordered source pair
+    (a < b), how many distinct normalized-content digests appear in BOTH —
+    the curation report that decides source precedence before global
+    dedup (which mirror is a copy of which, which scrape re-crawled an
+    existing corpus). Output: (source_a, source_b, n_shared_digests).
+
+    Scale shape (100 TB): content collapses to a 16-byte md5 digest at the
+    scan (text never shuffles); (digest, source) is made distinct by one
+    map-combinable aggregation; sources-per-digest collapse to an array
+    per digest (sources are a tiny domain, the array is bounded); the
+    pair explode runs on the digest relation at |sources|²-bounded
+    fan-out; the final pair count is domain²-bounded. Mirrors the exact
+    dedup digest discipline of pipeline/dedup.py (16-byte keys on every
+    shuffle)."""
+    from shaclapi_spark.pipeline.text import normalize_text
+
+    ds = docs.select(
+        F.md5(normalize_text(F.col(text_col))).alias("digest"),
+        F.col(source_col).alias("src"),
+    ).distinct()
+    per_digest = ds.groupBy("digest").agg(
+        F.array_sort(F.collect_set("src")).alias("srcs")
+    )
+    # guarded sequences: Spark's sequence(a, b) DESCENDS when a > b, so both
+    # levels short-circuit to empty arrays for digests with < 2 sources
+    # (same pattern as text.word_ngrams)
+    pairs = per_digest.filter(F.size("srcs") >= 2).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("srcs") - F.lit(1)),
+                    lambda i: F.transform(
+                        F.sequence(i + F.lit(1), F.size("srcs")),
+                        lambda j: F.struct(
+                            F.element_at(F.col("srcs"), i).alias("source_a"),
+                            F.element_at(F.col("srcs"), j).alias("source_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_digests"))
+    )

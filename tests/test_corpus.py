@@ -142,3 +142,64 @@ class TestVocabCoverage:
             corpus.vocab_coverage(
                 spark.createDataFrame([Row(doc_id="a", text="x")]), vocab_size=0
             )
+
+
+def test_bigram_surprisal_hand_counted(spark):
+    # corpus: "a b" x3 (docs s1,s2,s3), "a c" x1 (s4) →
+    # ctx(a)=4; sur("a b") = floor(log2(4/3)) = 0; sur("a c") = floor(log2(4/1)) = 2
+    rows = [
+        Row(doc_id="s1", text="a b"),
+        Row(doc_id="s2", text="a b"),
+        Row(doc_id="s3", text="a b"),
+        Row(doc_id="s4", text="a c"),
+        Row(doc_id="s5", text="solo"),  # < 2 words → zero bigrams, NULL mean
+    ]
+    out = {
+        r.doc_id: r
+        for r in corpus.bigram_surprisal(spark.createDataFrame(rows)).collect()
+    }
+    assert (out["s1"].n_bigrams, out["s1"].surprisal_sum) == (1, 0)
+    assert (out["s4"].n_bigrams, out["s4"].surprisal_sum) == (1, 2)
+    assert out["s4"].mean_surprisal == 2.0
+    assert (out["s5"].n_bigrams, out["s5"].surprisal_sum) == (0, 0)
+    assert out["s5"].mean_surprisal is None
+    assert len(out) == 5
+
+
+def test_bigram_surprisal_repeats_weighted(spark):
+    # one doc with a repeated bigram: n is the instance count, the model
+    # counts instances too — "x y" occurs 2x in d and 1x elsewhere; ctx(x)=3
+    rows = [
+        Row(doc_id="d", text="x y x y"),   # bigrams: "x y","y x","x y" → "x y" n=2
+        Row(doc_id="e", text="x y"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in corpus.bigram_surprisal(spark.createDataFrame(rows)).collect()
+    }
+    # model: "x y" cnt=3, "y x" cnt=1; ctx(x)=3, ctx(y)=1
+    # d: 2*floor(log2(3/3)) + 1*floor(log2(1/1)) = 0; n_bigrams=3
+    assert (out["d"].n_bigrams, out["d"].surprisal_sum) == (3, 0)
+    assert (out["e"].n_bigrams, out["e"].surprisal_sum) == (1, 0)
+
+
+def test_source_overlap_matrix(spark):
+    rows = [
+        Row(doc_id="o1", text="Shared  Text", source="web"),
+        Row(doc_id="o2", text="shared text", source="books"),  # same digest as o1
+        Row(doc_id="o3", text="shared text", source="wiki"),
+        Row(doc_id="o4", text="only web", source="web"),
+        Row(doc_id="o5", text="another shared", source="web"),
+        Row(doc_id="o6", text="another shared", source="wiki"),
+        Row(doc_id="o7", text="shared text", source="web"),  # dup within source → still 1
+    ]
+    out = {
+        (r.source_a, r.source_b): r.n_shared_digests
+        for r in corpus.source_overlap(spark.createDataFrame(rows)).collect()
+    }
+    # "shared text" spans {web, books, wiki} → 3 pairs; "another shared" spans
+    # {web, wiki} → 1 pair (web, wiki) again
+    assert out[("books", "web")] == 1
+    assert out[("books", "wiki")] == 1
+    assert out[("web", "wiki")] == 2
+    assert len(out) == 3

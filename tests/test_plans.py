@@ -229,3 +229,26 @@ def test_content_dup_groups_shuffles_digests_only(spark):
     # everything above MapInPandas operates on digests and ids only
     above_map = plan.split("MapInPandas")[0]
     assert "bytes" not in above_map
+
+
+def test_bigram_surprisal_single_corpus_scan(spark, docs):
+    from shaclapi_spark.pipeline import corpus
+
+    plan = _plan(corpus.bigram_surprisal(docs))
+    # the (doc, bigram) count relation is persisted and all three consumers
+    # (scoring join, model, context) must read the CACHE — the corpus-sized
+    # explode executes once. (toString prints the cached subtree inside each
+    # InMemoryTableScan, so counting Generate lines would overstate it.)
+    assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_source_overlap_digest_only_shuffle(spark, docs):
+    from shaclapi_spark.pipeline import corpus
+
+    plan = _plan(corpus.source_overlap(docs))
+    # text must collapse to md5 at the scan: no shuffle carries the text
+    # column (the digest groupBys key on 'digest'/'src' only)
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
