@@ -1069,6 +1069,16 @@ def q_audio_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return at.mix_clips(c)
 
 
+def q_padding_stats_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # padding-efficiency report for duration-bucketed ASR batching: how many
+    # pad-frames the bucket boundaries [2s, 5s, 10s, 20s] would burn
+    return sp.length_bucket_padding(
+        _clip_tables(spark, sf_dir)["clips"],
+        "dur_ms",
+        [2000, 5000, 10000, 20000],
+    )
+
+
 def q_vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc OOV rate vs the corpus' own top-500 vocabulary (total-ordered
     # cut: count desc, word asc) — the natural-language-vs-garbage signal
@@ -1454,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal_docs": q_bigram_surprisal_docs,
         "source_overlap_docs": q_source_overlap_docs,
         "audio_mix": q_audio_mix,
+        "padding_stats_clips": q_padding_stats_clips,
         "multimodal_byte_hist": q_multimodal_byte_hist,
     }
 
@@ -2985,6 +2996,30 @@ SELECT tk.doc_id,
   CAST(count(*) AS BIGINT) AS n_tokens,
   CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
 FROM tk LEFT JOIN v USING (word) GROUP BY 1
+""",
+        "padding_stats_clips": f"""
+WITH r AS (
+  SELECT CAST(dur_ms AS BIGINT) AS len,
+    CASE WHEN dur_ms <= 2000 THEN 0 WHEN dur_ms <= 5000 THEN 1
+         WHEN dur_ms <= 10000 THEN 2 WHEN dur_ms <= 20000 THEN 3
+         ELSE 4 END AS bucket_idx,
+    CASE WHEN dur_ms <= 2000 THEN 2000 WHEN dur_ms <= 5000 THEN 5000
+         WHEN dur_ms <= 10000 THEN 10000 WHEN dur_ms <= 20000 THEN 20000
+    END AS bmax
+  FROM {_clips_pq("clips")}
+  WHERE dur_ms IS NOT NULL AND dur_ms >= 0
+),
+g AS (
+  SELECT bucket_idx,
+    CAST(COALESCE(max(bmax), max(len)) AS BIGINT) AS bucket_max,
+    CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(len) AS BIGINT) AS sum_len
+  FROM r GROUP BY 1
+)
+SELECT bucket_idx, bucket_max, n_rows, sum_len,
+  CAST(n_rows * bucket_max AS BIGINT) AS padded_total,
+  CAST(n_rows * bucket_max - sum_len AS BIGINT) AS pad_waste
+FROM g
 """,
         "audio_mix": f"""
 WITH {_audio_decode_ctes()},

@@ -353,3 +353,59 @@ def packed_batch_stats(
             *[F.sum(c).cast("long").alias(f"sum_{c}") for c in sum_cols],
         )
     )
+
+
+def length_bucket_padding(
+    df: DataFrame,
+    len_col: str,
+    bucket_bounds: list[int],
+    id_col: str | None = None,
+) -> DataFrame:
+    """Padding-efficiency report for length-bucketed batching — the ASR/LLM
+    training question "how much compute do we burn on pad frames if we
+    bucket by duration with THESE boundaries?". Rows are assigned to the
+    first bucket whose upper bound >= len; rows longer than the last bound
+    go to an overflow bucket padded to the observed max. Output per bucket:
+    ``bucket_idx``, ``bucket_max`` (the padded-to length: the bound, or the
+    observed max for the overflow bucket), ``n_rows``, ``sum_len``,
+    ``padded_total`` (n_rows * bucket_max), ``pad_waste``
+    (padded_total - sum_len) — all exact integers, so the relation
+    value-hashes across engines. The global padding overhead is
+    sum(pad_waste) / sum(sum_len).
+
+    Scale shape (100 TB): bucket assignment is a scan-side CASE over the
+    sorted bounds (whole-stage codegen, no UDF); the report is ONE
+    map-combinable groupBy over at most len(bounds)+1 keys — the shuffle
+    carries a handful of partial-aggregate rows per task. NULL / negative
+    lengths are excluded (they are validation failures, not batchable
+    rows)."""
+    bounds = sorted(set(int(b) for b in bucket_bounds))
+    if not bounds or bounds[0] <= 0:
+        raise ValueError(f"bucket_bounds must be positive, got {bucket_bounds}")
+    ln = F.col(len_col).cast("long")
+    idx: Column = F.lit(len(bounds))  # overflow bucket
+    bmax: Column = F.lit(None).cast("long")
+    for i in range(len(bounds) - 1, -1, -1):
+        idx = F.when(ln <= bounds[i], F.lit(i)).otherwise(idx)
+        bmax = F.when(ln <= bounds[i], F.lit(bounds[i])).otherwise(bmax)
+    out = (
+        df.filter(ln.isNotNull() & (ln >= 0))
+        .select(idx.alias("bucket_idx"), bmax.alias("__bmax"), ln.alias("__len"))
+        .groupBy("bucket_idx")
+        .agg(
+            # bound buckets have a constant __bmax; the overflow bucket pads
+            # to its own observed max
+            F.coalesce(F.max("__bmax"), F.max("__len")).alias("bucket_max"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("__len").cast("long").alias("sum_len"),
+        )
+        .withColumn(
+            "padded_total", (F.col("n_rows") * F.col("bucket_max")).cast("long")
+        )
+        .withColumn(
+            "pad_waste", (F.col("padded_total") - F.col("sum_len")).cast("long")
+        )
+    )
+    return out.select(
+        "bucket_idx", "bucket_max", "n_rows", "sum_len", "padded_total", "pad_waste"
+    )

@@ -271,3 +271,37 @@ def test_packed_batch_stats_two_exchanges_max(spark):
     )
     # one exchange for the shard window + one batch-grain rollup exchange
     assert plan.count("Exchange") <= 2
+
+
+def test_length_bucket_padding(spark):
+    from pyspark.sql import Row
+    from shaclapi_spark.pipeline import sampling as sp
+
+    rows = [
+        Row(i="a", n=100),   # bucket 0 (<=200), pad 100
+        Row(i="b", n=200),   # bucket 0 exactly, pad 0
+        Row(i="c", n=201),   # bucket 1 (<=500), pad 299
+        Row(i="d", n=900),   # overflow, padded to observed max 1000
+        Row(i="e", n=1000),  # overflow max
+        Row(i="f", n=None),  # excluded
+    ]
+    out = {
+        r.bucket_idx: r
+        for r in sp.length_bucket_padding(
+            spark.createDataFrame(rows), "n", [200, 500]
+        ).collect()
+    }
+    assert (out[0].bucket_max, out[0].n_rows, out[0].sum_len, out[0].pad_waste) == (200, 2, 300, 100)
+    assert (out[1].bucket_max, out[1].n_rows, out[1].pad_waste) == (500, 1, 299)
+    assert (out[2].bucket_max, out[2].n_rows, out[2].sum_len) == (1000, 2, 1900)
+    assert out[2].pad_waste == 100
+    assert len(out) == 3
+
+
+def test_length_bucket_padding_validates_bounds(spark):
+    from shaclapi_spark.pipeline import sampling as sp
+
+    with pytest.raises(ValueError):
+        sp.length_bucket_padding(spark.range(1), "id", [])
+    with pytest.raises(ValueError):
+        sp.length_bucket_padding(spark.range(1), "id", [0, 10])
