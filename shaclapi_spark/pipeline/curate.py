@@ -164,7 +164,13 @@ def curate(
             & (quality_columns(F.col(text_col))["max_token_len"] <= F.lit(max_token_len))
             & F.col(lang_col).isin(*keep_langs)
         )
-        s_dedup = s_lang.join(exact_dedup(s_lang, id_col, text_col), id_col, "left_semi")
+        # persist: minhash consumes its input twice (signature explode +
+        # the verification `sets` build), and s_dedup's lineage is itself a
+        # corpus scan + quality filter + window dedup — without the persist
+        # that whole chain runs twice inside the pair generation
+        s_dedup = s_lang.join(
+            exact_dedup(s_lang, id_col, text_col), id_col, "left_semi"
+        ).persist()
         pairs = minhash_lsh_neardups(
             s_dedup, id_col, text_col, k=minhash_k, threshold=minhash_threshold
         )
