@@ -203,3 +203,52 @@ def test_source_overlap_matrix(spark):
     assert out[("books", "wiki")] == 1
     assert out[("web", "wiki")] == 2
     assert len(out) == 3
+
+
+def test_bigram_surprisal_vs_python_reference(spark):
+    # 60-doc pseudo-random corpus from a tiny vocabulary (forces shared
+    # bigrams and ctx collisions); exact comparison against an
+    # independently-written Python model of the quantized surprisal
+    import collections
+
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    docs = []
+    x = 1
+    for d in range(60):
+        words = []
+        for j in range(d % 7):
+            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+            words.append(vocab[x % len(vocab)])
+        docs.append((f"r{d}", " ".join(words)))
+
+    # python reference
+    bigrams_by_doc = {}
+    model = collections.Counter()
+    for did, text in docs:
+        ws = [w for w in text.lower().split() if w]
+        bgs = [f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)]
+        bigrams_by_doc[did] = bgs
+        model.update(bgs)
+    ctx = collections.Counter()
+    for bg, c in model.items():
+        ctx[bg.split(" ")[0]] += c
+    expect = {}
+    for did, bgs in bigrams_by_doc.items():
+        sur_sum = 0
+        for bg in bgs:
+            q = ctx[bg.split(" ")[0]] // model[bg]
+            sur_sum += q.bit_length() - 1
+        expect[did] = (len(bgs), sur_sum)
+
+    rows = [Row(doc_id=d, text=t) for d, t in docs]
+    out = {
+        r.doc_id: r
+        for r in corpus.bigram_surprisal(spark.createDataFrame(rows)).collect()
+    }
+    assert len(out) == 60
+    for did, (nb, ss) in expect.items():
+        assert (out[did].n_bigrams, out[did].surprisal_sum) == (nb, ss), did
+        if nb:
+            assert out[did].mean_surprisal == ss / nb
+        else:
+            assert out[did].mean_surprisal is None
