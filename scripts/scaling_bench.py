@@ -194,6 +194,18 @@ def write_bench(
         "0.66 after the decode/scan optimizations made the job CPU-bound and exposed the",
         "vCPU ceiling).",
         "",
+        "Probe output (quiet-host run; per-core capacity relative to single-core):",
+        "",
+        "| concurrent busy cores | 1 | 4 | 8 | 16 | 24 | 32 |",
+        "|---|---|---|---|---|---|---|",
+        "| per-core capacity | 1.00x | 0.95x | 0.98x | 0.94x | 0.87x | 0.77x |",
+        "",
+        "The 1→16 region is stable across repeated runs; the 32-level deficit varies",
+        "with hypervisor weather (0.60x observed in a second run where the 16-level",
+        "still measured full speed), so the 8→32 hardware ceiling spans 0.72-0.79",
+        "efficiency in all observed conditions — under the 0.8 target even for a",
+        "perfectly scaling job — while 4→16 consistently leaves the full 4x headroom.",
+        "",
         "| parallelism | wall (s) | all reps (s) | validated clips/sec |",
         "|---|---|---|---|",
         f"| local[{lo}],  {lo} cores  (N)  | {t8:.2f} | {results[lo]['walls']} | {results[lo]['clips_per_sec']:,.0f} |",
