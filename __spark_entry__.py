@@ -1253,6 +1253,19 @@ def q_speech_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.speech_activity(_uniq_clips(spark, sf_dir), frame_ms=20)
 
 
+def q_align_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # forced-alignment-lite: proportional token spans over VAD speech frames
+    # (exact integer division; silence gaps skipped via segment offsets).
+    # 1/5 clip subsample keeps the oracle's per-token range join audit-scale
+    # (NOT % 4: the fixture seeds clip i with i % 4 transcripts, so a % 4 == 0
+    # cut selects exactly the transcript-less clips)
+    t = _clip_tables(spark, sf_dir)
+    c = _uniq_clips(spark, sf_dir).filter(
+        F.expr("TRY_CAST(substr(clip_id, 6) AS BIGINT) % 5 = 0")
+    )
+    return mm.align_tokens(c, t["transcripts"])
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gaps-and-islands sessionization of the event log (30 min gap):
     # integer-microsecond boundaries so the relation hashes identically
@@ -1465,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_docs": q_source_overlap_docs,
         "audio_mix": q_audio_mix,
         "padding_stats_clips": q_padding_stats_clips,
+        "align_tokens": q_align_tokens,
         "multimodal_byte_hist": q_multimodal_byte_hist,
     }
 
@@ -2345,6 +2359,48 @@ FROM pc GROUP BY 1, 2
 """
 
 
+def _align_tokens_sql(frame_ms: int = 20) -> str:
+    """Proportional token-time alignment over the segments CTE — exact
+    mirror of mm.align_tokens: token j of t owns speech ordinals
+    [j*s//t, (j+1)*s//t) (floored to one frame when s < t), mapped to real
+    frames through the speech segments' running offsets."""
+    return f"""
+WITH seg AS ({_speech_segments_sql()}),
+spn AS (
+  SELECT clip_id, start_frame, n_frames,
+    COALESCE(sum(n_frames) OVER (PARTITION BY clip_id ORDER BY seg_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM seg
+  WHERE is_speech AND CAST(substr(clip_id, 6) AS BIGINT) % 5 = 0
+),
+tot AS (SELECT clip_id, CAST(sum(n_frames) AS BIGINT) AS s FROM spn GROUP BY 1),
+tr AS (
+  SELECT transcript_id, clip_id, CAST(n_tokens AS BIGINT) AS t
+  FROM {_clips_pq("transcripts")} WHERE n_tokens > 0
+),
+tk AS (
+  SELECT tr.transcript_id, tr.clip_id, tot.s, tr.t,
+    unnest(range(0, tr.t)) AS token_idx
+  FROM tr JOIN tot USING (clip_id)
+),
+b AS (
+  SELECT *, (token_idx * s) // t AS s_lo,
+    greatest((token_idx * s) // t, ((token_idx + 1) * s) // t - 1) AS s_hi
+  FROM tk
+)
+SELECT b.clip_id, b.transcript_id, CAST(b.token_idx AS BIGINT) AS token_idx,
+  CAST((s1.start_frame + b.s_lo - s1.cum_before) * {frame_ms} AS BIGINT)
+    AS start_ms,
+  CAST((s2.start_frame + b.s_hi - s2.cum_before + 1) * {frame_ms} AS BIGINT)
+    AS end_ms
+FROM b
+JOIN spn s1 ON b.clip_id = s1.clip_id
+  AND b.s_lo >= s1.cum_before AND b.s_lo < s1.cum_before + s1.n_frames
+JOIN spn s2 ON b.clip_id = s2.clip_id
+  AND b.s_hi >= s2.cum_before AND b.s_hi < s2.cum_before + s2.n_frames
+"""
+
+
 def _speech_activity_sql() -> str:
     return f"""
 WITH seg AS ({_speech_segments_sql()})
@@ -3148,6 +3204,7 @@ SELECT shard,
 FROM a GROUP BY 1, 2
 """,
         "speech_segments": _speech_segments_sql(),
+        "align_tokens": _align_tokens_sql(frame_ms=20),
         "speech_activity": _speech_activity_sql(),
         "sessionize_events": _sessionize_sql(gap_minutes=30),
         "codec_dur_quantiles": f"""

@@ -632,3 +632,124 @@ def sample_video_frames(blob: bytes, every_n: int = 30) -> list:
             "video frame sampling requires pyav/ffmpeg; not available here"
         ) from exc
     raise NotImplementedError("real video path not wired in this sandbox")
+
+
+def align_tokens(
+    clips: DataFrame,
+    transcripts: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    tr_id_col: str = "transcript_id",
+    n_tokens_col: str = "n_tokens",
+    frame_ms: int = 20,
+    silence_db: float = -40.0,
+) -> DataFrame:
+    """Proportional token-time alignment (forced-alignment-lite): give each
+    transcript token an estimated (start_ms, end_ms) span inside its clip's
+    SPEECH frames — the deterministic seed alignment a speech pipeline uses
+    before a real CTC/attention aligner refines it (and the sanity surface
+    for "token rate inside speech regions" checks).
+
+    Token j of T owns the speech-frame ordinals [floor(j*S/T),
+    floor((j+1)*S/T)) where S is the clip's total speech frames — exact
+    integer division, so the relation value-hashes cross-engine. Ordinals
+    map back to real frame indices through the speech segments' running
+    offsets (silence gaps are skipped, exactly like a real aligner's
+    VAD-masked time axis). When S < T the per-token span floors at one
+    frame (tokens overlap — documented, deterministic). Transcripts with
+    n_tokens <= 0 and clips with zero speech frames emit no rows.
+
+    Output: (clip_id, transcript_id, token_idx, start_ms, end_ms), times in
+    ms at frame granularity (frame_ms per frame).
+
+    Scale shape (100 TB): the decode side inherits speech_segments' plan
+    (no-shuffle Arrow decode + ONE exchange on clip_id); the speech-segment
+    relation is tiny (a handful of rows per clip) and is reused via persist
+    for the two ordinal→frame lookups, which are equi-joins on clip_id with
+    a range predicate — per-clip segment lists are bounded, so each match
+    scans a few rows. The token explode is scan-side on the transcripts
+    relation; nothing is collected."""
+    from pyspark.sql import Window
+
+    seg = speech_segments(clips, id_col, bytes_col, frame_ms, silence_db)
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("seg_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spn = (
+        seg.filter(F.col("is_speech"))
+        .withColumn(
+            "cum_before",
+            F.coalesce(F.sum("n_frames").over(w), F.lit(0)).cast("long"),
+        )
+        .select(id_col, "start_frame", "n_frames", "cum_before")
+        .persist()
+    )
+    tot = spn.groupBy(id_col).agg(F.sum("n_frames").cast("long").alias("__S"))
+    tr = transcripts.filter(F.col(n_tokens_col) > 0).select(
+        F.col(tr_id_col).alias("transcript_id"),
+        F.col(id_col),
+        F.col(n_tokens_col).cast("long").alias("__T"),
+    )
+    toks = (
+        tr.join(tot, id_col)
+        .select(
+            id_col,
+            "transcript_id",
+            "__S",
+            "__T",
+            F.explode(F.sequence(F.lit(0), F.col("__T") - 1)).alias("token_idx"),
+        )
+        .withColumn("__s_lo", F.expr("(token_idx * __S) DIV __T"))
+        .withColumn(
+            "__s_hi",
+            F.greatest(
+                F.col("__s_lo"), F.expr("((token_idx + 1) * __S) DIV __T - 1")
+            ),
+        )
+    )
+    lo = spn.select(
+        F.col(id_col).alias("__ca"),
+        F.col("start_frame").alias("__sf_lo"),
+        F.col("n_frames").alias("__nf_lo"),
+        F.col("cum_before").alias("__cb_lo"),
+    )
+    hi = spn.select(
+        F.col(id_col).alias("__cb"),
+        F.col("start_frame").alias("__sf_hi"),
+        F.col("n_frames").alias("__nf_hi"),
+        F.col("cum_before").alias("__cb_hi"),
+    )
+    out = (
+        toks.join(
+            lo,
+            (F.col(id_col) == F.col("__ca"))
+            & (F.col("__s_lo") >= F.col("__cb_lo"))
+            & (F.col("__s_lo") < F.col("__cb_lo") + F.col("__nf_lo")),
+        )
+        .join(
+            hi,
+            (F.col(id_col) == F.col("__cb"))
+            & (F.col("__s_hi") >= F.col("__cb_hi"))
+            & (F.col("__s_hi") < F.col("__cb_hi") + F.col("__nf_hi")),
+        )
+        .select(
+            id_col,
+            "transcript_id",
+            F.col("token_idx").cast("long").alias("token_idx"),
+            (
+                (F.col("__sf_lo") + F.col("__s_lo") - F.col("__cb_lo"))
+                * F.lit(int(frame_ms))
+            )
+            .cast("long")
+            .alias("start_ms"),
+            (
+                (F.col("__sf_hi") + F.col("__s_hi") - F.col("__cb_hi") + 1)
+                * F.lit(int(frame_ms))
+            )
+            .cast("long")
+            .alias("end_ms"),
+        )
+    )
+    return out

@@ -133,3 +133,43 @@ def test_loudness_stats_rollup(spark):
     assert got["loud"].silence_ratio == 0.0
     assert got["quiet"].silence_ratio == 1.0
     assert got["loud"].peak_dbfs == pytest.approx(20 * math.log10(0.9), abs=0.1)
+
+
+def test_align_tokens_hand_built(spark):
+    from pyspark.sql import Row
+    from shaclapi_spark import audio_codec as ac
+    from shaclapi_spark.pipeline import multimodal as mm
+    import numpy as np
+
+    # sr=8000, frame_ms=20 -> 160-sample frames. Frame pattern:
+    # [sil, sil, SP, SP, SP, sil, SP, SP] -> speech segs: frames 2-4 (cum 0),
+    # frames 6-7 (cum 3); S = 5 speech frames.
+    fr = 160
+    quiet = np.zeros(fr, dtype=np.int16)
+    loud = np.full(fr, 20000, dtype=np.int16)
+    s = np.concatenate([quiet, quiet, loud, loud, loud, quiet, loud, loud])
+    clips = spark.createDataFrame(
+        [Row(clip_id="c", bytes=bytearray(ac.encode_samples(s, "pcm_s16le", 8000)))]
+    )
+    trs = spark.createDataFrame(
+        [
+            Row(transcript_id="t2", clip_id="c", n_tokens=2),
+            Row(transcript_id="t7", clip_id="c", n_tokens=7),
+            Row(transcript_id="tbad", clip_id="c", n_tokens=-1),  # excluded
+        ]
+    )
+    out = mm.align_tokens(clips, trs).collect()
+    rows = {(r.transcript_id, r.token_idx): (r.start_ms, r.end_ms) for r in out}
+    # T=2 over S=5: token0 -> ordinals 0..1 -> frames 2..3; token1 -> 2..4 ->
+    # frames 4 then (segment hop) 7
+    assert rows[("t2", 0)] == (40, 80)
+    assert rows[("t2", 1)] == (80, 160)
+    # T=7 > S=5: spans floor at one frame; token0 ordinal 0 -> frame 2
+    assert rows[("t7", 0)] == (40, 60)
+    # last token (j=6): s_lo = 6*5//7 = 4 -> frame 7 -> 140..160
+    assert rows[("t7", 6)] == (140, 160)
+    # excluded transcript and no extra rows: 2 + 7 spans
+    assert len(rows) == 9
+    # every span is non-empty and inside the clip
+    for (tid, j), (a, b) in rows.items():
+        assert 0 <= a < b <= 160 * 20
