@@ -288,6 +288,10 @@ def main() -> None:
         "audio_mix",
         lambda: force(entry_mod.q_audio_mix(spark, sf_dir)),
     )
+    timed(
+        "align_tokens",
+        lambda: force(entry_mod.q_align_tokens(spark, sf_dir)),
+    )
 
     total = round(sum(timings.values()), 3)
     clips_per_sec = round(n_clips / timings["clip_validation"], 1)
