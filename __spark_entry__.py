@@ -35,6 +35,7 @@ from shaclapi_spark.pipeline import sessions as sess
 from shaclapi_spark.pipeline import audio_analysis as aa
 from shaclapi_spark.pipeline import audio_transform as at
 from shaclapi_spark.pipeline import multimodal as mm
+from shaclapi_spark.pipeline import asr_qa
 from shaclapi_spark.pipeline import similarity as sim
 from shaclapi_spark.pipeline import text as tx
 from shaclapi_spark.pipeline import webclean as wc
@@ -1266,6 +1267,23 @@ def q_align_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.align_tokens(c, t["transcripts"])
 
 
+def q_transcript_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # character edit distance + exact-ppm CER per (transcript, owning clip)
+    # pair — the graded form of the exact-equality invariant (fk_match).
+    # Full clips relation on purpose: seeded duplicate clips (i % 17) yield
+    # one report row per observed pair in both engines.
+    t = _clip_tables(spark, sf_dir)
+    return asr_qa.pair_cer(t["clips"], t["transcripts"])
+
+
+def q_transcript_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # token (word) edit distance via the per-pair token→ASCII-char encoding
+    # reduction to built-in levenshtein — no Python in the plan; the DuckDB
+    # oracle replicates the identical encoding with list lambdas.
+    t = _clip_tables(spark, sf_dir)
+    return asr_qa.pair_wer(t["clips"], t["transcripts"])
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gaps-and-islands sessionization of the event log (30 min gap):
     # integer-microsecond boundaries so the relation hashes identically
@@ -1479,6 +1497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_mix": q_audio_mix,
         "padding_stats_clips": q_padding_stats_clips,
         "align_tokens": q_align_tokens,
+        "transcript_cer": q_transcript_cer,
+        "transcript_wer": q_transcript_wer,
         "multimodal_byte_hist": q_multimodal_byte_hist,
     }
 
@@ -2401,6 +2421,64 @@ JOIN spn s2 ON b.clip_id = s2.clip_id
 """
 
 
+def _transcript_pairs_sql() -> str:
+    """The (transcript row, owning clip row) join both transcript-QA
+    oracles share — mirrors asr_qa's inner join + non-null filters."""
+    c = _clips_pq("clips")
+    t = _clips_pq("transcripts")
+    return f"""
+SELECT t.transcript_id, t.clip_id, c.transcript AS ref, t.text AS hyp
+FROM {t} t JOIN {c} c ON t.clip_id = c.clip_id
+WHERE t.text IS NOT NULL AND t.clip_id IS NOT NULL AND c.transcript IS NOT NULL
+"""
+
+
+def _transcript_cer_sql() -> str:
+    # exact mirror of asr_qa.pair_cer: equal-string short-circuit, integer
+    # ppm via `//`. levenshtein here is byte-level but the fixture text is
+    # ASCII (pinned by tests/test_asr_qa.py), so it equals Spark codepoints.
+    return f"""
+WITH p AS ({_transcript_pairs_sql()}),
+d AS (SELECT *, CASE WHEN ref = hyp THEN 0 ELSE levenshtein(ref, hyp) END AS edit_dist FROM p)
+SELECT transcript_id, clip_id, edit_dist,
+  length(ref) AS ref_chars, length(hyp) AS hyp_chars,
+  CASE WHEN length(ref) > 0 THEN (1000000 * edit_dist) // length(ref) END AS cer_ppm
+FROM d
+"""
+
+
+def _transcript_wer_sql() -> str:
+    # exact mirror of asr_qa.pair_wer's token→ASCII-char encoding reduction:
+    # per-pair distinct-token vocab, each token becomes one single-byte char
+    # (byte-level levenshtein == token-level distance, bijective per pair).
+    alpha = asr_qa.ALPHABET
+    assert "'" not in alpha and "\\" not in alpha
+    return f"""
+WITH p AS ({_transcript_pairs_sql()}),
+tok AS (
+  SELECT transcript_id, clip_id,
+    list_filter(string_split(ref, ' '), x -> x != '') AS ta,
+    list_filter(string_split(hyp, ' '), x -> x != '') AS tb
+  FROM p
+),
+v AS (SELECT *, list_distinct(list_concat(ta, tb)) AS vocab FROM tok),
+d AS (
+  SELECT *, len(vocab) > {len(alpha)} AS vocab_overflow,
+    CASE WHEN len(vocab) > {len(alpha)} THEN NULL ELSE levenshtein(
+      array_to_string(list_transform(ta, t -> substr('{alpha}', list_position(vocab, t), 1)), ''),
+      array_to_string(list_transform(tb, t -> substr('{alpha}', list_position(vocab, t), 1)), ''))
+    END AS token_dist
+  FROM v
+)
+SELECT transcript_id, clip_id, token_dist,
+  len(ta) AS ref_tokens, len(tb) AS hyp_tokens,
+  CASE WHEN len(ta) > 0 AND NOT vocab_overflow
+       THEN (1000000 * token_dist) // len(ta) END AS wer_ppm,
+  vocab_overflow
+FROM d
+"""
+
+
 def _speech_activity_sql() -> str:
     return f"""
 WITH seg AS ({_speech_segments_sql()})
@@ -3205,6 +3283,8 @@ FROM a GROUP BY 1, 2
 """,
         "speech_segments": _speech_segments_sql(),
         "align_tokens": _align_tokens_sql(frame_ms=20),
+        "transcript_cer": _transcript_cer_sql(),
+        "transcript_wer": _transcript_wer_sql(),
         "speech_activity": _speech_activity_sql(),
         "sessionize_events": _sessionize_sql(gap_minutes=30),
         "codec_dur_quantiles": f"""

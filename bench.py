@@ -292,6 +292,10 @@ def main() -> None:
         "align_tokens",
         lambda: force(entry_mod.q_align_tokens(spark, sf_dir)),
     )
+    timed(
+        "transcript_wer",
+        lambda: force(entry_mod.q_transcript_wer(spark, sf_dir)),
+    )
 
     total = round(sum(timings.values()), 3)
     clips_per_sec = round(n_clips / timings["clip_validation"], 1)
