@@ -1284,6 +1284,40 @@ def q_transcript_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asr_qa.pair_wer(t["clips"], t["transcripts"])
 
 
+def q_cer_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fk_near_match end-to-end: transcript text must be within 6 edits of
+    # EVERY owning clip row's inline transcript. k=6 exactly forgives the
+    # seeded dup-parent " (alt)" conflicts (distance 6) that exact fk_match
+    # flags, while still flagging the j%41 MUTATED rows — so the verdict
+    # set differs from tr_text_match in a seeded, oracle-checkable way.
+    t = _clip_tables(spark, sf_dir)
+    s = Suite(
+        shapes=[
+            Shape(
+                name="TranscriptNear",
+                table="transcripts",
+                entity_col="transcript_id",
+                constraints=[
+                    Constraint(
+                        "tr_near",
+                        "fk_near_match",
+                        {
+                            "key": "clip_id",
+                            "parent": "clips",
+                            "parent_key": "clip_id",
+                            "column": "text",
+                            "parent_col": "transcript",
+                            "max_edits": 6,
+                        },
+                    )
+                ],
+            )
+        ]
+    )
+    res = run_suite(spark, s, {"transcripts": t["transcripts"], "clips": t["clips"]}, config=_CFG)
+    return res.verdicts.select("entity_id", "shape", "is_valid", "reason")
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gaps-and-islands sessionization of the event log (30 min gap):
     # integer-microsecond boundaries so the relation hashes identically
@@ -1499,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_tokens": q_align_tokens,
         "transcript_cer": q_transcript_cer,
         "transcript_wer": q_transcript_wer,
+        "cer_verdicts": q_cer_verdicts,
         "multimodal_byte_hist": q_multimodal_byte_hist,
     }
 
@@ -2433,6 +2468,33 @@ WHERE t.text IS NOT NULL AND t.clip_id IS NOT NULL AND c.transcript IS NOT NULL
 """
 
 
+def _cer_verdicts_sql(max_edits: int = 6) -> str:
+    # mirror of the fk_near_match verdict semantics: valid iff within
+    # max_edits of EVERY owning clip row's non-null transcript; vacuous
+    # (true) when the local key/text is NULL, no parent row exists, or all
+    # parent values are NULL — bool_and skips NULL per-row predicates and
+    # coalesce(. , true) covers the no-row / all-null cases.
+    c = _clips_pq("clips")
+    t = _clips_pq("transcripts")
+    return f"""
+SELECT t.transcript_id AS entity_id, 'TranscriptNear' AS shape,
+  coalesce(bool_and(
+    CASE WHEN t.text IS NULL OR c.transcript IS NULL THEN NULL
+         ELSE t.text = c.transcript
+              OR (abs(length(t.text) - length(c.transcript)) <= {max_edits}
+                  AND levenshtein(t.text, c.transcript) <= {max_edits}) END
+  ), true) AS is_valid,
+  CASE WHEN NOT coalesce(bool_and(
+    CASE WHEN t.text IS NULL OR c.transcript IS NULL THEN NULL
+         ELSE t.text = c.transcript
+              OR (abs(length(t.text) - length(c.transcript)) <= {max_edits}
+                  AND levenshtein(t.text, c.transcript) <= {max_edits}) END
+  ), true) THEN 'tr_near' END AS reason
+FROM {t} t LEFT JOIN {c} c ON t.clip_id = c.clip_id
+GROUP BY t.transcript_id, t.clip_id, t.text
+"""
+
+
 def _transcript_cer_sql() -> str:
     # exact mirror of asr_qa.pair_cer: equal-string short-circuit, integer
     # ppm via `//`. levenshtein here is byte-level but the fixture text is
@@ -3285,6 +3347,7 @@ FROM a GROUP BY 1, 2
         "align_tokens": _align_tokens_sql(frame_ms=20),
         "transcript_cer": _transcript_cer_sql(),
         "transcript_wer": _transcript_wer_sql(),
+        "cer_verdicts": _cer_verdicts_sql(max_edits=6),
         "speech_activity": _speech_activity_sql(),
         "sessionize_events": _sessionize_sql(gap_minutes=30),
         "codec_dur_quantiles": f"""

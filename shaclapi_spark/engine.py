@@ -112,7 +112,7 @@ class _ShapeEvaluator:
                     walk(b)
             elif c.kind == "audio_valid":
                 self.audio_cs.append(c)
-            elif c.kind in ("fk_exists", "fk_not_exists", "fk_match"):
+            elif c.kind in ("fk_exists", "fk_not_exists", "fk_match", "fk_near_match"):
                 self.fk_cs.append(c)
             elif c.kind in ROW_KINDS:
                 self.row_cs.append(c)
@@ -207,13 +207,21 @@ class _ShapeEvaluator:
         for c in self.fk_cs:
             fk_keys.add(
                 c.params["key"]
-                if c.kind == "fk_match"
+                if c.kind in ("fk_match", "fk_near_match")
                 else c.params["column"]
             )
         keep = {shape.entity_col, *fk_keys, *local_keys}
         proj: list[Column] = [F.col(n) for n in sorted(keep)]
         match_col: dict[str, Column] = {}  # constraint id -> child-side value
         for c in self.fk_cs:
+            if c.kind == "fk_near_match":
+                # edit distance needs the raw chars — no hash shortcut;
+                # the local text column rides to the parent join as-is
+                if c.params["column"] not in keep:
+                    keep.add(c.params["column"])
+                    proj.append(F.col(c.params["column"]))
+                match_col[c.id] = F.col(c.params["column"])
+                continue
             if c.kind != "fk_match":
                 continue
             raw = F.col(c.params["column"])
@@ -246,7 +254,7 @@ class _ShapeEvaluator:
         by_parent: dict[tuple[str, str, str], list[Constraint]] = {}
         for c in self.fk_cs:
             p = c.params
-            if c.kind == "fk_match":
+            if c.kind in ("fk_match", "fk_near_match"):
                 key = (p["parent"], p["key"], p["parent_key"])
             else:  # fk_exists / fk_not_exists share the aggregated-parent join
                 key = (p["parent"], p["column"], p["parent_col"])
@@ -279,6 +287,17 @@ class _ShapeEvaluator:
                     aggs.append(F.count(pv_val).alias(f"__pnn_{c.id}"))
                     aggs.append(F.min(pv_val).alias(f"__plo_{c.id}"))
                     aggs.append(F.max(pv_val).alias(f"__pv_{c.id}"))
+                elif c.kind == "fk_near_match":
+                    # edit-distance tolerance can't pre-reduce the parent
+                    # side to min/max hashes — the raw values must meet the
+                    # child string. collect_list (null-skipping, partial-agg
+                    # mergeable) carries each key's parent values once; fk
+                    # keys have bounded multiplicity so the list stays small
+                    aggs.append(
+                        F.collect_list(F.col(c.params["parent_col"])).alias(
+                            f"__pl_{c.id}"
+                        )
+                    )
             pagg = parent.groupBy(
                 F.col(parent_key).alias(f"__pjk_{gi}")
             ).agg(*aggs)
@@ -296,6 +315,46 @@ class _ShapeEvaluator:
                     b = F.when(
                         F.col(local_key).isNull(), F.lit(True)
                     ).otherwise(F.col(marker).isNull())
+                elif c.kind == "fk_near_match":
+                    lv = match_col[c.id]
+                    pl = F.col(f"__pl_{c.id}")
+                    max_edits = c.params.get("max_edits")
+                    max_ppm = c.params.get("max_cer_ppm")
+
+                    # NB: PySpark HOF lambdas must take exactly the HOF's
+                    # arity — capture lv/k/ppm via closure, not defaults.
+                    # F.forall consumes the lambda within this loop
+                    # iteration, so late binding is safe.
+                    def _near(v: Column) -> Column:
+                        lv, k, ppm = match_col[c.id], max_edits, max_ppm
+                        if ppm is None:
+                            # absolute tolerance only: length-gap short
+                            # circuit + thresholded levenshtein (O(k·len),
+                            # returns -1 past the threshold — never O(n·m))
+                            return (lv == v) | (
+                                (
+                                    F.abs(F.length(lv) - F.length(v))
+                                    <= F.lit(int(k))
+                                )
+                                & (F.levenshtein(lv, v, int(k)) >= 0)
+                            )
+                        dist = F.when(lv == v, F.lit(0)).otherwise(
+                            F.levenshtein(lv, v)
+                        )
+                        ok = (F.lit(1_000_000) * dist.cast("long")) <= (
+                            F.lit(int(ppm)) * F.length(v).cast("long")
+                        )
+                        if k is not None:
+                            ok = ok & (dist <= F.lit(int(k)))
+                        return ok
+
+                    b = F.when(
+                        F.col(local_key).isNull()
+                        | F.col(marker).isNull()
+                        | lv.isNull()
+                        | (F.size(pl) == 0),  # all parent values NULL ⇒ vacuous
+                        F.lit(True),
+                    ).otherwise(F.forall(pl, _near))
                 else:
                     lv = match_col[c.id]
                     pv = F.col(f"__pv_{c.id}")
@@ -316,6 +375,7 @@ class _ShapeEvaluator:
                 *[f"__plo_{c.id}" for c in cs if c.kind == "fk_match"],
                 *[f"__pnn_{c.id}" for c in cs if c.kind == "fk_match"],
                 *[f"__lh_{c.id}" for c in cs if c.kind == "fk_match"],
+                *[f"__pl_{c.id}" for c in cs if c.kind == "fk_near_match"],
             )
 
         all_row_names = row_bool_names + [f"b_{c.id}" for c in self.audio_cs]

@@ -49,6 +49,18 @@ child-level (one groupBy+join per (child_table, fk)):
         the local value is NULL, no parent row exists, or all parent values
         are NULL — those are not_null's / fk_exists's jobs. The BASELINE
         per-row invariant 'transcript equality' (input_hint) is this kind.
+  fk_near_match(key, parent, parent_key, column, parent_col,
+                max_edits? , max_cer_ppm?) — edit-distance-tolerant
+        fk_match: this row's `column` must be within Levenshtein distance
+        ``max_edits`` (absolute) and/or ``max_cer_ppm`` (normalized:
+        1e6*dist <= ppm*len(parent value), exact integer arithmetic) of
+        EVERY matching parent row's non-null `parent_col` (ASR-tolerance
+        analog of the exact-equality invariant). Vacuous in the same cases
+        as fk_match. Unlike fk_match the raw strings must meet, so the
+        parent shuffle carries collect_list(parent_col) per key — assume
+        bounded parent multiplicity per key (true of any fk); with
+        max_edits only, the distance uses the thresholded levenshtein
+        (O(k·len) not O(len²)) plus a length-gap short-circuit.
   qualified_shape(child, fk, shape, min, max?) — sh:qualifiedValueShape +
         qualifiedMin/MaxCount: count of child rows VALID for `shape`
 
@@ -78,6 +90,7 @@ CHILD_KINDS = {
     "fk_exists",
     "fk_not_exists",
     "fk_match",
+    "fk_near_match",
     "qualified_shape",
 }
 DATASET_KINDS = {"drift", "stat_bound"}
@@ -100,6 +113,11 @@ class Constraint:
             self.params.get("order_by") and self.params.get("column")
         ):
             raise ValueError("monotonic needs order_by and column params")
+        if self.kind == "fk_near_match" and not (
+            self.params.get("max_edits") is not None
+            or self.params.get("max_cer_ppm") is not None
+        ):
+            raise ValueError("fk_near_match needs max_edits and/or max_cer_ppm")
 
     def columns(self) -> set[str]:
         """Columns of the shape's own table this constraint touches (for
