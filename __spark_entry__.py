@@ -1235,6 +1235,12 @@ def q_audio_gain_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return at.normalize_gain(_uniq_clips(spark, sf_dir), target_peak=26000)
 
 
+def q_audio_time_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SpecAugment-style deterministic time masking: two 200 ms spans per
+    # clip, positions hashed from the clip id, digest of the masked signal
+    return at.time_mask(_uniq_clips(spark, sf_dir), mask_ms=200, n_masks=2)
+
+
 def q_multimodal_byte_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _clip_tables(spark, sf_dir)
     per_row = mm.byte_histogram_counts(t["clips"], "clip_id", "bytes", n_bins=16)
@@ -1518,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_content_dups": q_audio_content_dups,
         "audio_decimate": q_audio_decimate,
         "audio_gain_norm": q_audio_gain_norm,
+        "audio_time_mask": q_audio_time_mask,
         "audio_bandwidth": q_audio_bandwidth,
         "audio_pitch": q_audio_pitch,
         "audio_container_summary": q_audio_container_summary,
@@ -2092,6 +2099,50 @@ SELECT g.clip_id, g.max_abs, g.gain_q15,
   md5(string_agg(CAST(n.nv AS VARCHAR), ',' ORDER BY n.i)) AS norm_md5
 FROM n JOIN gg g USING (clip_id)
 GROUP BY 1, 2, 3
+"""
+
+
+def _time_mask_sql(mask_ms: int = 200, n_masks: int = 2) -> str:
+    """Deterministic SpecAugment time-mask mirror: span length from the
+    TABLE sr column (scan-side geometry, like the Spark op), start m =
+    uint32(md5('<id>:<m>')[:8]) mod (n - L + 1), samples zeroed where any
+    span covers them. The mask-condition SQL is generated from range(
+    n_masks) so Spark and oracle share one definition of the spans."""
+    c = _clips_pq("clips")
+    start_cols = ", ".join(
+        f"('0x' || substr(md5(clip_id || ':{m}'), 1, 8))::BIGINT % (n - L + 1) AS s{m}"
+        for m in range(n_masks)
+    )
+    covered = " OR ".join(
+        f"(d.i >= s.s{m} AND d.i < s.s{m} + s.L)" for m in range(n_masks)
+    )
+    starts_str = " || ',' || ".join(f"s.s{m}::VARCHAR" for m in range(n_masks))
+    return f"""
+WITH {_audio_decode_ctes()},
+meta AS (
+  SELECT clip_id, sr_hz FROM {c} JOIN uniq USING (clip_id)
+  WHERE sr_hz IS NOT NULL AND sr_hz > 0
+),
+nn AS (
+  SELECT d.clip_id, max(d.i) + 1 AS n, any_value(m.sr_hz) AS sr_hz
+  FROM dec d JOIN meta m USING (clip_id) GROUP BY 1
+),
+geo AS (
+  SELECT clip_id, n,
+    GREATEST(LEAST((sr_hz * {mask_ms}) // 1000, n), 1) AS L
+  FROM nn
+),
+st AS (SELECT clip_id, n, L, {start_cols} FROM geo),
+mskd AS (
+  SELECT d.clip_id, d.i, s.n, s.L, {starts_str} AS mask_starts,
+    CASE WHEN {covered} THEN 0 ELSE d.val END AS nv,
+    CASE WHEN {covered} THEN 1 ELSE 0 END AS z
+  FROM dec d JOIN st s USING (clip_id)
+)
+SELECT clip_id, n AS n_samples, L AS mask_len, mask_starts,
+  CAST(sum(z) AS BIGINT) AS n_zeroed,
+  md5(string_agg(nv::VARCHAR, ',' ORDER BY i)) AS masked_md5
+FROM mskd GROUP BY 1, 2, 3, 4
 """
 
 
@@ -3174,6 +3225,7 @@ FROM per LEFT JOIN ga USING (event_type) CROSS JOIN gl
         "audio_content_dups": _content_dups_sql(),
         "audio_decimate": _decimate_sql(factor=4),
         "audio_gain_norm": _gain_norm_sql(target_peak=26000),
+        "audio_time_mask": _time_mask_sql(mask_ms=200, n_masks=2),
         "audio_bandwidth": _audio_bandwidth_sql(),
         "audio_pitch": _audio_pitch_sql(),
         "audio_container_summary": _container_summary_sql(),

@@ -610,3 +610,109 @@ def mix_clips(
             yield pd.DataFrame(rows, columns=MIX_SCHEMA.fieldNames())
 
     return paired.mapInPandas(gen, schema=MIX_SCHEMA)
+
+
+TIME_MASK_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType()),
+        StructField("n_samples", LongType()),
+        StructField("mask_len", LongType()),
+        StructField("mask_starts", StringType()),  # ','-joined, mask order
+        StructField("n_zeroed", LongType()),
+        StructField("masked_md5", StringType()),
+    ]
+)
+
+TIME_MASK_BYTES_SCHEMA = StructType(
+    TIME_MASK_SCHEMA.fields + [StructField("bytes_masked", BinaryType())]
+)
+
+
+def _mask_start(clip_id: str, m: int, span: int) -> int:
+    """Deterministic mask position: first 8 hex chars of md5('<id>:<m>')
+    mod the number of legal starts. Pure function of (clip_id, mask
+    index) so any engine derives the same spans — no RNG state, no seed
+    plumbing (same discipline as sampling.hash_sample)."""
+    h = int(hashlib.md5(f"{clip_id}:{m}".encode()).hexdigest()[:8], 16)
+    return h % span
+
+
+def time_mask(
+    df: DataFrame,
+    mask_ms: int = 200,
+    n_masks: int = 2,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    sr_col: str = "sr_hz",
+    with_bytes: bool = False,
+) -> DataFrame:
+    """SpecAugment-style time masking in its deterministic integer form:
+    zero ``n_masks`` spans of ``mask_ms`` each (positions hashed from the
+    clip id — see ``_mask_start``), the standard ASR augmentation that
+    teaches the model to bridge occlusions. Masks may overlap; a clip
+    shorter than one span is masked entirely (span = full clip, start 0).
+
+    One Arrow ``mapInPandas`` pass over (id, bytes, sr), no shuffle; the
+    sample rate comes from the TABLE column (not the decoded header) so
+    the mask geometry is decided scan-side and the SQL oracle can derive
+    the identical spans. ``n_zeroed`` counts distinct zeroed positions
+    (overlaps once). ``with_bytes=True`` re-encodes the masked signal.
+
+    Reference parity: none — augmentation is an engine-original
+    training-data op (graft brief); it reuses the validation layer's
+    decode (audio_codec) and digest (_canonical_md5) conventions so the
+    op is value-hash oracled like the other transforms.
+    """
+    if mask_ms <= 0 or n_masks <= 0:
+        raise ValueError("mask_ms and n_masks must be positive")
+    schema = TIME_MASK_BYTES_SCHEMA if with_bytes else TIME_MASK_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for cid, blob, sr in zip(pdf[id_col], pdf[bytes_col], pdf[sr_col]):
+                # NULL sr arrives as NaN through the Arrow batch (pandas
+                # floats the nullable int column) — pd.isna covers both
+                if blob is None or pd.isna(sr) or int(sr) <= 0:
+                    continue
+                try:
+                    hdr, s = audio_codec.decode_clip(bytes(blob))
+                except (ValueError, TypeError):
+                    continue
+                n = len(s)
+                if n == 0:
+                    continue
+                mask_len = min(int(sr) * mask_ms // 1000, n)
+                if mask_len == 0:  # sub-millisecond srs: still mask 1 sample
+                    mask_len = 1
+                span = n - mask_len + 1
+                starts = [_mask_start(str(cid), m, span) for m in range(n_masks)]
+                masked = s.astype(np.int64)
+                zero = np.zeros(n, dtype=bool)
+                for st in starts:
+                    zero[st : st + mask_len] = True
+                masked[zero] = 0
+                row = [
+                    str(cid),
+                    int(n),
+                    int(mask_len),
+                    ",".join(str(x) for x in starts),
+                    int(zero.sum()),
+                    _canonical_md5(masked),
+                ]
+                if with_bytes:
+                    row.append(
+                        audio_codec.encode_samples(
+                            masked.astype(np.int16),
+                            hdr["codec"],
+                            hdr["sr_hz"],
+                            hdr["freq_hz"],
+                            hdr["amp"],
+                        )
+                    )
+                rows.append(tuple(row))
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    return df.select(F.col(id_col), F.col(bytes_col), F.col(sr_col)).mapInPandas(
+        gen, schema=schema
+    )

@@ -287,3 +287,72 @@ def test_mix_clips_negative_floor(spark):
     out = {r.clip_id: r for r in at.mix_clips(spark.createDataFrame(rows)).collect()}
     assert out["x"].mix_md5 == hashlib.md5(b"-2").hexdigest()
     assert out["y"].mix_md5 == hashlib.md5(b"-2").hexdigest()
+
+
+def _expected_mask(cid, s, sr, mask_ms=200, n_masks=2):
+    n = len(s)
+    L = max(min(sr * mask_ms // 1000, n), 1)
+    starts = [
+        int(hashlib.md5(f"{cid}:{m}".encode()).hexdigest()[:8], 16) % (n - L + 1)
+        for m in range(n_masks)
+    ]
+    masked = s.astype(np.int64)
+    zero = np.zeros(n, dtype=bool)
+    for st in starts:
+        zero[st : st + L] = True
+    masked[zero] = 0
+    return L, starts, int(zero.sum()), masked
+
+
+def test_time_mask_exact(spark):
+    sr = 16000
+    s = (np.arange(8000, dtype=np.int64) % 1501 - 750).astype(np.int16)
+    blob = ac.encode_samples(s, "pcm_s16le", sr)
+    df = spark.createDataFrame(
+        [("c1", bytearray(blob), sr)], "clip_id string, bytes binary, sr_hz int"
+    )
+    row = at.time_mask(df, mask_ms=200, n_masks=2).collect()[0]
+    L, starts, n_zeroed, masked = _expected_mask("c1", s, sr)
+    assert row["mask_len"] == L == 3200
+    assert row["mask_starts"] == ",".join(map(str, starts))
+    assert row["n_zeroed"] == n_zeroed
+    digest = hashlib.md5(",".join(str(int(v)) for v in masked).encode()).hexdigest()
+    assert row["masked_md5"] == digest
+
+
+def test_time_mask_short_clip_fully_masked(spark):
+    sr = 16000
+    s = np.full(100, 1234, dtype=np.int16)  # < one 200ms span (3200)
+    df = spark.createDataFrame(
+        [("c1", bytearray(ac.encode_samples(s, "pcm_s16le", sr)), sr)],
+        "clip_id string, bytes binary, sr_hz int",
+    )
+    row = at.time_mask(df).collect()[0]
+    assert row["mask_len"] == 100 and row["mask_starts"] == "0,0"
+    assert row["n_zeroed"] == 100
+    all_zero = hashlib.md5(",".join(["0"] * 100).encode()).hexdigest()
+    assert row["masked_md5"] == all_zero
+
+
+def test_time_mask_skips_and_bytes(spark):
+    sr = 16000
+    s = (np.arange(4000) % 97 - 48).astype(np.int16)
+    blob = bytearray(ac.encode_samples(s, "flac", sr))
+    df = spark.createDataFrame(
+        [
+            ("ok", blob, sr),
+            ("null_bytes", None, sr),
+            ("null_sr", blob, None),
+            ("zero_sr", blob, 0),
+            ("garbage", bytearray(b"nope"), sr),
+        ],
+        "clip_id string, bytes binary, sr_hz int",
+    )
+    out = at.time_mask(df, with_bytes=True).collect()
+    assert [r["clip_id"] for r in out] == ["ok"]
+    hdr, dec = ac.decode_clip(bytes(out[0]["bytes_masked"]))
+    assert hdr["codec"] == "flac"
+    _, starts, n_zeroed, masked = _expected_mask("ok", s, sr)
+    assert np.array_equal(dec.astype(np.int64), masked)
+    with pytest.raises(ValueError):
+        at.time_mask(df, mask_ms=0)
