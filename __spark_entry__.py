@@ -36,6 +36,7 @@ from shaclapi_spark.pipeline import audio_analysis as aa
 from shaclapi_spark.pipeline import audio_transform as at
 from shaclapi_spark.pipeline import multimodal as mm
 from shaclapi_spark.pipeline import asr_qa
+from shaclapi_spark.pipeline import shards
 from shaclapi_spark.pipeline import similarity as sim
 from shaclapi_spark.pipeline import text as tx
 from shaclapi_spark.pipeline import webclean as wc
@@ -1080,6 +1081,15 @@ def q_padding_stats_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # training-output shard manifest: deterministic md5-mod assignment,
+    # per-shard count + payload bytes + order-insensitive bit_xor
+    # fingerprint (one map-combinable groupBy over 32 keys)
+    return shards.shard_manifest(
+        _t(spark, sf_dir, "documents"), n_shards=32, id_col="doc_id", text_col="text"
+    )
+
+
 def q_vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc OOV rate vs the corpus' own top-500 vocabulary (total-ordered
     # cut: count desc, word asc) — the natural-language-vs-garbage signal
@@ -1533,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_speed_perturb": q_audio_speed_perturb,
         "audio_pad_trim": q_audio_pad_trim,
         "vocab_coverage_docs": q_vocab_coverage_docs,
+        "shard_manifest_docs": q_shard_manifest_docs,
         "bigram_surprisal_docs": q_bigram_surprisal_docs,
         "source_overlap_docs": q_source_overlap_docs,
         "audio_mix": q_audio_mix,
@@ -3231,6 +3242,14 @@ FROM per LEFT JOIN ga USING (event_type) CROSS JOIN gl
         "audio_container_summary": _container_summary_sql(),
         "audio_speed_perturb": _speed_perturb_sql(num=11, den=10),
         "audio_pad_trim": _pad_trim_sql(target=400),
+        "shard_manifest_docs": """
+SELECT CAST(('0x' || substr(md5('shard' || doc_id), 1, 15))::BIGINT % 32 AS INT) AS shard,
+  count(*) AS n_docs,
+  CAST(coalesce(sum(strlen(text)), 0) AS BIGINT) AS n_bytes,
+  bit_xor(('0x' || substr(md5(doc_id || ':' || coalesce(text, '')), 1, 15))::BIGINT) AS content_fp
+FROM documents
+GROUP BY 1
+""",
         "vocab_coverage_docs": f"""
 WITH w AS (
   SELECT doc_id, list_filter(string_split({_NORM}, ' '), t -> t <> '') AS words
