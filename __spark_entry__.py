@@ -534,6 +534,18 @@ def q_dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_precedence_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # source-precedence near-dup survivor selection: within each cluster
+    # keep the lowest-priority-source member (priority = src number % 4,
+    # ties by doc_id) — the keep-curated-drop-crawl policy
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    pairs = dd.jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.2)
+    prio = F.substring(F.col("source"), 4, 10).cast("int") % 4
+    return cl.survivors_by_precedence(d, pairs, "doc_id", prio).select(
+        "doc_id", "source"
+    )
+
+
 def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data-mixing knob: per-language keep rates, deterministic by md5 hash
     d = _t(spark, sf_dir, "documents")
@@ -1483,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_groups": q_doc_dedup_groups,
         "jaccard_pairs_docs": q_jaccard_pairs_docs,
         "dedup_clusters_docs": q_dedup_clusters_docs,
+        "precedence_dedup_docs": q_precedence_dedup_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "stratified_quota_docs": q_stratified_quota_docs,
         "curation_funnel": q_curation_funnel,
@@ -2518,6 +2531,37 @@ JOIN spn s2 ON b.clip_id = s2.clip_id
 """
 
 
+def _jaccard_cluster_ctes() -> str:
+    """Shared CTE chain for the near-dup cluster oracles (docs < 120):
+    char-5-shingle exact Jaccard pairs → undirected edges → recursive
+    min-label reachability → comp(node, cluster_rep). Mirrors
+    dd.jaccard_pairs(k=5, threshold=0.2) ∘ cl.connected_components."""
+    return f"""d AS (SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 120),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, substring(norm, i, 5) AS shingle
+  FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i) u
+  WHERE length(substring(norm, i, 5)) >= 1
+),
+sz AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS a, b.doc AS b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sz sa ON sa.doc = i.a JOIN sz sb ON sb.doc = i.b
+  WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.2
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, min(comp) AS cluster_rep FROM reach GROUP BY node)"""
+
+
 def _transcript_pairs_sql() -> str:
     """The (transcript row, owning clip row) join both transcript-QA
     oracles share — mirrors asr_qa's inner join + non-null filters."""
@@ -2940,34 +2984,29 @@ FROM inter i JOIN sz sa ON sa.doc = i.a JOIN sz sb ON sb.doc = i.b
 WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.2
 """,
         "dedup_clusters_docs": f"""
-WITH RECURSIVE d AS (SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 120),
-sh AS (
-  SELECT DISTINCT doc_id AS doc, substring(norm, i, 5) AS shingle
-  FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i) u
-  WHERE length(substring(norm, i, 5)) >= 1
-),
-sz AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
-inter AS (
-  SELECT a.doc AS a, b.doc AS b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT i.a, i.b
-  FROM inter i JOIN sz sa ON sa.doc = i.a JOIN sz sb ON sb.doc = i.b
-  WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.2
-),
-edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
-reach(node, comp) AS (
-  SELECT u, u FROM edges
-  UNION
-  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
-),
-comp AS (SELECT node, min(comp) AS cluster_rep FROM reach GROUP BY node)
+WITH RECURSIVE {_jaccard_cluster_ctes()}
 SELECT c.node AS doc, c.cluster_rep,
   CAST(s.n AS BIGINT) AS cluster_size
 FROM comp c
 JOIN (SELECT cluster_rep, count(*) AS n FROM comp GROUP BY 1) s USING (cluster_rep)
+""",
+        "precedence_dedup_docs": f"""
+WITH RECURSIVE {_jaccard_cluster_ctes()},
+m AS (
+  SELECT c.node AS doc, c.cluster_rep,
+    (substr(any_value(dd.source), 4))::INT % 4 AS prio
+  FROM comp c JOIN documents dd ON dd.doc_id = c.node
+  GROUP BY 1, 2
+),
+losers AS (
+  SELECT doc FROM (
+    SELECT doc, row_number() OVER (
+      PARTITION BY cluster_rep ORDER BY prio ASC, doc ASC) AS rk
+    FROM m
+  ) WHERE rk > 1
+)
+SELECT doc_id, source FROM documents
+WHERE doc_id < 120 AND doc_id NOT IN (SELECT doc FROM losers)
 """,
         "stratified_sample_docs": f"""
 SELECT doc_id, lang FROM documents

@@ -33,7 +33,7 @@ Scale notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation, functions as F
+from pyspark.sql import Column, DataFrame, Observation, Window, functions as F
 
 
 def connected_components(
@@ -140,3 +140,41 @@ def dedup_survivors(
     return df.join(
         losers.select(F.col("doc").alias(id_col)), id_col, "left_anti"
     )
+
+
+def survivors_by_precedence(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    priority: Column,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Source-precedence dedup: keep, per near-dup cluster, the member
+    with the LOWEST ``priority`` value (ties broken by id) instead of the
+    minimum id — the policy real curation uses when the same content
+    appears in a curated source and a crawl (keep curated, drop crawl).
+    ``priority`` is any integer/orderable expression over ``df``'s
+    columns (e.g. a CASE over the source column); cross-source
+    duplication stats (corpus.source_overlap) are the diagnostic input
+    for choosing it.
+
+    Scale shape: the ranking window partitions by cluster_rep over the
+    CLUSTER MEMBERS ONLY (pair-touched docs — a small fraction of the
+    corpus); the dominant pair-free population flows through a single
+    left_anti join against the loser set, exactly like dedup_survivors.
+    """
+    clusters = dedup_clusters(pairs, a_col, b_col)
+    members = clusters.join(
+        df.select(F.col(id_col).alias("doc"), priority.alias("__prio")),
+        "doc",
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("__prio").asc(), F.col("doc").asc()
+    )
+    losers = (
+        members.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") > 1)
+        .select(F.col("doc").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

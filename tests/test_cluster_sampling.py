@@ -305,3 +305,35 @@ def test_length_bucket_padding_validates_bounds(spark):
         sp.length_bucket_padding(spark.range(1), "id", [])
     with pytest.raises(ValueError):
         sp.length_bucket_padding(spark.range(1), "id", [0, 10])
+
+
+def test_survivors_by_precedence(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "crawl"), (1, "books"), (2, "crawl"),   # cluster {0,1,2}
+            (3, "crawl"),                               # pair-free
+            (4, "crawl"), (5, "crawl"),                 # cluster {4,5}: tie -> min id
+        ],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "a long, b long")
+    prio = F.when(F.col("source") == "books", 0).otherwise(1)
+    kept = sorted(
+        r.doc_id
+        for r in cluster.survivors_by_precedence(df, pairs, "doc_id", prio).collect()
+    )
+    # books beats crawl in {0,1,2} -> keep 1 (not min id 0); tie in {4,5} -> 4
+    assert kept == [1, 3, 4]
+
+
+def test_survivors_by_precedence_defaults_to_min_id(spark):
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(6)], "doc_id long, source string"
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "a long, b long")
+    const = F.lit(0)
+    kept = sorted(
+        r.doc_id
+        for r in cluster.survivors_by_precedence(df, pairs, "doc_id", const).collect()
+    )
+    assert kept == [0, 3, 4]  # identical to dedup_survivors
