@@ -534,6 +534,18 @@ def q_dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interleave_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # proportional source-interleave schedule: rank-within-source by a
+    # deterministic md5 draw, key = rank * (lcm // weight) — consuming by
+    # ascending key visits src1 4x and src0 2x as often as the rest
+    return sp.interleave_sources(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "source",
+        weights={"src0": 2, "src1": 4},
+    ).select("doc_id", "source", "interleave_key")
+
+
 def q_precedence_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # source-precedence near-dup survivor selection: within each cluster
     # keep the lowest-priority-source member (priority = src number % 4,
@@ -1496,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_docs": q_jaccard_pairs_docs,
         "dedup_clusters_docs": q_dedup_clusters_docs,
         "precedence_dedup_docs": q_precedence_dedup_docs,
+        "interleave_docs": q_interleave_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "stratified_quota_docs": q_stratified_quota_docs,
         "curation_funnel": q_curation_funnel,
@@ -2989,6 +3002,22 @@ SELECT c.node AS doc, c.cluster_rep,
   CAST(s.n AS BIGINT) AS cluster_size
 FROM comp c
 JOIN (SELECT cluster_rep, count(*) AS n FROM comp GROUP BY 1) s USING (cluster_rep)
+""",
+        "interleave_docs": """
+WITH h AS (
+  SELECT doc_id, source,
+    ('0x' || substr(md5('interleave::' || doc_id), 1, 15))::BIGINT AS key
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, source,
+  CAST(rn * CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1 ELSE 4 END AS BIGINT)
+    AS interleave_key
+FROM r
 """,
         "precedence_dedup_docs": f"""
 WITH RECURSIVE {_jaccard_cluster_ctes()},

@@ -409,3 +409,83 @@ def length_bucket_padding(
     return out.select(
         "bucket_idx", "bucket_max", "n_rows", "sum_len", "padded_total", "pad_waste"
     )
+
+
+def interleave_sources(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict | None = None,
+    salt: str = "",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Proportional source interleaving: adds ``interleave_key`` (long)
+    such that consuming rows in ascending (interleave_key, source, id)
+    order visits sources in proportion to their integer ``weights`` —
+    the mixture SCHEDULE (ordering) that complements weighted_mix's
+    mixture COMPOSITION (upsampling). A weight-3 source contributes 3
+    rows for every 1 of a weight-1 source, evenly spread, not batched.
+
+    The key is exact integer math: the row with within-source rank r
+    (1-based, ordered by md5_60(salt-keyed id) — a deterministic draw)
+    gets ``r * (L // w_source)`` where L = lcm(weights); merging sorted
+    streams by this key is the classic rational-rate interleave.
+
+    Scale shape: within-source rank uses the same two-phase range-bucket
+    rank as epoch_shuffle (buckets of the 60-bit key high bits; one
+    bounded collect of n_sources × n_buckets counts; per-(source, bucket)
+    windows + broadcast prefix offsets) — no single-partition window even
+    when one source dominates the corpus.
+
+    ``weights`` maps source value -> positive int; unlisted sources weigh
+    1. The output keeps all input columns.
+    """
+    import math as _math
+
+    weights = dict(weights or {})
+    if any((not isinstance(w, int)) or w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive integers")
+    if n_buckets & (n_buckets - 1) or n_buckets <= 0:
+        raise ValueError("n_buckets must be a power of two")
+    lcm = 1
+    for w in list(weights.values()) + [1]:
+        lcm = lcm * w // _math.gcd(lcm, w)
+    shift = 60 - n_buckets.bit_length() + 1
+    key = md5_60(
+        F.concat(F.lit(f"interleave:{salt}:"), F.col(id_col).cast("string"))
+    )
+    keyed = df.withColumn("__key", key).withColumn(
+        "__b", F.shiftright(F.col("__key"), shift)
+    )
+    counts = (
+        keyed.groupBy(source_col, "__b").agg(F.count("*").alias("n")).collect()
+    )
+    per_source: dict = {}
+    for r in counts:
+        per_source.setdefault(r[source_col], {})[r["__b"]] = r["n"]
+    offset_entries = []
+    for src, bcounts in per_source.items():
+        acc = 0
+        for b in sorted(bcounts):
+            offset_entries.append((f"{src}\x00{b}", acc))
+            acc += bcounts[b]
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in offset_entries for x in kv]
+    )
+    # per-source step: L // w  (w divides L by construction)
+    step = F.lit(lcm)
+    for src, w in weights.items():
+        step = F.when(F.col(source_col) == src, F.lit(lcm // w)).otherwise(step)
+    w_rank = Window.partitionBy(source_col, "__b").orderBy(
+        "__key", F.col(id_col)
+    )
+    rank = (
+        F.row_number().over(w_rank)
+        + offset_map[
+            F.concat(F.col(source_col), F.lit("\x00"), F.col("__b"))
+        ].cast("long")
+    ).cast("long")
+    return (
+        keyed.withColumn("interleave_key", rank * step)
+        .drop("__key", "__b")
+    )

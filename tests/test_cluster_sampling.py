@@ -337,3 +337,59 @@ def test_survivors_by_precedence_defaults_to_min_id(spark):
         for r in cluster.survivors_by_precedence(df, pairs, "doc_id", const).collect()
     )
     assert kept == [0, 3, 4]  # identical to dedup_survivors
+
+
+def test_interleave_sources_proportions_and_determinism(spark):
+    rows = [(i, "big" if i % 4 else "small") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.interleave_sources(
+        df, "doc_id", "source", weights={"big": 3, "small": 1}
+    )
+    ordered = [
+        r["source"]
+        for r in out.orderBy("interleave_key", "source", "doc_id").collect()
+    ]
+    # in any prefix, big ≈ 3× small (within one step of the rational rate)
+    for cut in (40, 100, 200, 400):
+        prefix = ordered[:cut]
+        nb, ns = prefix.count("big"), prefix.count("small")
+        assert abs(nb - 3 * ns) <= 4, (cut, nb, ns)
+    # deterministic across invocations
+    again = [
+        r["source"]
+        for r in sampling.interleave_sources(
+            df, "doc_id", "source", weights={"big": 3, "small": 1}
+        ).orderBy("interleave_key", "source", "doc_id").collect()
+    ]
+    assert ordered == again
+
+
+def test_interleave_key_exact_formula(spark):
+    import hashlib as _h
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 6 else "b") for i in range(10)],
+        "doc_id long, source string",
+    )
+    out = {
+        r["doc_id"]: r["interleave_key"]
+        for r in sampling.interleave_sources(
+            df, "doc_id", "source", weights={"a": 2}
+        ).collect()
+    }
+    # independent recomputation: rank within source by (md5_60, id); L=2
+    def key(i):
+        return int(_h.md5(f"interleave::{i}".encode()).hexdigest()[:15], 16)
+
+    for src, members, step in (("a", range(6), 1), ("b", range(6, 10), 2)):
+        ranked = sorted(members, key=lambda i: (key(i), i))
+        for rnk, i in enumerate(ranked, start=1):
+            assert out[i] == rnk * step, (src, i)
+
+
+def test_interleave_sources_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        sampling.interleave_sources(df, "doc_id", "source", weights={"a": 0})
+    with pytest.raises(ValueError):
+        sampling.interleave_sources(df, "doc_id", "source", n_buckets=3)
