@@ -204,6 +204,20 @@ def q_clip_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.violations.select("entity_id", "shape", "constraint_id")
 
 
+def q_shacl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W3C ValidationReport rows from the clip-suite violations; the
+    # component CASE in the oracle is generated from the SAME
+    # report.component_map, so Spark and DuckDB share one mapping
+    from shaclapi_spark import report
+
+    t = _clip_tables(spark, sf_dir)
+    suite = fixtures.clip_suite(include_audio=True, include_drift=False)
+    res = run_suite(spark, suite, t, config=_CFG)
+    return report.validation_report(res.violations, suite).select(
+        "focus_node", "source_shape", "constraint_id", "component", "severity"
+    )
+
+
 def q_violation_evidence_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # binding-level explanation (ref functions.py:127-151 analog): the
     # dangling source rows behind every tr_fk referential violation
@@ -1488,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_verdicts_pop": q_clip_verdicts_pop,
         "violation_evidence_fk": q_violation_evidence_fk,
         "clip_violations": q_clip_violations,
+        "shacl_report": q_shacl_report,
         "verdict_counts": q_verdict_counts,
         "clip_summary": q_clip_summary,
         "clip_cycle_verdicts": q_clip_cycle_verdicts,
@@ -2544,6 +2559,28 @@ JOIN spn s2 ON b.clip_id = s2.clip_id
 """
 
 
+def _shacl_report_sql() -> str:
+    """ValidationReport rows over the clip-suite violations: wraps the
+    violations oracle with the component CASE generated from
+    report.component_map(clip_suite) — one mapping, two engines."""
+    from shaclapi_spark import report
+
+    cmap = report.component_map(
+        fixtures.clip_suite(include_audio=True, include_drift=False)
+    )
+    whens = "\n    ".join(
+        f"WHEN '{cid}' THEN '{comp}'" for cid, comp in sorted(cmap.items())
+    )
+    return f"""
+SELECT entity_id AS focus_node, shape AS source_shape, constraint_id,
+  CASE constraint_id
+    {whens}
+    ELSE '{report.FALLBACK_COMPONENT}' END AS component,
+  'sh:Violation' AS severity
+FROM ({_clip_violations_sql()})
+"""
+
+
 def _jaccard_cluster_ctes() -> str:
     """Shared CTE chain for the near-dup cluster oracles (docs < 120):
     char-5-shingle exact Jaccard pairs → undirected edges → recursive
@@ -2867,6 +2904,7 @@ WHERE clip_id IS NOT NULL
   AND clip_id NOT IN (SELECT clip_id FROM {c})
 """,
         "clip_violations": _clip_violations_sql(),
+        "shacl_report": _shacl_report_sql(),
         "fdep_verdicts": f"""
 SELECT clip_id AS entity_id, 'ClipShape' AS shape,
   (count(*) = 1 AND count(DISTINCT transcript) <= 1) AS is_valid,
