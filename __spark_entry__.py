@@ -560,6 +560,18 @@ def q_interleave_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "interleave_key")
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # product-quantization ADC top-10 with the deterministic synthetic
+    # codebooks (m=8, ksub=16): encode + LUT-sum are exact fixed-point
+    # integers, so the oracle replays them from codebook literals
+    from shaclapi_spark.pipeline import pq
+
+    books = pq.synthetic_codebooks(8, 16, 8)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    enc = emb.select("vec_id", pq.encode_column(books, "embedding").alias("codes"))
+    return pq.pq_topk(enc, books, _QUERY_VEC, "vec_id", k=10)
+
+
 def q_precedence_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # source-precedence near-dup survivor selection: within each cluster
     # keep the lowest-priority-source member (priority = src number % 4,
@@ -1524,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_docs": q_dedup_clusters_docs,
         "precedence_dedup_docs": q_precedence_dedup_docs,
         "interleave_docs": q_interleave_docs,
+        "pq_topk": q_pq_topk,
         "stratified_sample_docs": q_stratified_sample_docs,
         "stratified_quota_docs": q_stratified_quota_docs,
         "curation_funnel": q_curation_funnel,
@@ -2581,6 +2594,62 @@ FROM ({_clip_violations_sql()})
 """
 
 
+def _pq_topk_sql(k: int = 10) -> str:
+    """PQ ADC oracle: codebook int literals from the same
+    synthetic_codebooks the Spark query uses; quantization, encode
+    (argmin with ties to lowest code), and the ADC sum are all replayed
+    in exact integer SQL — the query vector enters as raw float literals
+    and is quantized BY THE SQL, so the whole fixed-point path is
+    independently recomputed."""
+    from shaclapi_spark.pipeline import pq
+
+    books = pq.synthetic_codebooks(8, 16, 8)
+    m, ksub, dsub = books.shape
+    cb_vals = ", ".join(
+        f"({mi}, {j}, {ki}, {int(books[mi, j, ki])})"
+        for mi in range(m)
+        for j in range(ksub)
+        for ki in range(dsub)
+    )
+    qv_vals = ", ".join(f"({d}, {_QUERY_VEC[d]!r})" for d in range(m * dsub))
+    return f"""
+WITH cb(m, j, k, c) AS (SELECT * FROM (VALUES {cb_vals})),
+qv(d, val) AS (SELECT * FROM (VALUES {qv_vals})),
+v AS (
+  SELECT vec_id, i AS d,
+    CAST(floor(embedding[i + 1]::DOUBLE * {pq.SCALE} + 0.5) AS BIGINT) AS q
+  FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i) u
+  WHERE embedding IS NOT NULL
+),
+sd AS (
+  SELECT v.vec_id, cb.m, cb.j, sum((v.q - cb.c) * (v.q - cb.c)) AS d2
+  FROM v JOIN cb ON cb.m = v.d // {dsub} AND cb.k = v.d % {dsub}
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, j FROM (
+    SELECT vec_id, m, j,
+      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rk
+    FROM sd
+  ) WHERE rk = 1
+),
+qq AS (SELECT d, CAST(floor(val * {pq.SCALE} + 0.5) AS BIGINT) AS q FROM qv),
+qd AS (
+  SELECT cb.m, cb.j, sum((qq.q - cb.c) * (qq.q - cb.c)) AS qdist
+  FROM qq JOIN cb ON cb.m = qq.d // {dsub} AND cb.k = qq.d % {dsub}
+  GROUP BY 1, 2
+),
+adc AS (
+  SELECT codes.vec_id, CAST(sum(qd.qdist) AS BIGINT) AS pq_dist
+  FROM codes JOIN qd ON qd.m = codes.m AND qd.j = codes.j
+  GROUP BY 1
+)
+SELECT vec_id, pq_dist,
+  CAST(row_number() OVER (ORDER BY pq_dist, vec_id) AS INT) AS rank
+FROM adc ORDER BY pq_dist, vec_id LIMIT {k}
+"""
+
+
 def _jaccard_cluster_ctes() -> str:
     """Shared CTE chain for the near-dup cluster oracles (docs < 120):
     char-5-shingle exact Jaccard pairs → undirected edges → recursive
@@ -3041,6 +3110,7 @@ SELECT c.node AS doc, c.cluster_rep,
 FROM comp c
 JOIN (SELECT cluster_rep, count(*) AS n FROM comp GROUP BY 1) s USING (cluster_rep)
 """,
+        "pq_topk": _pq_topk_sql(k=10),
         "interleave_docs": """
 WITH h AS (
   SELECT doc_id, source,

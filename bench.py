@@ -296,6 +296,10 @@ def main() -> None:
         "transcript_wer",
         lambda: force(entry_mod.q_transcript_wer(spark, sf_dir)),
     )
+    timed(
+        "pq_topk",
+        lambda: force(entry_mod.q_pq_topk(spark, sf_dir)),
+    )
 
     total = round(sum(timings.values()), 3)
     clips_per_sec = round(n_clips / timings["clip_validation"], 1)

@@ -1,0 +1,216 @@
+"""Product quantization (PQ) — the memory-compression leg of the
+similarity stack (FAISS-style IVF/PQ is public knowledge; cf. pipeline.
+ivf for the cell-partitioned scan path).
+
+A D-dim float vector becomes M one-byte-ish codes: split into M
+subvectors, each assigned to its nearest of ``ksub`` per-subspace
+centroids. Query-time ADC (asymmetric distance computation) sums
+precomputed query↔centroid sub-distances by code — the corpus is
+scanned as codes (M ints, ~D*4/M× smaller than the floats), never as
+raw vectors.
+
+Exact fixed-point discipline (what makes this ORACLE-ABLE, unlike
+float PQ): vectors and centroids are quantized to integers q(x) =
+floor(x·2^14 + 0.5) before any distance math, so encode (argmin of
+integer squared-L2, ties to the lowest code) and ADC (integer sums) are
+bit-exact on any engine — the DuckDB oracle replays them from the same
+quantized-codebook literals. Precision loss vs float PQ is ~2^-14 per
+coordinate — far below PQ's own quantization error.
+
+100-TB design:
+* codebooks are tiny (M × ksub × D/M ints) and broadcast; training runs
+  on a bounded driver sample (same discipline as ivf.train_centroids);
+* encoding is one Arrow pass (numpy batch distances), emitting
+  (id, codes) — the only relation that persists; scans over codes move
+  M small ints per row;
+* ADC builds the M × ksub lookup table ONCE per query driver-side; the
+  scan is numpy ``take``+sum per Arrow batch, then TakeOrderedAndProject
+  for the top-k — no shuffle, no Python per row.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+
+#: fixed-point scale: q(x) = floor(x * SCALE + 0.5)
+SCALE = 1 << 14
+
+
+def quantize(x: np.ndarray) -> np.ndarray:
+    """floor(x·SCALE + 0.5) — NOT np.rint (ties-to-even) so SQL's
+    floor(x*16384 + 0.5) reproduces it bit-for-bit."""
+    return np.floor(np.asarray(x, dtype=np.float64) * SCALE + 0.5).astype(
+        np.int64
+    )
+
+
+def synthetic_codebooks(m: int, ksub: int, dsub: int) -> np.ndarray:
+    """Deterministic (M, ksub, dsub) int codebooks from a closed-form
+    formula — the data-independent baseline the contract oracle pins
+    (training quality is a recall concern, not a correctness one)."""
+    i = np.arange(m)[:, None, None]
+    j = np.arange(ksub)[None, :, None]
+    k = np.arange(dsub)[None, None, :]
+    return quantize(np.sin(1.0 + 1.7 * i + 0.31 * j + 0.13 * k))
+
+
+def train_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 7,
+    train_rows: int = 20_000,
+    n_iter: int = 10,
+) -> np.ndarray:
+    """Per-subspace k-means on a bounded driver sample → quantized
+    (M, ksub, dsub) int codebooks. Deterministic (seeded init, fixed
+    iteration count); the returned codebooks are already fixed-point."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    sample = (
+        df.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .limit(train_rows)
+        .toPandas()
+    )
+    X = np.vstack(sample["v"].to_numpy())
+    if len(X) < ksub:
+        raise ValueError(f"need >= {ksub} training vectors, got {len(X)}")
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.int64)
+    for mi in range(m):
+        S = X[:, mi * dsub : (mi + 1) * dsub]
+        C = S[rng.choice(len(S), size=ksub, replace=False)].copy()
+        for _ in range(n_iter):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(ksub):
+                members = S[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books[mi] = quantize(C)
+    return books
+
+
+def encode_column(codebooks: np.ndarray, vec_col: str):
+    """``array<int>`` PQ codes per vector: quantize, then per subspace the
+    argmin of integer squared-L2 to the codebook rows (ties -> lowest
+    code, numpy argmin's tie rule and the oracle's ORDER BY dist, j)."""
+    B = np.asarray(codebooks, dtype=np.int64)
+    m, ksub, dsub = B.shape
+
+    @pandas_udf("array<int>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        X = quantize(np.vstack(vecs.to_numpy()))
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for mi in range(m):
+            S = X[:, mi * dsub : (mi + 1) * dsub]
+            d2 = ((S[:, None, :] - B[mi][None, :, :]) ** 2).sum(axis=2)
+            codes[:, mi] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return enc(F.col(vec_col).cast("array<double>"))
+
+
+def adc_lut(codebooks: np.ndarray, query: list) -> np.ndarray:
+    """(M, ksub) integer query↔centroid sub-distances — the ADC lookup
+    table, built once per query on the driver (M·ksub ints)."""
+    B = np.asarray(codebooks, dtype=np.int64)
+    m, ksub, dsub = B.shape
+    q = quantize(np.asarray(query, dtype=np.float64))
+    if len(q) != m * dsub:
+        raise ValueError(f"query dim {len(q)} != {m * dsub}")
+    lut = np.empty((m, ksub), dtype=np.int64)
+    for mi in range(m):
+        lut[mi] = ((B[mi] - q[mi * dsub : (mi + 1) * dsub][None, :]) ** 2).sum(
+            axis=1
+        )
+    return lut
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query: list,
+    id_col: str,
+    code_col: str = "codes",
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k over a PQ-encoded relation: per row, distance = sum of
+    LUT[m, code_m] (one numpy take+sum per Arrow batch); ascending
+    distance, ties by id. Returns (id, pq_dist, rank)."""
+    lut = adc_lut(codebooks, query)
+
+    @pandas_udf("long")
+    def dist(codes: pd.Series) -> pd.Series:
+        C = np.vstack(codes.to_numpy()).astype(np.int64)
+        rows = np.arange(lut.shape[0])
+        return pd.Series(lut[rows[None, :], C].sum(axis=1))
+
+    scored = encoded.select(
+        F.col(id_col), dist(F.col(code_col)).alias("pq_dist")
+    )
+    # orderBy+limit plans TakeOrderedAndProject (no global sort); the rank
+    # window then runs over k rows only
+    top = scored.orderBy(F.col("pq_dist").asc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
+    return top.select(
+        id_col, "pq_dist", F.row_number().over(w).alias("rank")
+    )
+
+
+def build_pq_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_path: str,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 7,
+    train_rows: int = 20_000,
+) -> np.ndarray:
+    """Train → encode → persist (id, codes) parquet + codebook JSON;
+    returns the codebooks. The stored relation is the ~D·4/M×-smaller
+    scan target for all future ADC queries."""
+    books = train_codebooks(df, vec_col, dim, m, ksub, seed, train_rows)
+    df.select(
+        F.col(id_col), encode_column(books, vec_col).alias("codes")
+    ).write.mode("overwrite").parquet(out_path)
+    with open(os.path.join(out_path, "_pq_meta.json"), "w") as fh:
+        json.dump(
+            {
+                "id_col": id_col,
+                "dim": dim,
+                "m": m,
+                "ksub": ksub,
+                "scale": SCALE,
+                "codebooks": books.tolist(),
+            },
+            fh,
+        )
+    return books
+
+
+def pq_index_topk(
+    spark: SparkSession, index_path: str, query: list, k: int = 10
+) -> DataFrame:
+    """ADC top-k against a persisted PQ index."""
+    with open(os.path.join(index_path, "_pq_meta.json")) as fh:
+        meta = json.load(fh)
+    encoded = spark.read.parquet(index_path)
+    return pq_topk(
+        encoded,
+        np.asarray(meta["codebooks"], dtype=np.int64),
+        query,
+        meta["id_col"],
+        k=k,
+    )

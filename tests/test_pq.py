@@ -1,0 +1,124 @@
+"""Product quantization: fixed-point exactness, encode/ADC against an
+independent numpy recomputation, trained-codebook recall sanity, and the
+persisted-index round trip."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from shaclapi_spark.pipeline import pq
+
+
+def test_quantize_matches_sql_floor():
+    xs = [0.0, 1.0, -1.0, 0.5 / pq.SCALE, -0.5 / pq.SCALE, 0.123456, -7.89, 3.0000001]
+    got = pq.quantize(np.array(xs))
+    for x, g in zip(xs, got):
+        sql = duckdb.sql(
+            f"select cast(floor({x!r} * {pq.SCALE} + 0.5) as bigint)"
+        ).fetchone()[0]
+        assert g == sql, x
+
+
+def test_synthetic_codebooks_deterministic():
+    a = pq.synthetic_codebooks(8, 16, 8)
+    b = pq.synthetic_codebooks(8, 16, 8)
+    assert a.shape == (8, 16, 8) and np.array_equal(a, b)
+    assert a.dtype == np.int64
+
+
+def _np_encode(X, B):
+    m, ksub, dsub = B.shape
+    Xq = pq.quantize(X)
+    codes = np.empty((len(X), m), dtype=int)
+    for mi in range(m):
+        d2 = ((Xq[:, mi * dsub : (mi + 1) * dsub][:, None, :] - B[mi][None]) ** 2).sum(2)
+        codes[:, mi] = np.argmin(d2, axis=1)
+    return Xq, codes
+
+
+def test_encode_and_adc_exact(spark):
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(40, 16)).astype(np.float64)
+    B = pq.synthetic_codebooks(4, 8, 4)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    enc = df.select("vec_id", pq.encode_column(B, "embedding").alias("codes"))
+    got = {r["vec_id"]: list(r["codes"]) for r in enc.collect()}
+    _, codes = _np_encode(X, B)
+    for i in range(len(X)):
+        assert got[i] == list(codes[i])
+    # ADC distance = LUT sum, checked against direct integer math
+    query = [float(v) for v in rng.normal(size=16)]
+    top = pq.pq_topk(enc, B, query, "vec_id", k=40).collect()
+    lut = pq.adc_lut(B, query)
+    expected = {
+        i: int(sum(lut[mi, codes[i, mi]] for mi in range(4)))
+        for i in range(len(X))
+    }
+    assert {r["vec_id"]: r["pq_dist"] for r in top} == expected
+    ranks = [r["vec_id"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert ranks == sorted(expected, key=lambda i: (expected[i], i))
+
+
+def test_trained_codebooks_recall(spark):
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(4, 32)) * 3
+    X = np.vstack([c + rng.normal(size=(50, 32)) * 0.2 for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    B = pq.train_codebooks(df, "embedding", dim=32, m=4, ksub=8, train_rows=200)
+    assert B.shape == (4, 8, 8)
+    enc = df.select("vec_id", pq.encode_column(B, "embedding").alias("codes"))
+    q = [float(v) for v in X[7]]
+    top = [r["vec_id"] for r in pq.pq_topk(enc, B, q, "vec_id", k=5).collect()]
+    # the query IS corpus vector 7; with cluster-trained codebooks its own
+    # code must be among the closest few
+    assert 7 in top
+
+
+def test_train_validation(spark):
+    df = spark.createDataFrame([(0, [0.0] * 10)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="divisible"):
+        pq.train_codebooks(df, "embedding", dim=10, m=4)
+    with pytest.raises(ValueError, match="training vectors"):
+        pq.train_codebooks(df, "embedding", dim=10, m=2, ksub=16)
+
+
+def test_index_roundtrip(spark, tmp_path):
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(60, 16))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "pqidx")
+    books = pq.build_pq_index(df, "vec_id", "embedding", path, dim=16, m=4, ksub=8, train_rows=60)
+    q = [float(v) for v in rng.normal(size=16)]
+    via_index = pq.pq_index_topk(spark, path, q, k=5).collect()
+    enc = df.select("vec_id", pq.encode_column(books, "embedding").alias("codes"))
+    direct = pq.pq_topk(enc, books, q, "vec_id", k=5).collect()
+    assert [(r["vec_id"], r["pq_dist"]) for r in via_index] == [
+        (r["vec_id"], r["pq_dist"]) for r in direct
+    ]
+
+
+def test_topk_plan_takeordered(spark):
+    X = np.eye(8)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    B = pq.synthetic_codebooks(2, 4, 4)
+    enc = df.select("vec_id", pq.encode_column(B, "embedding").alias("codes"))
+    plan = (
+        pq.pq_topk(enc, B, [0.1] * 8, "vec_id", k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
