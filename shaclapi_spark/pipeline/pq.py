@@ -214,3 +214,85 @@ def pq_index_topk(
         meta["id_col"],
         k=k,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ: cell-partitioned codes — FAISS's IVFPQ composition of the two
+# index legs (ivf.py cells prune WHICH files are read; PQ codes shrink WHAT
+# is read). At 100 TB this is the configuration that actually ships:
+# nprobe/n_cells of the files, M ints per row.
+# ---------------------------------------------------------------------------
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_path: str,
+    dim: int,
+    n_cells: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 7,
+    train_rows: int = 20_000,
+) -> None:
+    """Train IVF centroids + PQ codebooks, write (id, codes) partitioned
+    by ``__cell`` plus both metas. Residual-free (codes encode the raw
+    vector, not the cell residual) — keeps encode cell-independent, so a
+    vector's codes never change when cell counts are retuned."""
+    from shaclapi_spark.pipeline import ivf
+
+    C = ivf.train_centroids(df, vec_col, dim, n_cells, seed, train_rows)
+    books = train_codebooks(df, vec_col, dim, m, ksub, seed, train_rows)
+    (
+        df.select(
+            F.col(id_col),
+            encode_column(books, vec_col).alias("codes"),
+            ivf.cell_column(C, vec_col).alias("__cell"),
+        )
+        .write.partitionBy("__cell")
+        .mode("overwrite")
+        .parquet(out_path)
+    )
+    with open(os.path.join(out_path, "_ivfpq_meta.json"), "w") as fh:
+        json.dump(
+            {
+                "id_col": id_col,
+                "dim": dim,
+                "n_cells": n_cells,
+                "m": m,
+                "ksub": ksub,
+                "scale": SCALE,
+                "centroids": C.tolist(),
+                "codebooks": books.tolist(),
+            },
+            fh,
+        )
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    index_path: str,
+    query: list,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ADC top-k over only the ``nprobe`` closest cells' code files (the
+    ``__cell IN (...)`` filter is a partition filter — unprobed cells'
+    files are never opened). nprobe >= n_cells degenerates to exact PQ
+    over the full index (the oracle configuration, cf. ivf_topk)."""
+    from shaclapi_spark.pipeline import ivf
+
+    with open(os.path.join(index_path, "_ivfpq_meta.json")) as fh:
+        meta = json.load(fh)
+    cells = ivf.probe_cells(
+        {"centroids": meta["centroids"]}, query, nprobe
+    )
+    cand = spark.read.parquet(index_path).filter(F.col("__cell").isin(*cells))
+    return pq_topk(
+        cand,
+        np.asarray(meta["codebooks"], dtype=np.int64),
+        query,
+        meta["id_col"],
+        k=k,
+    )

@@ -122,3 +122,36 @@ def test_topk_plan_takeordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivfpq_probe_all_equals_pq(spark, tmp_path):
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 16)) * 3
+    X = np.vstack([c + rng.normal(size=(30, 16)) * 0.3 for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivfpq")
+    pq.build_ivfpq_index(
+        df, "vec_id", "embedding", path, dim=16,
+        n_cells=4, m=4, ksub=8, train_rows=200,
+    )
+    q = [float(v) for v in X[3]]
+    full = pq.ivfpq_topk(spark, path, q, k=8, nprobe=4).collect()
+    # probe-all degenerates to exact PQ over the same codes
+    import json as _json, os as _os
+    meta = _json.load(open(_os.path.join(path, "_ivfpq_meta.json")))
+    enc = spark.read.parquet(path).select("vec_id", "codes")
+    direct = pq.pq_topk(
+        enc, np.asarray(meta["codebooks"], dtype=np.int64), q, "vec_id", k=8
+    ).collect()
+    assert [(r["vec_id"], r["pq_dist"]) for r in full] == [
+        (r["vec_id"], r["pq_dist"]) for r in direct
+    ]
+    # pruned probe: plan carries a __cell partition filter and the result
+    # is a subset of cells' members
+    pruned = pq.ivfpq_topk(spark, path, q, k=8, nprobe=1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__cell" in plan
+    assert 0 < len(pruned.collect()) <= 8
