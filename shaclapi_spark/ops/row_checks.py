@@ -80,6 +80,16 @@ def describe(c: Constraint) -> str:
             f"fk_match({p['column']} == {p['parent']}.{p['parent_col']}"
             f" via {p['key']})"
         )
+    if c.kind == "fk_near_match":
+        bounds = []
+        if c.params.get("max_edits") is not None:
+            bounds.append(f"edits<={p['max_edits']}")
+        if c.params.get("max_cer_ppm") is not None:
+            bounds.append(f"cer<={p['max_cer_ppm']}ppm")
+        return (
+            f"fk_near_match({p['column']} ~ {p['parent']}.{p['parent_col']}"
+            f" via {p['key']}, {','.join(bounds)})"
+        )
     if c.kind == "qualified_shape":
         return (
             f"qualified_shape({p['child']}.{p['fk']} valid {p['shape']}"
