@@ -38,6 +38,13 @@ def main() -> None:
     ap.add_argument("--max-partition-bytes", default="auto")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--warmups", type=int, default=2)
+    ap.add_argument(
+        "--report-out",
+        default=None,
+        help="write the W3C SHACL ValidationReport relation (parquet) of "
+        "the final pass here; <path>.ttl additionally gets the bounded "
+        "Turtle serialization when the report fits report_turtle's limit",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -111,6 +118,20 @@ def main() -> None:
     warmup = [one_pass() for _ in range(args.warmups)]
     walls = [one_pass() for _ in range(args.reps)]
     wall = min(walls)
+
+    if args.report_out:
+        # untimed: report emission is a deployment output, not bench work
+        from shaclapi_spark import report as report_mod
+
+        res = run_suite(spark, suite, tables, config=cfg)
+        rep = report_mod.validation_report(res.violations, suite)
+        rep.write.mode("overwrite").parquet(args.report_out)
+        try:
+            ttl = report_mod.report_turtle(spark.read.parquet(args.report_out))
+            with open(args.report_out + ".ttl", "w") as fh:
+                fh.write(ttl)
+        except ValueError:
+            pass  # oversized report stays relational (documented behavior)
     print(
         json.dumps(
             {

@@ -63,19 +63,19 @@ def component_map(suite: Suite) -> dict:
     """violation constraint_id -> component term, walking every shape.
 
     Violation rows use the TOP-LEVEL constraint id (an or_group failure
-    reports the group id, a qualified-shape failure the referenced shape
-    name — same convention as verdict reasons), so only top-level
-    constraints are keyed; branch ids never appear in violations."""
+    reports the group id — branch ids never appear). Qualified-shape
+    constraints are keyed under BOTH the constraint id (the violations
+    convention, engine.py's viol_structs) and the referenced shape name
+    (the verdict-REASON convention), so the map serves either relation."""
     out: dict = {}
     for shape in suite.shapes:
         for c in shape.constraints:
-            key = (
-                c.params["shape"] if c.kind == "qualified_shape" else c.id
-            )
             if c.kind == "range":
-                out[key] = _range_component(c)
+                out[c.id] = _range_component(c)
             else:
-                out[key] = KIND_COMPONENT.get(c.kind, FALLBACK_COMPONENT)
+                out[c.id] = KIND_COMPONENT.get(c.kind, FALLBACK_COMPONENT)
+            if c.kind == "qualified_shape":
+                out[c.params["shape"]] = KIND_COMPONENT["qualified_shape"]
     return out
 
 

@@ -45,7 +45,9 @@ def test_component_map_kinds_and_keys():
     assert m["c_rng"] == "sh:MinInclusiveConstraintComponent"
     assert m["c_max"] == "sh:MaxInclusiveConstraintComponent"
     assert m["c_or"] == "sh:OrConstraintComponent"
-    # qualified keys by the REFERENCED SHAPE name (violation-id convention)
+    # qualified keys under BOTH the constraint id (violations convention)
+    # and the referenced shape name (verdict-reason convention)
+    assert m["c_q"] == "sh:QualifiedValueShapeConstraintComponent"
     assert m["Other"] == "sh:QualifiedValueShapeConstraintComponent"
     assert "b1" not in m and "b2" not in m  # branch ids never appear
 
