@@ -136,19 +136,54 @@ def grouped_quantiles(
     Spark's ``percentile`` and DuckDB's ``quantile_cont`` interpolate
     ``lo + (hi-lo)*frac`` in IEEE double).
 
-    Scale shape: Spark's exact ``percentile`` is a sort-based aggregate —
-    one hash exchange on the group key, per-group memory O(group values).
-    That is affordable when groups are column-level rollups (codecs,
-    langs, sources: thousands of groups, each fitting a task); for
-    entity-grain groups use ``approx_percentile`` instead and accept the
-    rank error."""
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    Scale shape — salted repartitioning for skewed groups (the north
+    star's "skewed codec groups" case, where one codec is 90 % of a
+    10^12-row table): a naive ``percentile`` aggregate is sort-based with
+    per-group memory O(group rows) — the dominant group lands on ONE
+    reducer. Here the first exchange keys on (group, VALUE) instead: the
+    value acts as the salt, spreading the dominant group across all
+    reducers, and map-side combine collapses each partition to its
+    distinct values before anything shuffles. Exact quantiles then come
+    from cumulative counts over the per-group value HISTOGRAM — a
+    relation bounded by distinct values per group (dur_ms: ≤ ~30k rows
+    per codec regardless of row count), over which the rank window is
+    safe. Works for any discrete/bounded-cardinality column; for
+    continuous unbounded columns fall back to ``approx_percentile`` and
+    accept the rank error."""
+    g, v = F.col(group_col), F.col(value_col)
+    hist = (
+        df.filter(v.isNotNull())
+        .groupBy(g.alias("__g"), v.cast("double").alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("__g")
+    hist = (
+        hist.withColumn("__cum", F.sum("__cnt").over(w_cum))
+        .withColumn("__n", F.sum("__cnt").over(w_all))
+        .withColumn("__start", F.col("__cum") - F.col("__cnt"))
+    )
+    aggs = [F.first("__n").alias("n_rows")]
     for q in quantiles:
         name = f"p{int(round(q * 100)):02d}"
-        aggs.append(
-            F.percentile(F.col(value_col), F.lit(q)).alias(name)
-        )
-    return df.groupBy(group_col).agg(*aggs)
+        # 0-based target rank r = (n-1)*q; the value at position p is the
+        # unique histogram row whose [start, cum) interval contains p =
+        # max(value | start <= p). Linear interpolation between the floor
+        # and ceil ranks matches Spark `percentile` / DuckDB quantile_cont.
+        r = (F.col("__n") - 1) * F.lit(float(q))
+        lo_pos, hi_pos = F.floor(r), F.ceil(r)
+        lo = F.max(F.when(F.col("__start") <= lo_pos, F.col("__v")))
+        hi = F.max(F.when(F.col("__start") <= hi_pos, F.col("__v")))
+        aggs.append((lo + (hi - lo) * F.max(r - lo_pos)).alias(name))
+    return (
+        hist.groupBy(F.col("__g").alias(group_col))
+        .agg(*aggs)
+        .withColumn("n_rows", F.col("n_rows").cast("long"))
+    )
 
 
 def freshness_check(

@@ -182,3 +182,48 @@ def test_freshness_check(spark):
     # gappy: 30s behind (fresh) but with a 59-minute internal gap
     assert out["gappy"].fresh_ok
     assert not out["gappy"].gap_ok
+
+
+def test_grouped_quantiles_matches_builtin_percentile(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    rows = [(f"g{int(i % 3)}", int(rng.integers(0, 500))) for i in range(5000)]
+    rows.append(("g9", 42))  # singleton group
+    df = spark.createDataFrame(rows, "codec string, dur long")
+    mine = {
+        r["codec"]: r
+        for r in stats_ops.grouped_quantiles(df, "codec", "dur", [0.5, 0.9]).collect()
+    }
+    ref = df.groupBy("codec").agg(
+        F.count("*").alias("n"),
+        F.percentile("dur", F.lit(0.5)).alias("p50"),
+        F.percentile("dur", F.lit(0.9)).alias("p90"),
+    )
+    for r in ref.collect():
+        m = mine[r["codec"]]
+        assert m["n_rows"] == r["n"]
+        assert abs(m["p50"] - r["p50"]) < 1e-9
+        assert abs(m["p90"] - r["p90"]) < 1e-9
+
+
+def test_grouped_quantiles_value_salted_exchange(spark):
+    """The first exchange must key on (group, value) — the value IS the
+    salt that spreads a dominant codec group across reducers; a plain
+    group-keyed sort aggregate would put 90% of rows on one task."""
+    df = spark.createDataFrame([("a", 1)], "codec string, dur long")
+    plan = (
+        stats_ops.grouped_quantiles(df, "codec", "dur")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    # Catalyst renames the cast value key `_groupingexpression`; the shape
+    # that matters is a TWO-key first exchange (group col + value), not a
+    # group-only sort aggregate
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any(
+        "codec" in p and len(p.split(",")) >= 3 for p in parts
+    ), parts
