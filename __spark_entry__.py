@@ -3474,8 +3474,13 @@ pu AS (
     AND substr(upper(hex(c2.bytes)), 1, 8) = '53474131'
 ),
 pb AS (
+  -- pairing order = md5_60('mix:' || id) hash order (the Spark op's
+  -- deterministic shuffle; its two-phase bucketed rank reduces to this
+  -- single window because bucket order IS key order)
   SELECT clip_id, sr_hz,
-    row_number() OVER (PARTITION BY sr_hz ORDER BY clip_id) AS rn,
+    row_number() OVER (PARTITION BY sr_hz
+      ORDER BY ('0x' || substr(md5('mix:' || clip_id), 1, 15))::BIGINT,
+               clip_id) AS rn,
     count(*) OVER (PARTITION BY sr_hz) AS m
   FROM pu
 ),

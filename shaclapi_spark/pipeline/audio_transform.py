@@ -540,9 +540,11 @@ def mix_clips(
     """Deterministic two-clip mixing — the noise-injection ASR augmentation
     (mix each utterance with another signal at a fixed gain) in its
     exactly-reproducible integer form: each clip is paired with the NEXT
-    clip of the same ``sr_col`` value in id order (the last wraps to the
-    first, a singleton group pairs with itself), the pair is truncated to
-    the shorter signal, and ``mixed[i] = floor((a[i] + b[i]) / 2)`` — a
+    clip of the same ``sr_col`` value in a deterministic hash order
+    (md5_60('mix:' || id), ties by id — a fixed pseudorandom shuffle, the
+    natural order for noise pairing; the last wraps to the first, a
+    singleton group pairs with itself), the pair is truncated to the
+    shorter signal, and ``mixed[i] = floor((a[i] + b[i]) / 2)`` — a
     -6 dB equal-gain mix in pure integer math (arithmetic right shift on
     the int32 sum), so the ``mix_md5`` digest is bit-identical on any
     engine. Pairing by sample rate keeps the mix physically meaningful
@@ -553,10 +555,18 @@ def mix_clips(
     decoded metadata); pairs where either side fails to decode, or whose
     overlap is empty, emit no row.
 
-    Scale shape (100 TB): this is a genuinely pairwise op — the rotation
-    join moves each payload blob exactly once, keyed by (sr, row_number)
-    inside the sr partition. On a deployment the clips table is bucketed
-    by sr (see sources.bucketed layout), making the self-join co-located;
+    Scale shape (100 TB): ``sr_col`` has a handful of distinct values, so
+    a rank window partitioned by sr alone is a skew bomb (one task sorts
+    1/|srs| of the corpus). The within-sr rank therefore uses the same
+    two-phase range-bucket scheme as sampling.epoch_shuffle: the hash
+    key's high bits form ordered uniform buckets, a bounded
+    |srs|×n_buckets count relation is collected and prefix-summed on the
+    driver, and per-(sr, bucket) windows + broadcast offsets lift local
+    ranks to the per-sr rank — no partition ever holds more than
+    ~1/n_buckets of an sr group. The rotation join then moves each
+    payload blob exactly once, keyed by (sr, rank); on a deployment the
+    clips table is bucketed by sr (see sources.bucketed layout), making
+    the self-join co-located;
     the decode+mix runs in one Arrow mapInPandas pass after the join, and
     only (id, id, digest)-width rows leave it."""
     from pyspark.sql.window import Window
@@ -573,10 +583,44 @@ def mix_clips(
             F.col(bytes_col).alias("__ba"),
         )
     )
-    w = Window.partitionBy("__sr").orderBy("clip_id")
-    lhs = base.withColumn("__rn", F.row_number().over(w)).withColumn(
-        "__m", F.count(F.lit(1)).over(Window.partitionBy("__sr"))
+    from shaclapi_spark.pipeline.sampling import md5_60
+
+    n_buckets = 64
+    shift = 60 - n_buckets.bit_length() + 1
+    keyed = base.withColumn(
+        "__key", md5_60(F.concat(F.lit("mix:"), F.col("clip_id")))
+    ).withColumn("__b", F.shiftright(F.col("__key"), shift))
+    counts = (
+        keyed.groupBy("__sr", "__b").agg(F.count("*").alias("n")).collect()
     )
+    if not counts:
+        return df.sparkSession.createDataFrame([], MIX_SCHEMA)
+    per_sr: dict = {}
+    for r in counts:
+        per_sr.setdefault(r["__sr"], {})[r["__b"]] = r["n"]
+    offset_entries, m_entries = [], []
+    for sr, bcounts in per_sr.items():
+        acc = 0
+        for b in sorted(bcounts):
+            offset_entries.append((f"{sr}\x00{b}", acc))
+            acc += bcounts[b]
+        m_entries.append((sr, acc))
+    offset_map = F.create_map(*[F.lit(x) for kv in offset_entries for x in kv])
+    m_map = F.create_map(*[F.lit(x) for kv in m_entries for x in kv])
+    w = Window.partitionBy("__sr", "__b").orderBy("__key", "clip_id")
+    lhs = keyed.withColumn(
+        "__rn",
+        (
+            F.row_number().over(w)
+            + offset_map[
+                F.concat(
+                    F.col("__sr").cast("string"),
+                    F.lit("\x00"),
+                    F.col("__b").cast("string"),
+                )
+            ].cast("long")
+        ).cast("long"),
+    ).withColumn("__m", m_map[F.col("__sr")].cast("long"))
     rhs = lhs.select(
         F.col("clip_id").alias("noise_id"),
         F.col("__sr").alias("__sr_b"),

@@ -242,38 +242,49 @@ def test_pad_or_trim_bytes(spark):
     assert np.all(out[20:] == 0)
 
 
+def _mix_order(ids):
+    """The op's pairing order: md5_60('mix:' || id), ties by id."""
+    return sorted(
+        ids, key=lambda c: (int(hashlib.md5(f"mix:{c}".encode()).hexdigest()[:15], 16), c)
+    )
+
+
 def test_mix_clips_pairing_and_values(spark):
-    # three same-sr clips a<b<c: a mixes with b, b with c, c wraps to a.
+    # three same-sr clips pair cyclically in deterministic hash order;
     # one different-sr clip d: singleton group, mixes with itself.
-    sa = np.array([100, -101, 30000], dtype=np.int16)
-    sb = np.array([11, 21, 31, 41], dtype=np.int16)
-    sc = np.array([-2, -3], dtype=np.int16)
-    sd = np.array([7, 9], dtype=np.int16)
+    samples = {
+        "a": np.array([100, -101, 30000], dtype=np.int16),
+        "b": np.array([11, 21, 31, 41], dtype=np.int16),
+        "c": np.array([-2, -3], dtype=np.int16),
+        "d": np.array([7, 9], dtype=np.int16),
+    }
     rows = [
-        Row(clip_id="a", sr_hz=16000, bytes=bytearray(ac.encode_samples(sa, "pcm_s16le", 16000))),
-        Row(clip_id="b", sr_hz=16000, bytes=bytearray(ac.encode_samples(sb, "pcm_s16le", 16000))),
-        Row(clip_id="c", sr_hz=16000, bytes=bytearray(ac.encode_samples(sc, "pcm_s16le", 16000))),
-        Row(clip_id="d", sr_hz=8000, bytes=bytearray(ac.encode_samples(sd, "pcm_s16le", 8000))),
-        Row(clip_id="e", sr_hz=None, bytes=bytearray(ac.encode_samples(sd, "pcm_s16le", 8000))),
-        Row(clip_id="f", sr_hz=16000, bytes=None),
+        Row(clip_id=cid, sr_hz=16000 if cid != "d" else 8000,
+            bytes=bytearray(ac.encode_samples(s, "pcm_s16le", 16000 if cid != "d" else 8000)))
+        for cid, s in samples.items()
     ]
+    rows.append(Row(clip_id="e", sr_hz=None, bytes=rows[-1].bytes))
+    rows.append(Row(clip_id="f", sr_hz=16000, bytes=None))
     out = {r.clip_id: r for r in at.mix_clips(spark.createDataFrame(rows)).collect()}
     # NULL sr and NULL bytes rows are excluded entirely
     assert set(out) == {"a", "b", "c", "d"}
-    assert (out["a"].noise_id, out["a"].n_out) == ("b", 3)
-    assert (out["b"].noise_id, out["b"].n_out) == ("c", 2)
-    assert (out["c"].noise_id, out["c"].n_out) == ("a", 2)
-    assert (out["d"].noise_id, out["d"].n_out) == ("d", 2)
+    order = _mix_order(["a", "b", "c"])
+    expected_pairs = {
+        order[i]: order[(i + 1) % 3] for i in range(3)
+    }
+    for cid, nid in expected_pairs.items():
+        assert out[cid].noise_id == nid
+    assert out["d"].noise_id == "d"
 
     def ref_md5(x, y):
         n = min(len(x), len(y))
         m = (x[:n].astype(np.int32) + y[:n].astype(np.int32)) >> 1
         return hashlib.md5(",".join(map(str, m.tolist())).encode()).hexdigest()
 
-    assert out["a"].mix_md5 == ref_md5(sa, sb)  # floor((100+11)/2)=55, (-101+21)/2=-40
-    assert out["d"].mix_md5 == ref_md5(sd, sd)  # self-mix == identity values
-    # floor semantics on negative odd sums: (-101+21) = -80 even; use b/c pair
-    assert out["b"].mix_md5 == ref_md5(sb, sc)  # (11-2)/2 -> 4 (floor of 4.5)
+    for cid, nid in expected_pairs.items():
+        assert out[cid].mix_md5 == ref_md5(samples[cid], samples[nid])
+        assert out[cid].n_out == min(len(samples[cid]), len(samples[nid]))
+    assert out["d"].mix_md5 == ref_md5(samples["d"], samples["d"])  # self-mix
 
 
 def test_mix_clips_negative_floor(spark):
