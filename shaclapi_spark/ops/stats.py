@@ -205,30 +205,49 @@ def freshness_check(
     Output: (group, n_events, max_ts, lag_us, fresh_ok, max_gap_us,
     gap_ok).
 
-    Scale shape: ONE table scan. The intra-group gap window needs one
-    hash exchange on the group key + per-group sort; the per-group
-    aggregate that follows is on the same key, so it rides the window's
-    partitioning with no second exchange. The table-wide max is then
-    derived from the per-group maxes — a window over the tiny per-group
-    relation (one row per group; groups are operationally small:
-    event types, sources, codecs) — not a rescan of the table.
+    Scale shape: ONE table scan, and — like grouped_quantiles — no
+    window partitioned by the low-cardinality group alone (a dominant
+    event type would sort on one task). The consecutive-gap maximum is
+    computed two-phase over ordered TIME buckets: a 1-row min/max
+    aggregate sizes ~1024 uniform time slices, the intra-slice lag
+    window partitions by (group, slice), and slice-boundary gaps come
+    from a lag over the tiny per-(group, slice) rollup (min/max us per
+    slice — consecutive NON-EMPTY slices, so empty slices cost nothing).
+    max_gap = max(intra, boundary) is exactly the single-window answer.
+    The per-group aggregate rides the (group, slice) partitioning; the
+    table-wide max derives from the per-group maxes.
     """
     from shaclapi_spark.pipeline.sessions import _micros
 
     us = _micros(df, ts_col)
+    lo_hi = df.select(
+        F.min(us).alias("lo"), F.max(us).alias("hi")
+    ).collect()[0]
+    if lo_hi["lo"] is None:
+        width = 1
+    else:
+        width = max((int(lo_hi["hi"]) - int(lo_hi["lo"])) // 1024, 1)
+    b = ((us - F.lit(int(lo_hi["lo"] or 0))) / F.lit(width)).cast("long")
+    w_intra = Window.partitionBy(group_col, "__b").orderBy("__us")
     base = df.select(
-        F.col(group_col),
-        F.col(ts_col),
-        us.alias("__us"),
-        (us - F.lag(us).over(Window.partitionBy(group_col).orderBy(ts_col))).alias(
-            "__gap"
-        ),
+        F.col(group_col), F.col(ts_col), us.alias("__us"), b.alias("__b")
+    ).withColumn("__gap", F.col("__us") - F.lag("__us").over(w_intra))
+    per_gb = base.groupBy(group_col, "__b").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max(F.col(ts_col)).alias("__max_ts"),
+        F.min("__us").alias("__mn"),
+        F.max("__us").alias("__mx"),
+        F.max("__gap").alias("__g"),
     )
-    per = base.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.max(F.col(ts_col)).alias("max_ts"),
-        F.max("__us").alias("__max_us"),
-        F.max("__gap").alias("max_gap_us"),
+    w_bnd = Window.partitionBy(group_col).orderBy("__b")
+    per_gb = per_gb.withColumn(
+        "__bnd", F.col("__mn") - F.lag("__mx").over(w_bnd)
+    )
+    per = per_gb.groupBy(group_col).agg(
+        F.sum("__n").alias("n_events"),
+        F.max("__max_ts").alias("max_ts"),
+        F.max("__mx").alias("__max_us"),
+        F.greatest(F.max("__g"), F.max("__bnd")).alias("max_gap_us"),
     )
     out = per.withColumn(
         "__glob_us", F.max("__max_us").over(Window.partitionBy())

@@ -182,10 +182,17 @@ def test_freshness_single_scan_single_exchange(spark):
         [Row(g="a", ts=datetime(2024, 1, 1)), Row(g="b", ts=datetime(2024, 1, 2))]
     )
     plan = _plan(stats_ops.freshness_check(df, "g", "ts"))
-    # one hash exchange for the gap window; the per-group aggregate rides
-    # it, and the global max reads the rollup, never the table
-    assert plan.count("Exchange hashpartitioning") == 1
+    # the main plan scans the table ONCE (the slice-width min/max is a
+    # separate 1-row job at build time) and carries two hash exchanges:
+    # the table-sized one keys on (group, time-slice) — never the
+    # low-cardinality group alone — and the second re-keys only the tiny
+    # per-(group, slice) rollup for boundary gaps
+    assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("Scan ExistingRDD") + plan.count("FileScan") <= 1
+    import re
+
+    table_keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert any("__b" in k and "g#" in k for k in table_keys), table_keys
 
 
 def test_quantile_anomalies_broadcasts_bands(spark):
