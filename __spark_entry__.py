@@ -572,6 +572,25 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_topk(enc, books, _QUERY_VEC, "vec_id", k=10)
 
 
+def _PQ_BATCH_QUERIES() -> list:
+    # 5 deterministic 64-dim query vectors shared by Spark and the oracle
+    return [
+        (j, [math.sin(1.0 + 0.5 * j + i) for i in range(64)]) for j in range(5)
+    ]
+
+
+def q_pq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-job ADC top-k for a RELATION of 5 queries: per-batch top-k
+    # candidates only (k·Q rows per batch), then a per-query window
+    from shaclapi_spark.pipeline import pq
+
+    books = pq.synthetic_codebooks(8, 16, 8)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    enc = emb.select("vec_id", pq.encode_column(books, "embedding").alias("codes"))
+    qdf = spark.createDataFrame(_PQ_BATCH_QUERIES(), "qid long, qvec array<double>")
+    return pq.pq_topk_batch(enc, books, qdf, "qid", "qvec", "vec_id", k=10)
+
+
 def q_precedence_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # source-precedence near-dup survivor selection: within each cluster
     # keep the lowest-priority-source member (priority = src number % 4,
@@ -1537,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precedence_dedup_docs": q_precedence_dedup_docs,
         "interleave_docs": q_interleave_docs,
         "pq_topk": q_pq_topk,
+        "pq_batch_topk": q_pq_batch_topk,
         "stratified_sample_docs": q_stratified_sample_docs,
         "stratified_quota_docs": q_stratified_quota_docs,
         "curation_funnel": q_curation_funnel,
@@ -2650,6 +2670,67 @@ FROM adc ORDER BY pq_dist, vec_id LIMIT {k}
 """
 
 
+def _pq_batch_topk_sql(k: int = 10) -> str:
+    """Batch-ADC oracle: the corpus codes CTE is computed ONCE; the 5
+    query vectors enter as raw float literals keyed by qid, each
+    quantized and LUT-summed in SQL, ranked per query."""
+    from shaclapi_spark.pipeline import pq
+
+    books = pq.synthetic_codebooks(8, 16, 8)
+    m, ksub, dsub = books.shape
+    cb_vals = ", ".join(
+        f"({mi}, {j}, {ki}, {int(books[mi, j, ki])})"
+        for mi in range(m)
+        for j in range(ksub)
+        for ki in range(dsub)
+    )
+    qv_vals = ", ".join(
+        f"({qid}, {d}, {vec[d]!r})"
+        for qid, vec in _PQ_BATCH_QUERIES()
+        for d in range(m * dsub)
+    )
+    return f"""
+WITH cb(m, j, k, c) AS (SELECT * FROM (VALUES {cb_vals})),
+qv(qid, d, val) AS (SELECT * FROM (VALUES {qv_vals})),
+v AS (
+  SELECT vec_id, i AS d,
+    CAST(floor(embedding[i + 1]::DOUBLE * {pq.SCALE} + 0.5) AS BIGINT) AS q
+  FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i) u
+  WHERE embedding IS NOT NULL
+),
+sd AS (
+  SELECT v.vec_id, cb.m, cb.j, sum((v.q - cb.c) * (v.q - cb.c)) AS d2
+  FROM v JOIN cb ON cb.m = v.d // {dsub} AND cb.k = v.d % {dsub}
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, j FROM (
+    SELECT vec_id, m, j,
+      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rk
+    FROM sd
+  ) WHERE rk = 1
+),
+qq AS (SELECT qid, d, CAST(floor(val * {pq.SCALE} + 0.5) AS BIGINT) AS q FROM qv),
+qd AS (
+  SELECT qq.qid, cb.m, cb.j, sum((qq.q - cb.c) * (qq.q - cb.c)) AS qdist
+  FROM qq JOIN cb ON cb.m = qq.d // {dsub} AND cb.k = qq.d % {dsub}
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT qd.qid, codes.vec_id, CAST(sum(qd.qdist) AS BIGINT) AS pq_dist
+  FROM codes JOIN qd ON qd.m = codes.m AND qd.j = codes.j
+  GROUP BY 1, 2
+)
+SELECT CAST(qid AS VARCHAR) AS qid, vec_id, pq_dist,
+  CAST(rank AS INT) AS rank
+FROM (
+  SELECT qid, vec_id, pq_dist,
+    row_number() OVER (PARTITION BY qid ORDER BY pq_dist, vec_id) AS rank
+  FROM adc
+) WHERE rank <= {k}
+"""
+
+
 def _jaccard_cluster_ctes() -> str:
     """Shared CTE chain for the near-dup cluster oracles (docs < 120):
     char-5-shingle exact Jaccard pairs → undirected edges → recursive
@@ -3111,6 +3192,7 @@ FROM comp c
 JOIN (SELECT cluster_rep, count(*) AS n FROM comp GROUP BY 1) s USING (cluster_rep)
 """,
         "pq_topk": _pq_topk_sql(k=10),
+        "pq_batch_topk": _pq_batch_topk_sql(k=10),
         "interleave_docs": """
 WITH h AS (
   SELECT doc_id, source,

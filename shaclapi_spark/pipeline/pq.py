@@ -296,3 +296,68 @@ def ivfpq_topk(
         meta["id_col"],
         k=k,
     )
+
+
+def pq_topk_batch(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    q_id_col: str,
+    q_vec_col: str,
+    id_col: str,
+    code_col: str = "codes",
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k for a whole RELATION of queries in ONE job (cf.
+    similarity.ann_lsh_topk_batch / ivf.ivf_index_topk_batch — a job per
+    query never amortizes). The bounded query relation is collected and
+    its (Q, M, ksub) LUT stack broadcast inside one Arrow pass that emits
+    only each batch's per-query top-k candidates — k·Q rows per batch,
+    never the Q×corpus cross product — and a per-query window takes the
+    global top k from that bounded candidate relation.
+
+    Returns (qid, id, pq_dist, rank); qid is stringified. Distances are
+    the same exact fixed-point integers as ``pq_topk`` (probe-all PQ),
+    so per-query results equal Q independent ``pq_topk`` calls."""
+    B = np.asarray(codebooks, dtype=np.int64)
+    m = B.shape[0]
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+    if not qrows:
+        return encoded.sparkSession.createDataFrame(
+            [], f"qid string, {id_col} long, pq_dist long, rank int"
+        )
+    qids = [str(r[q_id_col]) for r in qrows]
+    luts = np.stack([adc_lut(B, list(r[q_vec_col])) for r in qrows])
+
+    id_field = encoded.select(id_col).schema.fields[0]
+    out_schema = (
+        f"qid string, {id_field.name} {id_field.dataType.simpleString()}, "
+        "pq_dist long"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            C = np.vstack(pdf[code_col].to_numpy()).astype(np.int64)
+            d = np.zeros((len(qids), len(C)), dtype=np.int64)
+            for mi in range(m):
+                d += luts[:, mi, :][:, C[:, mi]]
+            keep = min(k, len(C))
+            rows = []
+            ids = pdf[id_field.name].to_numpy()
+            for qi, qid in enumerate(qids):
+                # (dist, id) lexsort so boundary TIES keep the smallest
+                # ids — the global window's tiebreak must already hold
+                # inside every batch or tied candidates get pruned
+                order = np.lexsort((ids, d[qi]))[:keep]
+                for j in order:
+                    rows.append((qid, ids[j], int(d[qi, j])))
+            yield pd.DataFrame(rows, columns=["qid", id_field.name, "pq_dist"])
+
+    cand = encoded.select(id_col, code_col).mapInPandas(gen, schema=out_schema)
+    w = Window.partitionBy("qid").orderBy(
+        F.col("pq_dist").asc(), F.col(id_field.name).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -155,3 +155,27 @@ def test_ivfpq_probe_all_equals_pq(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "__cell" in plan
     assert 0 < len(pruned.collect()) <= 8
+
+
+def test_pq_topk_batch_matches_single(spark):
+    rng = np.random.default_rng(13)
+    X = rng.normal(size=(80, 16))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    B = pq.synthetic_codebooks(4, 8, 4)
+    enc = df.select("vec_id", pq.encode_column(B, "embedding").alias("codes"))
+    qs = [(j, [float(v) for v in rng.normal(size=16)]) for j in range(3)]
+    qdf = spark.createDataFrame(qs, "qid long, qvec array<double>")
+    batch = pq.pq_topk_batch(enc, B, qdf, "qid", "qvec", "vec_id", k=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["vec_id"], r["pq_dist"]))
+    for j, qv in qs:
+        single = pq.pq_topk(enc, B, qv, "vec_id", k=5).collect()
+        expect = [(r["rank"], r["vec_id"], r["pq_dist"]) for r in single]
+        assert sorted(got[str(j)]) == expect, j
+    # empty query relation -> empty result, stable schema
+    empty = pq.pq_topk_batch(enc, B, qdf.limit(0), "qid", "qvec", "vec_id")
+    assert empty.count() == 0 and "rank" in empty.columns
