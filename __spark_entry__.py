@@ -23,6 +23,7 @@ from shaclapi_spark import verdicts as V
 from shaclapi_spark.datagen import fixture_n_clips
 from shaclapi_spark.engine import EngineConfig, run_suite
 from shaclapi_spark.ops import diff as diff_ops
+from shaclapi_spark.ops import drift as drift_ops
 from shaclapi_spark.ops import privacy as privacy_ops
 from shaclapi_spark.ops import stats as stats_ops
 from shaclapi_spark.pipeline import cluster as cl
@@ -620,6 +621,42 @@ def q_stratified_quota_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return sp.stratified_quota(d, "doc_id", "lang", quota=20).select(
         "doc_id", "lang"
+    )
+
+
+def q_budget_cut_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # token-budget corpus cut: highest-priority docs (priority = n_chars,
+    # ties by id) until the cumulative char budget; explicit bucket
+    # boundaries keep the two-phase plan engine-independent
+    d = _t(spark, sf_dir, "documents")
+    return sp.budget_cut(
+        d.withColumn("prio", F.col("n_chars")),
+        "doc_id",
+        "n_chars",
+        "prio",
+        budget=200_000,
+        boundaries=[800, 400, 300, 250, 200, 150, 100, 50],
+    ).select("doc_id", F.col("n_chars").cast("long").alias("n_chars"), "cum_tokens")
+
+
+def q_leakage_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup-aware train/val/test split: every doc in a jaccard
+    # connected component is assigned by its component representative's
+    # hash, so near-copies can never straddle splits
+    d = _t(spark, sf_dir, "documents")
+    d120 = d.filter(F.col("doc_id") < 120)
+    pairs = dd.jaccard_pairs(d120, "doc_id", "text", k=5, threshold=0.2)
+    return cl.leakage_free_split(
+        d, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+def q_chi2_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-sample chi-square homogeneity between src0 docs and the rest on
+    # the n_chars distribution — exact integer ppm contributions per bin
+    d = _t(spark, sf_dir, "documents")
+    return drift_ops.chi2_groups(
+        d, "n_chars", F.col("source") == "src0", lo=0.0, hi=2000.0, n_bins=16
     )
 
 
@@ -1557,6 +1594,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_docs": q_interleave_docs,
         "pq_topk": q_pq_topk,
         "pq_batch_topk": q_pq_batch_topk,
+        "budget_cut_docs": q_budget_cut_docs,
+        "leakage_split_docs": q_leakage_split_docs,
+        "chi2_drift_docs": q_chi2_drift_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "stratified_quota_docs": q_stratified_quota_docs,
         "curation_funnel": q_curation_funnel,
@@ -3226,6 +3266,51 @@ losers AS (
 )
 SELECT doc_id, source FROM documents
 WHERE doc_id < 120 AND doc_id NOT IN (SELECT doc FROM losers)
+""",
+        "budget_cut_docs": """
+WITH c AS (
+  SELECT doc_id, n_chars,
+    sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 200000
+""",
+        "leakage_split_docs": f"""
+WITH RECURSIVE {_jaccard_cluster_ctes()},
+g AS (
+  SELECT d.doc_id,
+    coalesce(CAST(c.cluster_rep AS VARCHAR), CAST(d.doc_id AS VARCHAR)) AS gk
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+hs AS (
+  SELECT doc_id,
+    ('0x' || substring(md5('split::' || gk), 1, 15))::BIGINT AS hv
+  FROM g
+)
+SELECT doc_id,
+  CASE WHEN hv >= 0 AND hv < {100000 * (1 << 60) // 1000000} THEN 'test'
+       WHEN hv >= {100000 * (1 << 60) // 1000000}
+            AND hv < {900000 * (1 << 60) // 1000000} THEN 'train'
+       ELSE 'val' END AS split
+FROM hs
+""",
+        "chi2_drift_docs": """
+WITH b AS (
+  SELECT LEAST(15, GREATEST(0,
+           CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / 125.0) AS INT))) AS bin,
+         CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS a
+  FROM documents WHERE n_chars IS NOT NULL
+),
+c AS (SELECT bin, sum(a) AS n_a, count(*) - sum(a) AS n_b FROM b GROUP BY 1),
+t AS (SELECT c.*, sum(n_a) OVER () AS N, sum(n_b) OVER () AS M FROM c)
+SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CAST(CASE WHEN n_a + n_b = 0 OR N = 0 OR M = 0 THEN 0 ELSE
+    (1000000::HUGEINT * (n_a*M - n_b*N)::HUGEINT * (n_a*M - n_b*N)::HUGEINT)
+    // (N::HUGEINT * M::HUGEINT * (n_a + n_b)::HUGEINT) END AS BIGINT) AS chi2_ppm
+FROM t
 """,
         "stratified_sample_docs": f"""
 SELECT doc_id, lang FROM documents

@@ -13,7 +13,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from shaclapi_spark.suite import Suite
 
@@ -189,3 +189,79 @@ def evaluate_drift_constraints(
         )
     )
     return vd, vl
+
+
+def chi2_gof(obs_counts: np.ndarray, ref_fracs: np.ndarray, eps: float = 1e-9) -> float:
+    """Pearson goodness-of-fit statistic of observed bin COUNTS vs reference
+    bin fractions: chi2 = sum_i (n_i - N q_i)^2 / (N q_i). Complements
+    KS (worst-bin CDF gap) and PSI (information divergence) with the
+    classic count-scaled test; unlike those two it grows with N, so the
+    threshold encodes sample size (use the chi2 distribution's critical
+    value for n_bins-1 dof)."""
+    n = np.asarray(obs_counts, dtype=np.float64)
+    q = np.asarray(ref_fracs, dtype=np.float64)
+    q = q / max(q.sum(), eps)
+    total = n.sum()
+    if total <= 0:
+        return 0.0
+    e = total * np.clip(q, eps, None)
+    return float(np.sum((n - e) ** 2 / e))
+
+
+def chi2_groups(
+    df: DataFrame,
+    column: str,
+    group_pred: Column,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Two-sample Pearson chi-square (homogeneity) between the rows where
+    ``group_pred`` holds (population A) and the rest (population B), binned
+    on ``column`` — "did the dur_ms distribution of the 16 kHz clips drift
+    away from everything else?". Exact integer output so the relation
+    value-hashes across engines: with per-bin counts (n_a, n_b), totals
+    (N, M) and t = n_a + n_b, the textbook two-sample term
+    (n_a - N t/T)^2/(N t/T) + (n_b - M t/T)^2/(M t/T) simplifies to
+    d^2 / (N M t) with d = n_a*M - n_b*N; we emit
+    ``chi2_ppm = floor(10^6 d^2 / (N M t))`` per bin (DECIMAL(38,0)
+    intermediates — d^2 can pass 2^63 long before any count does).
+    Sum(chi2_ppm)/10^6 ~ the statistic, off by < n_bins/10^6.
+
+    Physical plan: one scan emitting (bin, is_a) + one n_bins-row groupBy;
+    totals ride a window over the n_bins-row aggregate — no second scan,
+    no driver round-trip. NULLs excluded, out-of-range clamped to the edge
+    bins (same convention as observed_histogram)."""
+    col = F.col(column).cast("double")
+    width = (hi - lo) / n_bins
+    bin_expr = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((col - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    counts = (
+        df.filter(col.isNotNull())
+        .select(bin_expr.alias("bin"), group_pred.cast("int").alias("__a"))
+        .groupBy("bin")
+        .agg(
+            F.sum("__a").cast("long").alias("n_a"),
+            (F.count(F.lit(1)) - F.sum("__a")).cast("long").alias("n_b"),
+        )
+    )
+    w = Window.partitionBy()  # n_bins rows — a tiny single-node window
+    dec = "decimal(38,0)"
+    return (
+        counts.withColumn("__N", F.sum("n_a").over(w))
+        .withColumn("__M", F.sum("n_b").over(w))
+        .withColumn(
+            "chi2_ppm",
+            F.expr(
+                f"CAST(CASE WHEN n_a + n_b = 0 OR __N = 0 OR __M = 0 THEN 0 "
+                f"ELSE (CAST(1000000 AS {dec})"
+                f" * CAST(n_a * __M - n_b * __N AS {dec})"
+                f" * CAST(n_a * __M - n_b * __N AS {dec}))"
+                f" div (CAST(__N AS {dec}) * CAST(__M AS {dec})"
+                f" * CAST(n_a + n_b AS {dec})) END AS BIGINT)"
+            ),
+        )
+        .select("bin", "n_a", "n_b", "chi2_ppm")
+    )

@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Observation, Window, functions as F
 
+from shaclapi_spark.pipeline.sampling import _HASH_SPACE, md5_60
+
 
 def connected_components(
     pairs: DataFrame,
@@ -178,3 +180,73 @@ def survivors_by_precedence(
         .select(F.col("doc").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def leakage_free_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    a_col: str = "a",
+    b_col: str = "b",
+    salt: str = "",
+) -> DataFrame:
+    """Train/validation/test assignment that cannot leak near-duplicates
+    across splits: every document in a near-dup connected component is
+    assigned by a hash of the COMPONENT representative, not its own id, so
+    a training doc's near-copy can never land in the eval split (the
+    standard failure mode of per-row random splits over web corpora).
+    Pair-free docs hash their own id — same code path, component of one.
+
+    ``fractions`` maps split name -> fraction; fractions are quantized to
+    exact ppm and laid out as consecutive cutoff intervals of the 60-bit
+    md5 space in sorted-split-name order, so the assignment is a pure
+    integer function of (corpus, pairs, fractions, salt) — identical on
+    any engine with md5 (the DuckDB oracle replays it). Fractions must sum
+    to 1 (after ppm quantization a remainder <= len(fractions) ppm is
+    folded into the last split).
+
+    Output: all input columns + ``split`` (string).
+
+    Scale shape: the component relation covers only pair-touched docs (a
+    small fraction of the corpus); the dominant pair-free population takes
+    a broadcast-able left join + a scan-side hash filter — no extra
+    shuffle of the corpus. Label propagation itself is the bounded-round
+    dataflow of ``connected_components`` above.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    ppm = {
+        name: round(float(f) * 1_000_000) for name, f in fractions.items()
+    }
+    total = sum(ppm.values())
+    if abs(total - 1_000_000) > len(ppm):
+        raise ValueError(f"fractions must sum to 1, got {total/1e6}")
+    names = sorted(ppm)
+    ppm[names[-1]] += 1_000_000 - total  # fold rounding remainder
+    comp = connected_components(pairs, a_col, b_col)
+    group_key = F.coalesce(
+        F.col("__component").cast("string"), F.col(id_col).cast("string")
+    )
+    h = md5_60(F.concat(F.lit(f"split:{salt}:"), group_key))
+    acc = 0
+    split: Column = F.lit(names[-1])
+    for name in names[:-1]:
+        lo = acc * _HASH_SPACE // 1_000_000
+        acc += ppm[name]
+        hi = acc * _HASH_SPACE // 1_000_000
+        split = F.when((h >= F.lit(lo)) & (h < F.lit(hi)), F.lit(name)).otherwise(
+            split
+        )
+    return (
+        df.join(
+            comp.select(
+                F.col("node").alias(id_col),
+                F.col("component").alias("__component"),
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn("split", split)
+        .drop("__component")
+    )

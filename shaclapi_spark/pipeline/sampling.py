@@ -489,3 +489,93 @@ def interleave_sources(
         keyed.withColumn("interleave_key", rank * step)
         .drop("__key", "__b")
     )
+
+
+def budget_cut(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    priority_col: str,
+    budget: int,
+    boundaries: list | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Priority-ordered token-budget cut: keep the best documents until the
+    cumulative token count would exceed ``budget`` — the "take the
+    highest-quality 15T tokens" step that ends an LLM curation pipeline.
+    Kept set = the largest prefix of the corpus ordered by
+    (priority DESC, id ASC) whose token sum is <= budget; the boundary doc
+    that would overflow is dropped (no partial documents). Output keeps all
+    input columns plus ``cum_tokens`` (the inclusive running total), so the
+    result doubles as the priority-ordered manifest.
+
+    Scale shape: the global prefix-sum is NOT a single-partition window.
+    Same two-phase device as ``epoch_shuffle``: rows are range-bucketed by
+    priority VALUE (bucket = number of boundaries above it, so every tie
+    lands in one bucket and bucket order is priority order), one narrow
+    aggregate computes per-bucket token sums (<= n_buckets+1 rows,
+    collected), prefix offsets broadcast back, and each bucket runs its own
+    window cumsum in parallel. Buckets whose offset already exceeds the
+    budget are filtered BEFORE the window — at 100 TB the sort only ever
+    touches the budget-straddling bucket and its predecessors.
+
+    ``boundaries``: explicit descending-priority bucket edges. Omitted, they
+    are estimated from ``approxQuantile`` over the priority column (one
+    extra scan, documented; pass explicit edges in production to skip it).
+
+    Reference parity: no analog — the reference validates, it does not
+    select training data (SURVEY.md §2.7 disposition); this extends the
+    training-pipeline layer like weighted_mix/pack_sequences.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    p = F.col(priority_col).cast("double")
+    if boundaries is None:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        boundaries = sorted(
+            set(df.stat.approxQuantile(priority_col, qs, 0.01)), reverse=True
+        )
+    else:
+        boundaries = sorted({float(b) for b in boundaries}, reverse=True)
+    # bucket 0 holds priorities > boundaries[0], bucket i those in
+    # (boundaries[i], boundaries[i-1]]; ties share a bucket by construction
+    idx: Column = F.lit(0)
+    for i, b in enumerate(boundaries):
+        idx = idx + F.when(p <= F.lit(float(b)), F.lit(1)).otherwise(F.lit(0))
+    keyed = df.withColumn("__b", idx)
+    bucket_sums = {
+        r["__b"]: r["s"]
+        for r in keyed.groupBy("__b")
+        .agg(F.sum(F.col(token_col).cast("long")).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(bucket_sums):
+        offsets[b] = acc
+        acc += int(bucket_sums[b] or 0)
+    # buckets that start past the budget can never contribute a kept row
+    live = [b for b, off in offsets.items() if off <= budget]
+    if not live:
+        return keyed.filter(F.lit(False)).drop("__b").withColumn(
+            "cum_tokens", F.lit(0).cast("long")
+        )
+    offset_map = F.create_map(
+        *[F.lit(x) for b in live for x in (b, offsets[b])]
+    )
+    w = (
+        Window.partitionBy("__b")
+        .orderBy(p.desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        keyed.filter(F.col("__b").isin(live))
+        .withColumn(
+            "cum_tokens",
+            (
+                F.sum(F.col(token_col).cast("long")).over(w)
+                + offset_map[F.col("__b")].cast("long")
+            ).cast("long"),
+        )
+        .filter(F.col("cum_tokens") <= F.lit(int(budget)))
+        .drop("__b")
+    )
