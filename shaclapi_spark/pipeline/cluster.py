@@ -11,11 +11,19 @@ have billions of nodes, so the walk must itself be a dataflow.)
 
 Scale notes (the part that matters at 100 TB):
 
-* Driver-side union-find needs the whole edge list on one machine — a
-  non-starter. This is distributed min-label propagation: per round, each
-  node takes the min of its own label and its neighbors' labels — ONE
-  shuffle (groupBy node) per round, edge relation reused unchanged from a
-  persisted cache.
+* The pair graph is SPARSE relative to the corpus (near-dup blocking emits
+  pairs only for colliding docs — 64 edges from 220k docs on the bench
+  fixture), so the edge relation is persisted and counted once, and small
+  graphs (≤ ``driver_edge_limit``, default 2M edges ≈ tens of MB) take a
+  driver-side union-find fast path: one bounded collect, microseconds of
+  find/union, one createDataFrame back — the same bounded-driver device as
+  IVF's training sample and epoch_shuffle's offset collect. Measured ~7 s
+  of fixed per-round dataflow overhead saved on a 64-edge graph.
+* Above the limit, driver-side union-find would need the whole edge list
+  on one machine — a non-starter. There it is distributed min-label
+  propagation: per round, each node takes the min of its own label and its
+  neighbors' labels — ONE shuffle (groupBy node) per round, edge relation
+  reused unchanged from the persisted cache.
 * Rounds needed = graph diameter. Near-dup graphs are star-shaped
   (a template/boilerplate hub plus leaves; diameter ~2-4), so label
   propagation finishes in a handful of rounds; the O(log^2 n)
@@ -38,20 +46,70 @@ from pyspark.sql import Column, DataFrame, Observation, Window, functions as F
 from shaclapi_spark.pipeline.sampling import _HASH_SPACE, md5_60
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Bounded driver-side components: collect the (already persisted,
+    already counted) edge relation, run path-compressed union-find with
+    min-id representatives, ship the label table back. Output is
+    IDENTICAL to the distributed path (min id per component)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.collect():
+        u, v = r.u, r.v
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # min-id root wins, matching the distributed min-label result
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    id_type = edges.schema["u"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    return edges.sparkSession.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("node", id_type, True),
+                StructField("component", id_type, True),
+            ]
+        ),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 50,
+    driver_edge_limit: int = 2_000_000,
 ) -> DataFrame:
     """(node, component): min-id label per connected component of the
-    undirected pair graph."""
+    undirected pair graph. Graphs with at most ``driver_edge_limit``
+    distinct edges use the bounded driver union-find fast path (see module
+    docstring); larger graphs run distributed min-label propagation. Both
+    paths produce the identical relation."""
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .persist()
     )
+    # materialize the cache and learn the graph size in one job; the edge
+    # count gates the driver fast path
+    n_edges = edges.count()
+    if n_edges <= driver_edge_limit:
+        out = _driver_union_find(edges)
+        edges.unpersist()
+        return out
     # symmetric neighbor relation: one cached edge scan feeds every round
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -108,13 +166,16 @@ def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "a",
     b_col: str = "b",
+    driver_edge_limit: int = 2_000_000,
 ) -> DataFrame:
     """(doc, cluster_rep, cluster_size): one row per document that appears
     in any near-dup pair; cluster_rep is the minimum doc id of its
     connected component (the survivor), cluster_size the component size.
     Pair-free docs are their own singleton cluster and are omitted —
     callers keep them as-is (anti-join on this relation = the dedup)."""
-    comp = connected_components(pairs, a_col, b_col)
+    comp = connected_components(
+        pairs, a_col, b_col, driver_edge_limit=driver_edge_limit
+    )
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         comp.join(sizes, "component")

@@ -18,28 +18,49 @@ def docs(spark):
 # connected components
 # ---------------------------------------------------------------------------
 
-def test_connected_components_chain_and_star(spark):
+@pytest.mark.parametrize("edge_limit", [2_000_000, 0])
+def test_connected_components_chain_and_star(spark, edge_limit):
     # component {1,2,3,4} (chain — needs >1 propagation round),
-    # component {10,11,12} (star), pair (20,21) isolated
+    # component {10,11,12} (star), pair (20,21) isolated;
+    # edge_limit=0 forces the distributed label-propagation path,
+    # the default takes the driver union-find fast path
     pairs = spark.createDataFrame(
         [(2, 1), (2, 3), (3, 4), (10, 11), (10, 12), (20, 21)],
         "a long, b long",
     )
     got = {
         r.node: r.component
-        for r in cluster.connected_components(pairs).collect()
+        for r in cluster.connected_components(
+            pairs, driver_edge_limit=edge_limit
+        ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
-def test_connected_components_long_chain(spark):
+@pytest.mark.parametrize("edge_limit", [2_000_000, 0])
+def test_connected_components_long_chain(spark, edge_limit):
     # diameter 12: exercises multi-round convergence + lineage checkpointing
+    # (distributed path) and deep find chains (driver path)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "a long, b long"
     )
-    got = cluster.connected_components(pairs)
+    got = cluster.connected_components(pairs, driver_edge_limit=edge_limit)
     assert {r.component for r in got.collect()} == {0}
     assert got.count() == 13
+
+
+def test_connected_components_paths_agree_on_fixture_pairs(spark, docs):
+    # both code paths produce the identical relation on a real pair graph
+    d120 = docs.filter(F.col("doc_id") < 120)
+    pairs = dedup.jaccard_pairs(d120, "doc_id", "text", k=5, threshold=0.2)
+    fast = set(map(tuple, cluster.connected_components(pairs).collect()))
+    dist = set(
+        map(
+            tuple,
+            cluster.connected_components(pairs, driver_edge_limit=0).collect(),
+        )
+    )
+    assert fast == dist and fast
 
 
 def test_dedup_clusters_sizes(spark):
