@@ -25,6 +25,7 @@ Scale shape (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from shaclapi_spark.pipeline.dedup import word_ngram_hashes
@@ -411,4 +412,167 @@ def source_overlap(
         pairs.select("p.source_a", "p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_digests"))
+    )
+
+
+def word_frequencies(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_vocab: int = 500_000,
+) -> list:
+    """The corpus word-frequency dictionary, bounded to the ``max_vocab``
+    most frequent words (ties broken by word, so the cut is deterministic):
+    [(word, count)] sorted by (count desc, word asc). This is the ONLY
+    corpus-sized pass BPE training needs — one explode + one
+    map-combinable aggregation + TakeOrderedAndProject; the collect is
+    bounded by ``max_vocab`` regardless of corpus size (the same bounded-
+    driver device as IVF's training sample)."""
+    from shaclapi_spark.pipeline.text import normalize_text
+
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda x: x != ""
+    )
+    rows = (
+        docs.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(int(max_vocab))
+        .collect()
+    )
+    return [(r.word, int(r.n)) for r in rows]
+
+
+def train_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    max_vocab: int = 500_000,
+) -> list:
+    """Byte-pair-encoding tokenizer training: the full merge loop, not just
+    the first pair count (``bpe_pair_counts`` is iteration 1 of this).
+    Returns the ordered merge table [(left, right), ...] — rank = list
+    position, exactly what ``tokenize_bpe`` consumes.
+
+    Classic BPE trains on the word-frequency DICT, not the token stream:
+    Spark's one corpus-sized job builds the bounded dict
+    (``word_frequencies``), then the merge loop is pure driver Python over
+    ≤ max_vocab entries — corpus-size-independent by construction, the
+    standard architecture (the dict is Zipf-bounded; the loop never sees
+    the corpus). Merge selection is deterministic: highest weighted pair
+    count, ties by lexicographic pair."""
+    vocab = {tuple(w): c for w, c in word_frequencies(docs, text_col, max_vocab)}
+    merges: list = []
+    for _ in range(int(n_merges)):
+        counts: dict = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def _encode_word(word: str, ranks: dict) -> list:
+    """Greedy lowest-rank-first BPE encoding of one word (the GPT-2 apply
+    algorithm): repeatedly merge every occurrence of the present pair with
+    the lowest merge rank."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        merged, out, i = best_pair[0] + best_pair[1], [], 0
+        while i < len(syms):
+            if (
+                i + 1 < len(syms)
+                and syms[i] == best_pair[0]
+                and syms[i + 1] == best_pair[1]
+            ):
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def tokenize_bpe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list,
+    keep_tokens: bool = True,
+) -> DataFrame:
+    """Apply a trained BPE merge table to the corpus: per doc,
+    (id, n_words, n_tokens[, tokens]) where tokens is the concatenation of
+    each word's BPE encoding in order. Iterative merging has no SQL analog
+    (like the FFT this stays a library + pytest surface, no DuckDB
+    contract oracle), so the hot loop is an Arrow-batched pandas UDF with
+    a per-batch WORD CACHE — Zipf means a batch of docs re-encodes the
+    same head words constantly, so the cache turns the per-doc cost into
+    per-DISTINCT-word cost. The merge table (~n_merges tuples) rides the
+    closure; nothing else is shipped.
+
+    Scale shape: embarrassingly parallel scan — no shuffle, no state; the
+    output explodes no rows (one row per doc)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from shaclapi_spark.pipeline.text import normalize_text
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @pandas_udf("struct<n_words: long, n_tokens: long, tokens: array<string>>")
+    def encode(texts: pd.Series) -> pd.DataFrame:
+        cache: dict = {}
+        n_words, n_tokens, toks_col = [], [], []
+        for t in texts:
+            words = [w for w in (t or "").split(" ") if w]
+            toks: list = []
+            for w in words:
+                enc = cache.get(w)
+                if enc is None:
+                    enc = _encode_word(w, ranks)
+                    cache[w] = enc
+                toks.extend(enc)
+            n_words.append(len(words))
+            n_tokens.append(len(toks))
+            toks_col.append(toks if keep_tokens else None)
+        return pd.DataFrame(
+            {"n_words": n_words, "n_tokens": n_tokens, "tokens": toks_col}
+        )
+
+    return df.select(
+        F.col(id_col),
+        encode(normalize_text(F.col(text_col))).alias("__e"),
+    ).select(
+        id_col,
+        F.col("__e.n_words").alias("n_words"),
+        F.col("__e.n_tokens").alias("n_tokens"),
+        *([F.col("__e.tokens").alias("tokens")] if keep_tokens else []),
     )
