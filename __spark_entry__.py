@@ -660,6 +660,29 @@ def q_chi2_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZDIMS = [
+    ("CAST(l_quantity AS BIGINT)", 1, 50),
+    ("CAST(round(l_extendedprice * 100) AS BIGINT)", 90000, 10500000),
+]
+
+
+def q_zorder_prune_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # z-order file layout on (quantity, price-cents) + the data-skipping
+    # report for a 2-D box predicate: per file, manifest-style min/max
+    # stats, rows matching, and whether stats-based pruning must scan it
+    from shaclapi_spark.pipeline import layout
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "rid", F.expr("l_orderkey * 10 + l_linenumber")
+    )
+    assigned = layout.zorder_file_assignment(li, _ZDIMS, "rid", n_files=32, bits=8)
+    return layout.zorder_pruning_report(
+        assigned,
+        [(_ZDIMS[0][0], "qty"), (_ZDIMS[1][0], "cents")],
+        box={"qty": (10, 20), "cents": (1000000, 2000000)},
+    )
+
+
 def q_minhash_neardups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return dd.minhash_lsh_neardups(d, "doc_id", "text", n_hashes=32, n_bands=8, k=5, threshold=0.5)
@@ -1595,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "pq_batch_topk": q_pq_batch_topk,
         "budget_cut_docs": q_budget_cut_docs,
+        "zorder_prune_lineitem": q_zorder_prune_lineitem,
         "leakage_split_docs": q_leakage_split_docs,
         "chi2_drift_docs": q_chi2_drift_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
@@ -2771,6 +2795,35 @@ FROM (
 """
 
 
+def _zorder_prune_sql() -> str:
+    """DuckDB replay of the z-order layout + pruning report: the SAME
+    generator (layout.zorder_sql) emits the key formula in the duckdb
+    dialect — one formula, two engines."""
+    from shaclapi_spark.pipeline import layout
+
+    zsql = layout.zorder_sql(_ZDIMS, 8, "duckdb")
+    return f"""
+WITH k AS (
+  SELECT l_orderkey*10 + l_linenumber AS rid, {zsql} AS zkey,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_extendedprice*100) AS BIGINT) AS p
+  FROM lineitem
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY zkey, rid) - 1 AS r0,
+         count(*) OVER () AS n FROM k
+), a AS (SELECT *, (r0 * 32) // n AS file FROM r)
+SELECT file, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(min(q) AS BIGINT) AS min_qty, CAST(max(q) AS BIGINT) AS max_qty,
+  CAST(min(p) AS BIGINT) AS min_cents, CAST(max(p) AS BIGINT) AS max_cents,
+  CAST(sum(CASE WHEN q BETWEEN 10 AND 20
+                 AND p BETWEEN 1000000 AND 2000000
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+  (min(q) <= 20 AND max(q) >= 10
+   AND min(p) <= 2000000 AND max(p) >= 1000000) AS would_scan
+FROM a GROUP BY 1
+"""
+
+
 def _jaccard_cluster_ctes() -> str:
     """Shared CTE chain for the near-dup cluster oracles (docs < 120):
     char-5-shingle exact Jaccard pairs → undirected edges → recursive
@@ -3267,6 +3320,7 @@ losers AS (
 SELECT doc_id, source FROM documents
 WHERE doc_id < 120 AND doc_id NOT IN (SELECT doc FROM losers)
 """,
+        "zorder_prune_lineitem": _zorder_prune_sql(),
         "budget_cut_docs": """
 WITH c AS (
   SELECT doc_id, n_chars,
