@@ -683,6 +683,45 @@ def q_zorder_prune_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_fp_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gain/codec-invariant acoustic fingerprint matching on a 1/8 id
+    # slice; a lossless flac->pcm transcode slice is unioned in and must
+    # match its source through the fingerprint (content identity survives
+    # the container change)
+    from shaclapi_spark.pipeline import audio_analysis as aa_mod
+
+    c = _uniq_clips(spark, sf_dir).filter(
+        F.substring("clip_id", 6, 12).cast("long") % 32 == 0
+    )
+    xcoded = at.transcode(c.filter(F.col("codec") == "flac"), "pcm_s16le").withColumn(
+        "clip_id", F.concat(F.lit("xcode_"), F.col("clip_id"))
+    )
+    unioned = c.select("clip_id", "bytes").unionByName(
+        xcoded.select("clip_id", "bytes")
+    )
+    # 16-sample frames: the fixture stores ~256-sample payloads, so the
+    # sr-derived 20 ms grid would never complete a frame
+    fp = aa_mod.audio_fingerprint(unioned, frame_samples=16)
+    pairs = aa_mod.fingerprint_matches(fp, min_shared=5)
+    # the sine fixture has large identical-content twin groups, so the raw
+    # pair relation is quadratic; the contract reports the per-clip match
+    # degree (one row per matched clip) — the pair op itself is the
+    # library surface
+    sym = pairs.select(
+        F.col("a").alias("clip_id"), F.col("b").alias("other"), "n_shared"
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("clip_id"), F.col("a").alias("other"), "n_shared"
+        )
+    )
+    return sym.groupBy("clip_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.sum("n_shared").cast("long").alias("sum_shared"),
+        F.min("other").alias("first_match"),
+        F.max("other").alias("last_match"),
+    )
+
+
 def q_minhash_neardups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return dd.minhash_lsh_neardups(d, "doc_id", "text", n_hashes=32, n_bands=8, k=5, threshold=0.5)
@@ -1619,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_batch_topk": q_pq_batch_topk,
         "budget_cut_docs": q_budget_cut_docs,
         "zorder_prune_lineitem": q_zorder_prune_lineitem,
+        "audio_fp_matches": q_audio_fp_matches,
         "leakage_split_docs": q_leakage_split_docs,
         "chi2_drift_docs": q_chi2_drift_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
@@ -2126,6 +2166,66 @@ fp AS (
     fp0.n_samples, fp0.pcm_md5
   FROM fp0 JOIN hdr h USING (clip_id)
 )"""
+
+
+def _audio_fp_matches_sql(min_shared: int = 5) -> str:
+    """Acoustic fingerprint tokens replayed in SQL over the shared decode
+    CTEs (integer block energies → comparison-bit words → 32-bit paired
+    tokens), with the transcoded slice modeled by re-labeling (lossless
+    transcode ⇒ identical samples ⇒ identical tokens)."""
+    return f"""
+WITH {_audio_decode_ctes()},
+sl AS (
+  SELECT clip_id FROM hdr
+  WHERE CAST(substr(clip_id, 6) AS BIGINT) % 32 = 0
+),
+d2 AS (SELECT dec.* FROM dec JOIN sl USING (clip_id)),
+-- fixed 16-sample frames (frame_samples=16): 16 one-sample bands per
+-- frame; complete frames only
+fcomp AS (
+  SELECT clip_id, i // 16 AS f
+  FROM d2 GROUP BY clip_id, i // 16 HAVING count(*) = 16
+),
+e AS (
+  SELECT d2.clip_id, i // 16 AS f, i % 16 AS b, abs(val) AS e
+  FROM d2 JOIN fcomp ON fcomp.clip_id = d2.clip_id AND fcomp.f = i // 16
+),
+w AS (
+  SELECT a.clip_id, a.f,
+    CAST(sum(CASE WHEN b2.e > a.e THEN (1::BIGINT << a.b) ELSE 0 END)
+         AS BIGINT) AS w
+  FROM e a JOIN e b2
+    ON b2.clip_id = a.clip_id AND b2.f = a.f + 1 AND b2.b = a.b
+  GROUP BY 1, 2
+),
+tok AS (
+  SELECT w1.clip_id, ((w1.w << 16) | w2.w) AS token
+  FROM w w1 JOIN w w2 ON w2.clip_id = w1.clip_id AND w2.f = w1.f + 1
+),
+xc AS (
+  SELECT 'xcode_' || t.clip_id AS clip_id, t.token
+  FROM tok t JOIN hdr h ON h.clip_id = t.clip_id
+  WHERE h.codec_id = 1
+),
+td AS (
+  SELECT DISTINCT clip_id, token
+  FROM (SELECT clip_id, token FROM tok UNION ALL SELECT * FROM xc)
+),
+pairs AS (
+  SELECT a.clip_id AS a, b.clip_id AS b, count(*) AS n_shared
+  FROM td a JOIN td b ON a.token = b.token AND a.clip_id < b.clip_id
+  GROUP BY 1, 2 HAVING count(*) >= {int(min_shared)}
+),
+sym AS (
+  SELECT a AS clip_id, b AS other, n_shared FROM pairs
+  UNION ALL
+  SELECT b, a, n_shared FROM pairs
+)
+SELECT clip_id, CAST(count(*) AS BIGINT) AS n_matches,
+  CAST(sum(n_shared) AS BIGINT) AS sum_shared,
+  min(other) AS first_match, max(other) AS last_match
+FROM sym GROUP BY 1
+"""
 
 
 def _content_dups_sql() -> str:
@@ -3631,6 +3731,7 @@ FROM per LEFT JOIN ga USING (event_type) CROSS JOIN gl
 """,
         "audio_trim_silence": _trim_silence_sql(thresh=500),
         "audio_content_dups": _content_dups_sql(),
+        "audio_fp_matches": _audio_fp_matches_sql(min_shared=5),
         "audio_decimate": _decimate_sql(factor=4),
         "audio_gain_norm": _gain_norm_sql(target_peak=26000),
         "audio_time_mask": _time_mask_sql(mask_ms=200, n_masks=2),

@@ -389,3 +389,125 @@ def container_summary(
         F.sum("payload_bytes").cast("long").alias("payload_bytes"),
         F.sum("raw_bytes").cast("long").alias("raw_bytes"),
     )
+
+
+FP_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType()),
+        StructField("pos", IntegerType()),
+        StructField("token", LongType()),
+    ]
+)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    n_bands: int = 16,
+    frame_samples: int | None = None,
+) -> DataFrame:
+    """Gain-invariant acoustic fingerprint tokens — fuzzy audio matching
+    where ``audio_transform.content_fingerprint`` (exact PCM digest) stops:
+    a re-gained or re-encoded-with-identical-samples copy fingerprints the
+    SAME, because every bit is an energy COMPARISON, not an energy value
+    (the Chromaprint/Shazam family idea, integer-exact so the DuckDB
+    oracle replays it bit-for-bit).
+
+    Per clip: 20 ms frames (sr/50 samples — the frame grid of
+    ``multimodal.audio_frame_features``); each complete frame splits into
+    ``n_bands`` equal sub-blocks of flen // n_bands samples (the tail
+    remainder of each frame is dropped so the grid is exact for any sr);
+    block energy e[f, b] = sum(|pcm|). Frame delta word
+    t[f] = sum_b (e[f+1, b] > e[f, b]) << b, and the emitted token pairs
+    consecutive delta words — token[pos] = t[pos] << 16 | t[pos+1] — so a
+    token carries 2*n_bands comparison bits and random 16-bit collisions
+    vanish. A clip with F complete frames emits max(F - 2, 0) tokens.
+
+    Gain invariance: scaling PCM by any positive gain scales every block
+    energy by ~the same factor, preserving the > comparisons (exact for
+    pure scaling; floor-quantized integer gains can flip ties — matching
+    uses a shared-token threshold, not equality, for exactly that reason).
+
+    ``frame_samples`` overrides the sr-derived 20 ms frame with a fixed
+    sample count — for corpora of very short payloads (the contract
+    fixture stores ~256-sample payloads) or for sr-agnostic matching.
+
+    Scale shape: one Arrow-batched mapInPandas over (id, bytes), no
+    shuffle; the numpy path is a reshape + reduceat-style block sum per
+    clip. Undecodable blobs are skipped (decode_clip parity)."""
+    if n_bands != 16:
+        raise ValueError("token packing assumes n_bands=16")
+    from shaclapi_spark import audio_codec as ac
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            poss: list = []
+            toks: list = []
+            for cid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                try:
+                    hdr, s = ac.decode_clip(bytes(blob))
+                except (ValueError, TypeError):
+                    continue
+                flen = (
+                    int(frame_samples)
+                    if frame_samples is not None
+                    else int(hdr["sr_hz"]) * 20 // 1000
+                )
+                sb = flen // n_bands
+                nf = len(s) // flen if flen > 0 else 0
+                if sb == 0 or nf < 3:
+                    continue
+                a = np.abs(s[: nf * flen].astype(np.int64)).reshape(nf, flen)
+                e = a[:, : sb * n_bands].reshape(nf, n_bands, sb).sum(axis=2)
+                bits = (e[1:] > e[:-1]).astype(np.int64)  # (nf-1, 16)
+                w = bits @ (1 << np.arange(n_bands, dtype=np.int64))
+                tok = (w[:-1] << 16) | w[1:]
+                ids.extend([str(cid)] * len(tok))
+                poss.extend(range(len(tok)))
+                toks.extend(int(t) for t in tok)
+            yield pd.DataFrame(
+                {
+                    "clip_id": ids,
+                    "pos": pd.array(poss, dtype="int32"),
+                    "token": pd.array(toks, dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        gen, schema=FP_SCHEMA
+    )
+
+
+def fingerprint_matches(
+    fp: DataFrame,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Near-match clip pairs from the fingerprint token relation:
+    (a, b, n_shared) for pairs sharing at least ``min_shared`` DISTINCT
+    token values (position-independent, so a time-shifted copy still
+    matches on its overlapping frames).
+
+    Scale shape: the same blocked equi-join as shingle dedup — one
+    distinct (clip, token) projection, one self-join keyed on the 8-byte
+    token, one map-combinable pair count. 32-bit-comparison tokens make
+    random collisions negligible, so the join fan-out tracks true
+    duplication, not corpus size."""
+    t = fp.select("clip_id", "token").distinct().persist()
+    try:
+        a = t.select(F.col("clip_id").alias("a"), "token")
+        b = t.select(F.col("clip_id").alias("b"), "token")
+        out = (
+            a.join(b, "token")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= F.lit(int(min_shared)))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        t.unpersist()
+    return out

