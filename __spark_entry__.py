@@ -722,6 +722,37 @@ def q_audio_fp_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # contrastive-training mining: per query, the 10 most-similar vectors
+    # with a DIFFERENT label (label mismatch filters before the rank cut)
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    hn = sim.hard_negatives(
+        e, q, "vec_id", "embedding", "vec_id", "embedding", "label", "label", k=10
+    )
+    return hn.select(
+        "q_id",
+        "vec_id",
+        F.round(F.col("cosine") * 1e6).cast("long").alias("cosine_e6"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_quality_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold-sweep curve: cutting at each length-quality bucket keeps
+    # cum_docs docs / cum_tokens chars — the relation that picks the
+    # budget_cut threshold
+    from shaclapi_spark.pipeline import curate as cu
+
+    d = _t(spark, sf_dir, "documents")
+    return cu.quality_budget_curve(
+        d.withColumn("score", F.col("n_chars") / F.lit(2000.0)),
+        "score",
+        "n_chars",
+        n_buckets=20,
+    )
+
+
 def q_minhash_neardups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return dd.minhash_lsh_neardups(d, "doc_id", "text", n_hashes=32, n_bands=8, k=5, threshold=0.5)
@@ -1659,6 +1690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_cut_docs": q_budget_cut_docs,
         "zorder_prune_lineitem": q_zorder_prune_lineitem,
         "audio_fp_matches": q_audio_fp_matches,
+        "hard_negatives_emb": q_hard_negatives,
+        "quality_budget_docs": q_quality_budget_docs,
         "leakage_split_docs": q_leakage_split_docs,
         "chi2_drift_docs": q_chi2_drift_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
@@ -3421,6 +3454,41 @@ SELECT doc_id, source FROM documents
 WHERE doc_id < 120 AND doc_id NOT IN (SELECT doc FROM losers)
 """,
         "zorder_prune_lineitem": _zorder_prune_sql(),
+        "hard_negatives_emb": """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, label AS ql
+  FROM embeddings WHERE vec_id < 5
+),
+s AS (
+  SELECT q.q_id, e.vec_id,
+    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS c
+  FROM embeddings e JOIN q ON e.label <> q.ql
+),
+r AS (
+  SELECT q_id, vec_id, c,
+    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank
+  FROM s WHERE c IS NOT NULL
+)
+SELECT q_id, vec_id, CAST(round(c * 1000000) AS BIGINT) AS cosine_e6,
+  CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""",
+        "quality_budget_docs": """
+WITH a AS (
+  SELECT LEAST(19, GREATEST(0,
+           CAST(floor((CAST(n_chars AS DOUBLE) / 2000.0) / 0.05) AS INT))) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_tokens
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+)
+SELECT bucket, CAST(bucket * 1000 / 20 AS BIGINT) AS score_lo_permille,
+  n_docs, n_tokens,
+  CAST(sum(n_docs) OVER (ORDER BY bucket DESC
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+  CAST(sum(n_tokens) OVER (ORDER BY bucket DESC
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+FROM a
+""",
         "budget_cut_docs": """
 WITH c AS (
   SELECT doc_id, n_chars,

@@ -300,6 +300,39 @@ def main() -> None:
         "pq_topk",
         lambda: force(entry_mod.q_pq_topk(spark, sf_dir)),
     )
+    from shaclapi_spark.pipeline import corpus as corpus_mod
+
+    _BPE_MERGES = corpus_mod.train_bpe(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(2000),
+        "text",
+        n_merges=100,
+    )
+    timed(
+        "budget_cut",
+        lambda: force(entry_mod.q_budget_cut_docs(spark, sf_dir)),
+    )
+    timed(
+        "zorder_prune",
+        lambda: force(entry_mod.q_zorder_prune_lineitem(spark, sf_dir)),
+    )
+    timed(
+        "audio_fp_matches",
+        lambda: force(entry_mod.q_audio_fp_matches(spark, sf_dir)),
+    )
+    timed(
+        "tokenize_bpe",
+        # tokenizer apply over the full docs relation with a 100-merge
+        # table trained once (untimed) on a 2k-doc sample
+        lambda: force(
+            corpus_mod.tokenize_bpe(
+                spark.read.parquet(os.path.join(sf_dir, "documents.parquet")),
+                "doc_id",
+                "text",
+                _BPE_MERGES,
+                keep_tokens=False,
+            )
+        ),
+    )
 
     total = round(sum(timings.values()), 3)
     clips_per_sec = round(n_clips / timings["clip_validation"], 1)

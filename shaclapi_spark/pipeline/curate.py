@@ -196,3 +196,57 @@ def curate(
         "left_semi",
     )
     return curated, funnel
+
+
+def quality_budget_curve(
+    docs: DataFrame,
+    score_col: str,
+    token_col: str,
+    n_buckets: int = 20,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """The quality-threshold sweep a curation pipeline runs before picking
+    a cut: bucket the quality score (equal width over [lo, hi], clamped
+    edges), then per bucket FROM THE TOP DOWN report what keeping
+    everything at-or-above it costs — (bucket, score_lo, n_docs, n_tokens,
+    cum_docs, cum_tokens). Read it as "cutting at score >= score_lo keeps
+    cum_docs docs = cum_tokens tokens"; the row where cum_tokens crosses
+    the training budget IS the threshold (sampling.budget_cut then
+    materializes that cut exactly).
+
+    Scale shape: one scan + one n_buckets-row groupBy; the cumsum is a
+    window over the n_buckets-row aggregate — no second scan. score_lo is
+    emitted in exact integer permille of the [lo, hi] span so the relation
+    value-hashes across engines."""
+    col = F.col(score_col).cast("double")
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), F.floor((col - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    agg = (
+        docs.filter(col.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col(token_col).cast("long")).cast("long").alias("n_tokens"),
+        )
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        agg.withColumn(
+            "score_lo_permille",
+            (F.col("bucket") * F.lit(1000) / F.lit(n_buckets)).cast("long"),
+        )
+        .withColumn("cum_docs", F.sum("n_docs").over(w).cast("long"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .select(
+            "bucket", "score_lo_permille", "n_docs", "n_tokens",
+            "cum_docs", "cum_tokens",
+        )
+    )

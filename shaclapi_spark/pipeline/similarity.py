@@ -17,7 +17,7 @@ import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
 
@@ -392,4 +392,54 @@ def ann_lsh_topk_batch(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col("__qid").alias("q_id"), F.col(id_col), "cosine", "rank")
+    )
+
+
+def hard_negatives(
+    base: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str,
+    q_vec_col: str,
+    label_col: str,
+    q_label_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every query, the
+    k most-similar BASE vectors with a DIFFERENT label — the pairs a
+    retrieval/embedding trainer most needs (easy negatives are random;
+    hard ones sit just across the decision boundary). Output:
+    (q_id, id, cosine, rank), rank 1..k per query by
+    (cosine DESC, id ASC) — tie-stable.
+
+    Plan shape: the query relation (with labels) is broadcast against one
+    corpus scan — label mismatch filters BEFORE the ranking cut, so a
+    same-label twin can never displace a true negative; the per-query
+    top-k is a WindowGroupLimit (k-row heap per task, no full sort). For
+    corpus-scale query relations, compose the same mismatch filter with
+    the IVF/LSH probe path instead of the broadcast scan (probe with
+    headroom > k, filter, re-rank)."""
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(q_vec_col).cast("array<double>").alias("__qv"),
+        F.col(q_label_col).alias("__ql"),
+    )
+    b = base.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__bv"),
+        F.col(label_col).alias("__bl"),
+    )
+    scored = (
+        b.join(F.broadcast(q), F.col("__bl") != F.col("__ql"))
+        .withColumn("cosine", _pair_cosine(F.col("__qv"), F.col("__bv")))
+        .filter(F.col("cosine").isNotNull())
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, "cosine", F.col("rank").cast("int").alias("rank"))
     )

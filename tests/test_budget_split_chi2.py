@@ -201,3 +201,87 @@ def test_chi2_gof_zero_for_perfect_fit_and_grows_with_n():
     big = drift.chi2_gof(np.array([300, 200, 250, 250]), ref)
     assert big == pytest.approx(10 * small, rel=1e-9)
     assert small > 0
+
+
+# ---------------------------------------------------------------------------
+# hard negatives + quality budget curve
+# ---------------------------------------------------------------------------
+
+def test_hard_negatives_excludes_same_label(spark):
+    from shaclapi_spark.pipeline import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    hn = sim.hard_negatives(
+        emb, q, "vec_id", "embedding", "vec_id", "embedding", "label", "label", k=5
+    )
+    rows = hn.collect()
+    assert rows
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in rows:
+        assert labels[r.q_id] != labels[r.vec_id]  # never a same-label hit
+        assert 1 <= r.rank <= 5
+    # per query: ranks are 1..k and cosine is non-increasing
+    by_q = {}
+    for r in sorted(rows, key=lambda r: (r.q_id, r.rank)):
+        by_q.setdefault(r.q_id, []).append(r.cosine)
+    for cs in by_q.values():
+        assert cs == sorted(cs, reverse=True)
+
+
+def test_hard_negatives_matches_exact_topk(spark):
+    from shaclapi_spark.pipeline import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q_row = emb.filter(F.col("vec_id") == 0).collect()[0]
+    got = [
+        (r.vec_id, round(r.cosine, 9))
+        for r in sim.hard_negatives(
+            emb,
+            emb.filter(F.col("vec_id") == 0),
+            "vec_id", "embedding", "vec_id", "embedding", "label", "label",
+            k=5,
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    qv = np.array(q_row.embedding, dtype=np.float64)
+    cands = []
+    for r in emb.collect():
+        if r.label == q_row.label:
+            continue
+        v = np.array(r.embedding, dtype=np.float64)
+        denom = np.linalg.norm(qv) * np.linalg.norm(v)
+        if denom == 0:
+            continue
+        cands.append((r.vec_id, float(qv @ v / denom)))
+    want = [
+        (i, round(c, 9))
+        for i, c in sorted(cands, key=lambda t: (-t[1], t[0]))[:5]
+    ]
+    assert got == want
+
+
+def test_quality_budget_curve_cumsums(spark, docs):
+    from shaclapi_spark.pipeline import curate as cu
+
+    curve = (
+        cu.quality_budget_curve(
+            docs.withColumn("score", F.col("n_chars") / F.lit(2000.0)),
+            "score",
+            "n_chars",
+            n_buckets=20,
+        )
+        .orderBy(F.col("bucket").desc())
+        .collect()
+    )
+    assert curve
+    # cumulative columns accumulate exactly down the quality ladder
+    cd = ct = 0
+    for r in curve:
+        cd += r.n_docs
+        ct += r.n_tokens
+        assert (r.cum_docs, r.cum_tokens) == (cd, ct)
+        assert r.score_lo_permille == r.bucket * 50
+    # the full-corpus row covers everything
+    assert curve[-1].cum_docs == docs.filter(F.col("n_chars").isNotNull()).count()
