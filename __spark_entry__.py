@@ -738,6 +738,17 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # truncated-embedding retrieval eval: per query x prefix-dim, overlap
+    # of the truncated top-10 with the full-dim top-10
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return sim.matryoshka_recall(
+        e, q, "vec_id", "embedding", "vec_id", "embedding",
+        dims=[8, 16, 32, 64], full_dim=64, k=10,
+    )
+
+
 def q_quality_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold-sweep curve: cutting at each length-quality bucket keeps
     # cum_docs docs / cum_tokens chars — the relation that picks the
@@ -1691,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_prune_lineitem": q_zorder_prune_lineitem,
         "audio_fp_matches": q_audio_fp_matches,
         "hard_negatives_emb": q_hard_negatives,
+        "matryoshka_recall_emb": q_matryoshka_recall,
         "quality_budget_docs": q_quality_budget_docs,
         "leakage_split_docs": q_leakage_split_docs,
         "chi2_drift_docs": q_chi2_drift_docs,
@@ -3472,6 +3484,35 @@ r AS (
 SELECT q_id, vec_id, CAST(round(c * 1000000) AS BIGINT) AS cosine_e6,
   CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 10
+""",
+        "matryoshka_recall_emb": """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+s AS (
+  SELECT q.q_id, d.dim, e.vec_id,
+    list_cosine_similarity((e.embedding::DOUBLE[])[1:d.dim],
+                           (q.qv)[1:d.dim]) AS c
+  FROM embeddings e, q, dims d
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id, dim
+                               ORDER BY c DESC, vec_id) AS rk
+  FROM s WHERE c IS NOT NULL
+),
+top AS (SELECT q_id, dim, vec_id FROM r WHERE rk <= 10),
+full_t AS (SELECT q_id, vec_id FROM top WHERE dim = 64),
+hits AS (
+  SELECT t.q_id, t.dim, count(*) AS overlap
+  FROM top t JOIN full_t f ON f.q_id = t.q_id AND f.vec_id = t.vec_id
+  GROUP BY 1, 2
+)
+SELECT q.q_id, CAST(d.dim AS INT) AS dim,
+  CAST(coalesce(h.overlap, 0) AS BIGINT) AS overlap
+FROM q CROSS JOIN dims d
+LEFT JOIN hits h ON h.q_id = q.q_id AND h.dim = d.dim
 """,
         "quality_budget_docs": """
 WITH a AS (

@@ -443,3 +443,84 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("q_id", id_col, "cosine", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def matryoshka_recall(
+    base: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str,
+    q_vec_col: str,
+    dims: list,
+    full_dim: int,
+    k: int = 10,
+) -> DataFrame:
+    """Matryoshka / truncated-embedding retrieval evaluation: for every
+    query and every prefix length d in ``dims``, how many of the TRUE
+    top-k neighbors (full ``full_dim`` cosine) the d-prefix cosine
+    retrieves in ITS top-k — (q_id, dim, overlap). overlap/k is recall@k
+    of the truncation; the curve tells a pipeline how many dims it can
+    store/ship (d×4 bytes per vector of index) before retrieval degrades.
+
+    Both rankings break ties by (cosine DESC, id ASC), so overlap is an
+    exact integer relation reproducible cross-engine.
+
+    Plan shape: queries broadcast; per evaluated dim one corpus-scan
+    scoring pass + one WindowGroupLimit top-k (k-row heap per task); the
+    dim passes are a union, executed in one job. The full-dim ranking is
+    computed once and reused across dims via an inner join on the
+    (q_id, id) hit set."""
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(q_vec_col).cast("array<double>").alias("__qv"),
+    )
+    b = base.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__bv"),
+    )
+    scored = b.join(F.broadcast(q), F.lit(True))
+
+    def topk(dim: int) -> DataFrame:
+        cos = _pair_cosine(
+            F.slice(F.col("__qv"), 1, int(dim)), F.slice(F.col("__bv"), 1, int(dim))
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("__c").desc(), F.col("__id").asc()
+        )
+        return (
+            scored.withColumn("__c", cos)
+            .filter(F.col("__c").isNotNull())
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .select("q_id", "__id")
+        )
+
+    full = topk(int(full_dim)).persist()
+    try:
+        parts = []
+        for d in dims:
+            hit = topk(int(d)).join(full, ["q_id", "__id"])
+            parts.append(
+                hit.groupBy("q_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+                .withColumn("dim", F.lit(int(d)))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # queries whose truncated top-k misses everything still get a row
+        qs = q.select("q_id")
+        out = (
+            qs.crossJoin(
+                out.sparkSession.createDataFrame(
+                    [(int(d),) for d in dims], "dim int"
+                )
+            )
+            .join(out, ["q_id", "dim"], "left")
+            .withColumn("overlap", F.coalesce("overlap", F.lit(0).cast("long")))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        full.unpersist()
+    return out.select("q_id", F.col("dim").cast("int").alias("dim"), "overlap")

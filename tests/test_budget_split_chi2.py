@@ -285,3 +285,19 @@ def test_quality_budget_curve_cumsums(spark, docs):
         assert r.score_lo_permille == r.bucket * 50
     # the full-corpus row covers everything
     assert curve[-1].cum_docs == docs.filter(F.col("n_chars").isNotNull()).count()
+
+
+def test_matryoshka_recall_full_dim_is_perfect_and_monotonic_ish(spark):
+    from shaclapi_spark.pipeline import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4)
+    mr = sim.matryoshka_recall(
+        emb, q, "vec_id", "embedding", "vec_id", "embedding",
+        dims=[8, 64], full_dim=64, k=10,
+    )
+    rows = {(r.q_id, r.dim): r.overlap for r in mr.collect()}
+    assert len(rows) == 8  # 4 queries x 2 dims, missing combos zero-filled
+    for qid in range(4):
+        assert rows[(qid, 64)] == 10  # full dim retrieves itself exactly
+        assert 0 <= rows[(qid, 8)] <= 10
