@@ -485,6 +485,7 @@ def audio_fingerprint(
 def fingerprint_matches(
     fp: DataFrame,
     min_shared: int = 5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-match clip pairs from the fingerprint token relation:
     (a, b, n_shared) for pairs sharing at least ``min_shared`` DISTINCT
@@ -495,8 +496,25 @@ def fingerprint_matches(
     distinct (clip, token) projection, one self-join keyed on the 8-byte
     token, one map-combinable pair count. 32-bit-comparison tokens make
     random collisions negligible, so the join fan-out tracks true
-    duplication, not corpus size."""
+    duplication, not corpus size. ``max_bucket`` is the standard
+    stop-token cap for when duplication itself is degenerate: tokens
+    appearing in more than ``max_bucket`` clips are dropped before the
+    join (a token shared by thousands of clips contributes quadratic
+    pairs and zero discrimination — same rationale as dropping
+    super-frequent shingles); pairs whose overlap lives entirely in
+    stop tokens are then missed, so size the cap above the largest
+    REAL duplicate-group you must resolve."""
     t = fp.select("clip_id", "token").distinct().persist()
+    if max_bucket is not None:
+        hot = (
+            t.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > int(max_bucket))
+            .select("token")
+        )
+        t2 = t.join(F.broadcast(hot), "token", "left_anti").persist()
+        t.unpersist()
+        t = t2
     try:
         a = t.select(F.col("clip_id").alias("a"), "token")
         b = t.select(F.col("clip_id").alias("b"), "token")

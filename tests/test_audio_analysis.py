@@ -259,3 +259,15 @@ class TestFingerprint:
     def test_n_bands_guard(self, spark):
         with pytest.raises(ValueError):
             aa.audio_fingerprint(_clip_df(spark, []), n_bands=8)
+
+    def test_max_bucket_drops_degenerate_tokens(self, spark):
+        sr, n = 16000, 16000
+        blob = _sine_blob(440.0, sr, n, amp=0.8)
+        rows = [(f"c{i}", bytearray(blob)) for i in range(6)]
+        fp = aa.audio_fingerprint(_clip_df(spark, rows))
+        # 6 identical clips: every token lives in a 6-clip bucket, so a cap
+        # of 3 drops them all and no pair survives; uncapped, all 15 pairs
+        assert aa.fingerprint_matches(fp, min_shared=2).count() == 15
+        assert (
+            aa.fingerprint_matches(fp, min_shared=2, max_bucket=3).count() == 0
+        )
