@@ -74,3 +74,72 @@ def schema_check(
             "actual_type string, is_valid boolean"
         ),
     )
+
+
+def schema_diff(
+    spark: SparkSession,
+    old: DataFrame,
+    new: DataFrame,
+) -> DataFrame:
+    """Schema EVOLUTION diff between two table versions — the structural
+    companion of the keyed row diff (`ops.diff.snapshot diff` looks at
+    values; this looks at the shape the values live in). One row per
+    column that exists in either version:
+    (column, change, old_type, new_type, back_compatible) with change ∈
+    {unchanged, added, removed, type_changed, nullability_tightened,
+    nullability_relaxed}.
+
+    ``back_compatible`` encodes the standard reader contract (Iceberg /
+    parquet schema-evolution rules in spirit): additions and nullability
+    RELAXATION are safe for existing readers; removals, retypes, and
+    tightening nullable → required are breaking.
+
+    Driver-side only (inspects schemas, launches no job) — run it between
+    ``revalidate_incremental`` versions to decide whether the old verdict
+    relation is even comparable before diffing rows."""
+    o = {f.name: f for f in old.schema.fields}
+    n = {f.name: f for f in new.schema.fields}
+    rows: list[tuple] = []
+    for name in sorted(set(o) | set(n)):
+        fo, fn = o.get(name), n.get(name)
+        if fo is None:
+            rows.append((name, "added", None, fn.dataType.simpleString(), True))
+        elif fn is None:
+            rows.append((name, "removed", fo.dataType.simpleString(), None, False))
+        elif fo.dataType.simpleString() != fn.dataType.simpleString():
+            rows.append(
+                (
+                    name,
+                    "type_changed",
+                    fo.dataType.simpleString(),
+                    fn.dataType.simpleString(),
+                    False,
+                )
+            )
+        elif fo.nullable != fn.nullable:
+            rows.append(
+                (
+                    name,
+                    "nullability_tightened" if fo.nullable else "nullability_relaxed",
+                    fo.dataType.simpleString(),
+                    fn.dataType.simpleString(),
+                    not fo.nullable,  # relaxing required→nullable is safe
+                )
+            )
+        else:
+            rows.append(
+                (
+                    name,
+                    "unchanged",
+                    fo.dataType.simpleString(),
+                    fn.dataType.simpleString(),
+                    True,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "column string, change string, old_type string, "
+            "new_type string, back_compatible boolean"
+        ),
+    )

@@ -79,10 +79,21 @@ def windowed_psi(
     for i in range(n_bins):
         term = (p[i] - F.lit(q[i])) * (F.log(p[i]) - F.lit(math.log(q[i])))
         psi = term if psi is None else psi + term
+    # chi-square goodness-of-fit rides the same stateful aggregate for
+    # free: chi2 = sum_i (c_i - N q_i)^2 / (N q_i) — unlike PSI it scales
+    # with N, so its verdict catches small persistent shifts that the
+    # fraction-based PSI smooths away on big windows (the batch
+    # counterpart is ops.drift.chi2_gof)
+    chi2 = None
+    for i in range(n_bins):
+        e_i = F.col("n_rows") * F.lit(q[i])
+        term = (F.col(f"__c{i}") - e_i) * (F.col(f"__c{i}") - e_i) / e_i
+        chi2 = term if chi2 is None else chi2 + term
     return hist.select(
         F.col("__w.start").alias("window_start"),
         F.col("__w.end").alias("window_end"),
         F.col("n_rows").cast("long").alias("n_rows"),
         psi.alias("psi"),
         (psi > F.lit(psi_threshold)).alias("drifted"),
+        chi2.alias("chi2"),
     )

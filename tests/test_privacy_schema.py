@@ -62,3 +62,33 @@ def test_expected_from_ddl_roundtrip(spark):
     df = spark.createDataFrame([], schema="clip_id string, sr_hz int, bytes binary")
     out = schema_check(spark, df, exp).collect()
     assert all(r.is_valid for r in out)
+
+
+def test_schema_diff_changes(spark):
+    from shaclapi_spark.ops.schema import schema_diff
+
+    old = spark.createDataFrame([], "a string, b int, c double, d string")
+    new = spark.createDataFrame([], "a string, b bigint, d string, e binary")
+    got = {r.column: (r.change, r.back_compatible) for r in schema_diff(spark, old, new).collect()}
+    assert got == {
+        "a": ("unchanged", True),
+        "b": ("type_changed", False),
+        "c": ("removed", False),
+        "d": ("unchanged", True),
+        "e": ("added", True),
+    }
+
+
+def test_schema_diff_nullability(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from shaclapi_spark.ops.schema import schema_diff
+
+    req = StructType([StructField("x", LongType(), False)])
+    opt = StructType([StructField("x", LongType(), True)])
+    o = spark.createDataFrame([], req)
+    n = spark.createDataFrame([], opt)
+    r = schema_diff(spark, o, n).collect()[0]
+    assert (r.change, r.back_compatible) == ("nullability_relaxed", True)
+    r2 = schema_diff(spark, n, o).collect()[0]
+    assert (r2.change, r2.back_compatible) == ("nullability_tightened", False)

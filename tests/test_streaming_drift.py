@@ -78,6 +78,25 @@ def test_windowed_psi_matches_batch_formula(spark, src):
     assert abs(r1.psi - expect_psi([90 + i % 10 for i in range(400)])) < 1e-9
     assert not r0.drifted and r1.drifted
 
+    # chi2 rides the same aggregate: matches the batch chi2_gof formula
+    # (smoothed ref fractions, counts not fractions)
+    import math as _math
+
+    eps = 1e-6
+    qsum = sum(REF) + N_BINS * eps
+    q_sm = [(f + eps) / qsum for f in REF]
+
+    def expect_chi2(values):
+        counts = np.zeros(N_BINS)
+        for v in values:
+            counts[min(N_BINS - 1, max(0, int(v // 10)))] += 1
+        n = counts.sum()
+        return float(sum((counts[i] - n * q_sm[i]) ** 2 / (n * q_sm[i]) for i in range(N_BINS)))
+
+    assert abs(r0.chi2 - expect_chi2([i % 100 for i in range(400)])) < 1e-6
+    assert abs(r1.chi2 - expect_chi2([90 + i % 10 for i in range(400)])) < 1e-6
+    assert r1.chi2 > r0.chi2
+
 
 def test_validation(spark, src):
     stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
