@@ -254,11 +254,16 @@ def chi2_groups(
         .withColumn("__M", F.sum("n_b").over(w))
         .withColumn(
             "chi2_ppm",
+            # operands cast to decimal BEFORE the products: n_a*__M as a
+            # long*long would wrap past 2^63 at corpus scale (the DuckDB
+            # oracle's per-operand ::HUGEINT casts are the same guard)
             F.expr(
                 f"CAST(CASE WHEN n_a + n_b = 0 OR __N = 0 OR __M = 0 THEN 0 "
                 f"ELSE (CAST(1000000 AS {dec})"
-                f" * CAST(n_a * __M - n_b * __N AS {dec})"
-                f" * CAST(n_a * __M - n_b * __N AS {dec}))"
+                f" * (CAST(n_a AS {dec}) * CAST(__M AS {dec})"
+                f"    - CAST(n_b AS {dec}) * CAST(__N AS {dec}))"
+                f" * (CAST(n_a AS {dec}) * CAST(__M AS {dec})"
+                f"    - CAST(n_b AS {dec}) * CAST(__N AS {dec})))"
                 f" div (CAST(__N AS {dec}) * CAST(__M AS {dec})"
                 f" * CAST(n_a + n_b AS {dec})) END AS BIGINT)"
             ),

@@ -504,17 +504,19 @@ def fingerprint_matches(
     super-frequent shingles); pairs whose overlap lives entirely in
     stop tokens are then missed, so size the cap above the largest
     REAL duplicate-group you must resolve."""
-    t = fp.select("clip_id", "token").distinct().persist()
+    base = fp.select("clip_id", "token").distinct().persist()
+    t = base
     if max_bucket is not None:
+        # base stays persisted until the checkpoint materializes: the hot-
+        # token aggregate AND the anti-join both read it, and an early
+        # unpersist would recompute the corpus distinct() for each
         hot = (
-            t.groupBy("token")
+            base.groupBy("token")
             .agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > int(max_bucket))
             .select("token")
         )
-        t2 = t.join(F.broadcast(hot), "token", "left_anti").persist()
-        t.unpersist()
-        t = t2
+        t = base.join(F.broadcast(hot), "token", "left_anti").persist()
     try:
         a = t.select(F.col("clip_id").alias("a"), "token")
         b = t.select(F.col("clip_id").alias("b"), "token")
@@ -528,4 +530,6 @@ def fingerprint_matches(
         )
     finally:
         t.unpersist()
+        if t is not base:
+            base.unpersist()
     return out

@@ -33,6 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from shaclapi_spark.pipeline.sampling import bucket_prefix_offsets, offsets_map
+
 Dim = tuple  # (col_sql: str, lo: int, hi: int) — col_sql must be integral
 
 
@@ -121,18 +123,10 @@ def zorder_file_assignment(
     total_bits = bits * n_dims
     shift = max(total_bits - (n_buckets.bit_length() - 1), 0)
     keyed = keyed.withColumn("__b", F.shiftright(F.col("zkey"), shift))
-    counts = {
-        r["__b"]: r["n"]
-        for r in keyed.groupBy("__b").agg(F.count("*").alias("n")).collect()
-    }
-    offsets, acc = {}, 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
-    n_rows = acc
+    offsets, n_rows = bucket_prefix_offsets(keyed, "__b")
     if n_rows == 0:
         return keyed.drop("__b").withColumn("file", F.lit(0))
-    offset_map = F.create_map(*[F.lit(x) for bo in offsets.items() for x in bo])
+    offset_map = offsets_map(offsets)
     w = Window.partitionBy("__b").orderBy("zkey", F.col(id_col))
     rank0 = (
         F.row_number().over(w) + offset_map[F.col("__b")].cast("long") - F.lit(1)
@@ -160,7 +154,6 @@ def zorder_pruning_report(
 
     One map-combinable groupBy(file); the shuffle carries one row per
     (task, file)."""
-    exprs = dict(stat_cols)
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for name, c in ((n, c) for c, n in stat_cols):
         aggs.append(F.min(F.expr(c)).cast("long").alias(f"min_{name}"))

@@ -213,6 +213,36 @@ def weighted_mix(
     )
 
 
+def bucket_prefix_offsets(
+    keyed: DataFrame, bucket_col: str, weight_col: str | None = None
+) -> tuple[dict, int]:
+    """The shared half of the two-phase global-rank/cumsum device
+    (epoch_shuffle / budget_cut / layout.zorder_file_assignment): ONE
+    narrow aggregate over the range-bucket column — row counts, or sums
+    of ``weight_col`` — collected (bounded: <= n_buckets rows) and
+    prefix-summed in bucket order on the driver. Returns
+    ``(offsets, total)`` where offsets[b] = combined weight of all
+    buckets ordered before b. Callers broadcast the offsets back via
+    ``offsets_map`` and add them to per-bucket window ranks/cumsums."""
+    agg = (
+        F.sum(F.col(weight_col).cast("long"))
+        if weight_col is not None
+        else F.count("*")
+    )
+    rows = keyed.groupBy(bucket_col).agg(agg.alias("__s")).collect()
+    sums = {r[bucket_col]: int(r["__s"] or 0) for r in rows}
+    offsets, acc = {}, 0
+    for b in sorted(sums):
+        offsets[b] = acc
+        acc += sums[b]
+    return offsets, acc
+
+
+def offsets_map(offsets: dict) -> Column:
+    """Broadcastable literal map column from a bucket→offset dict."""
+    return F.create_map(*[F.lit(x) for bo in offsets.items() for x in bo])
+
+
 def epoch_shuffle(
     df: DataFrame,
     id_col: str,
@@ -254,17 +284,8 @@ def epoch_shuffle(
     keyed = df.withColumn("__key", key).withColumn(
         "__b", F.shiftright(F.col("__key"), shift)
     )
-    counts = {
-        r["__b"]: r["n"]
-        for r in keyed.groupBy("__b").agg(F.count("*").alias("n")).collect()
-    }
-    offsets, acc = {}, 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
-    offset_map = F.create_map(
-        *[F.lit(x) for bo in offsets.items() for x in bo]
-    )
+    offsets, _total = bucket_prefix_offsets(keyed, "__b")
+    offset_map = offsets_map(offsets)
     w = Window.partitionBy("__b").orderBy("__key", F.col(id_col))
     return (
         keyed.withColumn(
@@ -530,6 +551,10 @@ def budget_cut(
     if budget < 0:
         raise ValueError("budget must be >= 0")
     p = F.col(priority_col).cast("double")
+    # rows with NULL priority are excluded, not ranked: every boundary
+    # comparison on NULL would otherwise fall through to bucket 0 and let
+    # unscored docs consume budget ahead of every scored one
+    df = df.filter(p.isNotNull())
     if boundaries is None:
         qs = [i / n_buckets for i in range(1, n_buckets)]
         boundaries = sorted(
@@ -543,25 +568,14 @@ def budget_cut(
     for i, b in enumerate(boundaries):
         idx = idx + F.when(p <= F.lit(float(b)), F.lit(1)).otherwise(F.lit(0))
     keyed = df.withColumn("__b", idx)
-    bucket_sums = {
-        r["__b"]: r["s"]
-        for r in keyed.groupBy("__b")
-        .agg(F.sum(F.col(token_col).cast("long")).alias("s"))
-        .collect()
-    }
-    offsets, acc = {}, 0
-    for b in sorted(bucket_sums):
-        offsets[b] = acc
-        acc += int(bucket_sums[b] or 0)
+    offsets, _total = bucket_prefix_offsets(keyed, "__b", weight_col=token_col)
     # buckets that start past the budget can never contribute a kept row
     live = [b for b, off in offsets.items() if off <= budget]
     if not live:
         return keyed.filter(F.lit(False)).drop("__b").withColumn(
             "cum_tokens", F.lit(0).cast("long")
         )
-    offset_map = F.create_map(
-        *[F.lit(x) for b in live for x in (b, offsets[b])]
-    )
+    offset_map = offsets_map({b: offsets[b] for b in live})
     w = (
         Window.partitionBy("__b")
         .orderBy(p.desc(), F.col(id_col).asc())

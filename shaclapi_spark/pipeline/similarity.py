@@ -500,7 +500,12 @@ def matryoshka_recall(
     try:
         parts = []
         for d in dims:
-            hit = topk(int(d)).join(full, ["q_id", "__id"])
+            if int(d) == int(full_dim):
+                # the full-dim ranking overlaps itself exactly — count the
+                # persisted hit set instead of re-running the corpus scan
+                hit = full
+            else:
+                hit = topk(int(d)).join(full, ["q_id", "__id"])
             parts.append(
                 hit.groupBy("q_id")
                 .agg(F.count(F.lit(1)).cast("long").alias("overlap"))

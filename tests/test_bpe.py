@@ -87,7 +87,7 @@ def test_tokenize_bpe_roundtrip_and_counts(spark, docs):
         assert len(r.tokens) == r.n_tokens
     # spot-check one doc end-to-end against the reference encoder
     sample = docs.limit(1).collect()[0]
-    norm = re.sub(r"\\s+", " ", sample.text.lower()).strip()
+    norm = re.sub(r"\s+", " ", sample.text.lower()).strip()
     norm_words = [w for w in norm.split(" ") if w]
     want = []
     for w in norm_words:
