@@ -205,6 +205,24 @@ def q_clip_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.violations.select("entity_id", "shape", "constraint_id")
 
 
+def q_clips_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # enforcement split: the invalid clip rows annotated with their
+    # recorded constraint failures — the audit relation api.enforce
+    # produces between validate and write
+    from shaclapi_spark import api as api_mod
+
+    t = _clip_tables(spark, sf_dir)
+    _clean, quar = api_mod.enforce(
+        spark,
+        fixtures.clip_suite(include_audio=True, include_drift=False),
+        t,
+        "ClipShape",
+        "clip_id",
+        config=_CFG,
+    )
+    return quar.select("clip_id", "codec", "n_violations", "reasons")
+
+
 def q_shacl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # W3C ValidationReport rows from the clip-suite violations; the
     # component CASE in the oracle is generated from the SAME
@@ -1675,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_evidence_fk": q_violation_evidence_fk,
         "clip_violations": q_clip_violations,
         "shacl_report": q_shacl_report,
+        "clips_quarantine": q_clips_quarantine,
         "verdict_counts": q_verdict_counts,
         "clip_summary": q_clip_summary,
         "clip_cycle_verdicts": q_clip_cycle_verdicts,
@@ -2940,6 +2959,32 @@ FROM (
 """
 
 
+def _clips_quarantine_sql() -> str:
+    """Enforcement audit relation: invalid ClipShape entities (from the
+    verdict oracle) joined back to their table rows, annotated from the
+    violations oracle — mirrors api.enforce's verdict-driven split."""
+    c = _clips_pq("clips")
+    t = _clips_pq("transcripts")
+    return f"""
+WITH verd AS ({oracle.clip_verdict_sql(c, t, include_audio=True)}),
+viol AS (
+  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_violations,
+         string_agg(DISTINCT constraint_id, ',' ORDER BY constraint_id) AS reasons
+  FROM ({_clip_violations_sql()}) WHERE shape = 'ClipShape' GROUP BY 1
+),
+bad AS (
+  SELECT entity_id FROM verd
+  WHERE NOT is_valid AND entity_id != '__dataset__'
+)
+SELECT c.clip_id, c.codec,
+  CAST(coalesce(v.n_violations, 0) AS BIGINT) AS n_violations,
+  coalesce(v.reasons, '') AS reasons
+FROM {c} c
+JOIN bad b ON CAST(c.clip_id AS VARCHAR) = b.entity_id
+LEFT JOIN viol v ON v.entity_id = b.entity_id
+"""
+
+
 def _zorder_prune_sql() -> str:
     """DuckDB replay of the z-order layout + pruning report: the SAME
     generator (layout.zorder_sql) emits the key formula in the duckdb
@@ -3466,6 +3511,7 @@ SELECT doc_id, source FROM documents
 WHERE doc_id < 120 AND doc_id NOT IN (SELECT doc FROM losers)
 """,
         "zorder_prune_lineitem": _zorder_prune_sql(),
+        "clips_quarantine": _clips_quarantine_sql(),
         "hard_negatives_emb": """
 WITH q AS (
   SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, label AS ql

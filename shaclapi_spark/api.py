@@ -158,3 +158,72 @@ def schema_overlap(
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / min(len(sa), len(sb))
+
+
+def enforce(
+    spark: SparkSession,
+    suite: Suite,
+    tables: dict[str, DataFrame],
+    shape_name: str,
+    id_col: str,
+    config: EngineConfig | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The pipeline ending validation exists for: split a shape's table
+    into ``(clean, quarantine)`` by its per-entity verdicts — the
+    expectations-style enforcement step (drop-invalid + audit) a
+    production job runs between validate and write.
+
+    ``clean`` is the input table minus invalid entities (anti-join on the
+    invalid id set — the dominant valid population never shuffles);
+    ``quarantine`` is the invalid rows annotated with ``n_violations``
+    and ``reasons`` (comma-joined sorted distinct constraint ids — under
+    short-circuit evaluation this lists the RECORDED failures, which may
+    be a prefix of all failures; run with short_circuit=False for the
+    exhaustive list). Dataset-level verdicts (``__dataset__`` rows, e.g.
+    drift) describe the whole table, not a row, and never quarantine
+    rows — read them off :func:`run`'s result instead.
+
+    Reference parity: the reference reports verdicts and stops
+    (shaclapi/api.py:324-387); enforcement is the engine-original step
+    mandated by the training-pipeline brief (quarantined rows feed the
+    curation audit; clean rows feed the writer)."""
+    shape = suite.shape(shape_name)
+    res = run_suite(
+        spark, suite, tables, target_shapes=[shape_name], config=config
+    )
+    table = tables[shape.table]
+    bad = (
+        res.verdicts.filter(
+            (F.col("shape") == shape_name)
+            & (F.col("entity_id") != "__dataset__")
+            & ~F.col("is_valid")
+        )
+        .select(F.col("entity_id"))
+        .distinct()
+    )
+    key = table[id_col].cast("string")
+    clean = table.join(bad, key == bad["entity_id"], "left_anti")
+    reasons = (
+        res.violations.filter(
+            (F.col("shape") == shape_name)
+            & (F.col("entity_id") != "__dataset__")
+        )
+        .groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set("constraint_id"))
+            ).alias("reasons"),
+        )
+    )
+    quarantine = (
+        table.join(bad, key == bad["entity_id"])
+        .drop(bad["entity_id"])
+        .join(reasons, key == reasons["entity_id"], "left")
+        .drop(reasons["entity_id"])
+        .withColumn(
+            "n_violations", F.coalesce("n_violations", F.lit(0).cast("long"))
+        )
+        .withColumn("reasons", F.coalesce("reasons", F.lit("")))
+    )
+    return clean, quarantine

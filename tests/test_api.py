@@ -96,3 +96,24 @@ def test_run_anytime_cyclic_forces_blocking(spark, fixture_tables, tmp_path):
     )
     assert isinstance(res, SuiteResult)
     assert res.verdicts.filter(res.verdicts.shape == "ClipShape").count() > 0
+
+
+def test_enforce_splits_clean_and_quarantine(spark, fixture_tables):
+    suite = fixtures.clip_suite(include_audio=False, include_drift=False)
+    clean, quar = api.enforce(spark, suite, fixture_tables, "ClipShape", "clip_id")
+    n_total = fixture_tables["clips"].count()
+    n_clean, n_quar = clean.count(), quar.count()
+    assert n_clean + n_quar == n_total
+    assert n_quar > 0  # the fixture seeds violations
+    rows = quar.select("clip_id", "n_violations", "reasons").collect()
+    for r in rows:
+        assert r.n_violations >= 1
+        assert r.reasons  # every quarantined row names its constraints
+        assert r.reasons == ",".join(sorted(r.reasons.split(",")))
+    # clean rows re-validate clean: enforcing the clean table quarantines
+    # fewer (row-local constraints all pass; cross-row ones may shift)
+    res = api.run(spark, suite, {**fixture_tables, "clips": clean})
+    row_bad = res.verdicts.filter(
+        "shape = 'ClipShape' AND entity_id != '__dataset__' AND NOT is_valid"
+    ).count()
+    assert row_bad <= n_quar
