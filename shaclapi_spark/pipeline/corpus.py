@@ -456,12 +456,22 @@ def train_bpe(
 
     Classic BPE trains on the word-frequency DICT, not the token stream:
     Spark's one corpus-sized job builds the bounded dict
-    (``word_frequencies``), then the merge loop is pure driver Python over
-    ≤ max_vocab entries — corpus-size-independent by construction, the
-    standard architecture (the dict is Zipf-bounded; the loop never sees
-    the corpus). Merge selection is deterministic: highest weighted pair
-    count, ties by lexicographic pair."""
-    vocab = {tuple(w): c for w, c in word_frequencies(docs, text_col, max_vocab)}
+    (``word_frequencies``), then ``bpe_merge_loop`` is pure driver Python
+    over ≤ max_vocab entries — corpus-size-independent by construction,
+    the standard architecture (the dict is Zipf-bounded; the loop never
+    sees the corpus)."""
+    return bpe_merge_loop(word_frequencies(docs, text_col, max_vocab), n_merges)
+
+
+def bpe_merge_loop(word_counts: list, n_merges: int) -> list:
+    """The pure training loop over a [(word, count)] dict. Merge selection
+    is deterministic: highest weighted pair count, ties by lexicographic
+    pair; stops early when no pairs remain (fully merged vocab), so the
+    merge list is PREFIX-STABLE in n_merges (property-tested)."""
+    vocab: dict = {}
+    for w, c in word_counts:
+        t = tuple(w)
+        vocab[t] = vocab.get(t, 0) + int(c)
     merges: list = []
     for _ in range(int(n_merges)):
         counts: dict = {}

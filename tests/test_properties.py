@@ -107,3 +107,56 @@ def test_cutoff_monotone_and_bounded(rate):
     c = _cutoff(rate)
     assert 0 <= c <= _HASH_SPACE
     assert _cutoff(min(1.0, rate + 0.1)) >= c
+
+
+# ---------------------------------------------------------------------------
+# BPE greedy encoder core
+# ---------------------------------------------------------------------------
+
+def _merge_pairs_strategy():
+    sym = st.text(alphabet="abcd", min_size=1, max_size=2)
+    return st.lists(st.tuples(sym, sym), min_size=0, max_size=12, unique=True)
+
+
+@given(word=st.text(alphabet="abcd", min_size=0, max_size=16), merges=_merge_pairs_strategy())
+@settings(max_examples=200, deadline=None)
+def test_bpe_encode_word_invariants(word, merges):
+    """_encode_word: (1) concatenating the output reproduces the word —
+    merging never drops or reorders characters; (2) no adjacent output
+    pair is itself mergeable (greedy runs to a fixpoint); (3) result is
+    deterministic."""
+    from shaclapi_spark.pipeline.corpus import _encode_word
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    out = _encode_word(word, ranks)
+    assert "".join(out) == word
+    for a, b in zip(out, out[1:]):
+        assert (a, b) not in ranks, (word, merges, out)
+    assert out == _encode_word(word, ranks)
+
+
+@given(
+    counts=st.dictionaries(
+        st.text(alphabet="abc", min_size=2, max_size=6),
+        st.integers(1, 50),
+        min_size=1,
+        max_size=8,
+    ),
+    n_merges=st.integers(0, 10),
+)
+@settings(max_examples=100, deadline=None)
+def test_bpe_training_prefix_stability(counts, n_merges):
+    """Training k merges then k+3 yields the same first k — the library
+    merge loop is prefix-stable (what lets a pipeline extend a tokenizer
+    without re-encoding history). Also: encoding each training word with
+    ALL merges applied leaves no mergeable adjacent pair."""
+    from shaclapi_spark.pipeline.corpus import _encode_word, bpe_merge_loop
+
+    wc = list(counts.items())
+    m1 = bpe_merge_loop(wc, n_merges)
+    m2 = bpe_merge_loop(wc, n_merges + 3)
+    assert m2[: len(m1)] == m1
+    ranks = {p: i for i, p in enumerate(m2)}
+    for w, _c in wc:
+        out = _encode_word(w, ranks)
+        assert "".join(out) == w
