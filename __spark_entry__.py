@@ -1196,11 +1196,12 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _uniq_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # non-duplicated clip_ids only: the frame/loudness operators are per
-    # physical row, but SQL's GROUP BY clip_id would merge the fixture's
-    # seeded duplicate rows — the oracles encode the same HAVING count=1
-    c = _clip_tables(spark, sf_dir)["clips"]
+def uniq_clips_of(c: DataFrame) -> DataFrame:
+    """Non-duplicated clip_ids only: the frame/loudness operators are per
+    physical row, but SQL's GROUP BY clip_id would merge the fixture's
+    seeded duplicate rows — the oracles encode the same HAVING count=1.
+    Shared with bench.py so the timed population and the contract
+    population stay the same relation."""
     uniq = (
         c.groupBy("clip_id")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -1208,6 +1209,10 @@ def _uniq_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("clip_id")
     )
     return c.join(uniq, "clip_id")
+
+
+def _uniq_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return uniq_clips_of(_clip_tables(spark, sf_dir)["clips"])
 
 
 def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3614,12 +3619,19 @@ WITH b AS (
   FROM documents WHERE n_chars IS NOT NULL
 ),
 c AS (SELECT bin, sum(a) AS n_a, count(*) - sum(a) AS n_b FROM b GROUP BY 1),
-t AS (SELECT c.*, sum(n_a) OVER () AS N, sum(n_b) OVER () AS M FROM c)
+t AS (SELECT c.*, sum(n_a) OVER () AS N, sum(n_b) OVER () AS M FROM c),
+dd AS (
+  SELECT t.*, (n_a*M - n_b*N)::HUGEINT AS d,
+         (N::HUGEINT * M::HUGEINT * (n_a + n_b)::HUGEINT) AS den
+  FROM t
+)
+-- ppm scaling staged after the division (floor(1e6 d^2/D) = 1e6*(d^2//D)
+-- + (1e6*(d^2 % D))//D) — mirrors the Spark side's overflow staging
 SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
   CAST(CASE WHEN n_a + n_b = 0 OR N = 0 OR M = 0 THEN 0 ELSE
-    (1000000::HUGEINT * (n_a*M - n_b*N)::HUGEINT * (n_a*M - n_b*N)::HUGEINT)
-    // (N::HUGEINT * M::HUGEINT * (n_a + n_b)::HUGEINT) END AS BIGINT) AS chi2_ppm
-FROM t
+    1000000::HUGEINT * ((d * d) // den)
+    + (1000000::HUGEINT * ((d * d) % den)) // den END AS BIGINT) AS chi2_ppm
+FROM dd
 """,
         "stratified_sample_docs": f"""
 SELECT doc_id, lang FROM documents

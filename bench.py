@@ -324,11 +324,7 @@ def main() -> None:
     def _fp_matches():
         from pyspark.sql import functions as FB
 
-        c = tables["clips"]
-        uniq = (
-            c.groupBy("clip_id").count().filter("count = 1").select("clip_id")
-        )
-        sl = c.join(uniq, "clip_id").filter(
+        sl = entry_mod.uniq_clips_of(tables["clips"]).filter(
             FB.substring("clip_id", 6, 12).cast("long") % 128 == 0
         )
         fp = aa_bench.audio_fingerprint(

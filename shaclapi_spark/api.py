@@ -192,6 +192,10 @@ def enforce(
         spark, suite, tables, target_shapes=[shape_name], config=config
     )
     table = tables[shape.table]
+    # both derived relations are bounded by the invalid-entity count and
+    # are eagerly checkpointed, so validation runs exactly twice HERE
+    # (once per result relation) and never again — without this, every
+    # action on clean/quarantine re-evaluates the whole suite
     bad = (
         res.verdicts.filter(
             (F.col("shape") == shape_name)
@@ -200,6 +204,7 @@ def enforce(
         )
         .select(F.col("entity_id"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     key = table[id_col].cast("string")
     clean = table.join(bad, key == bad["entity_id"], "left_anti")
@@ -215,6 +220,7 @@ def enforce(
                 ",", F.array_sort(F.collect_set("constraint_id"))
             ).alias("reasons"),
         )
+        .localCheckpoint(eager=True)
     )
     quarantine = (
         table.join(bad, key == bad["entity_id"])

@@ -253,19 +253,32 @@ def chi2_groups(
         counts.withColumn("__N", F.sum("n_a").over(w))
         .withColumn("__M", F.sum("n_b").over(w))
         .withColumn(
+            # operands cast to decimal BEFORE the products (long*long wraps
+            # past 2^63 at corpus scale), and the 10^6 ppm scaling is staged
+            # AFTER the division — floor(10^6 d^2/D) = 10^6*(d^2 div D)
+            # + (10^6*(d^2 mod D)) div D — because 10^6*d^2 itself passes
+            # DECIMAL(38,0)'s ceiling once d ~ 5e16 (every intermediate here
+            # stays <= ~1e34 for N, M up to ~5e8 rows per side)
+            "__d",
+            F.expr(
+                f"CAST(n_a AS {dec}) * CAST(__M AS {dec})"
+                f" - CAST(n_b AS {dec}) * CAST(__N AS {dec})"
+            ),
+        )
+        .withColumn(
+            "__den",
+            F.expr(
+                f"CAST(__N AS {dec}) * CAST(__M AS {dec})"
+                f" * CAST(n_a + n_b AS {dec})"
+            ),
+        )
+        .withColumn(
             "chi2_ppm",
-            # operands cast to decimal BEFORE the products: n_a*__M as a
-            # long*long would wrap past 2^63 at corpus scale (the DuckDB
-            # oracle's per-operand ::HUGEINT casts are the same guard)
             F.expr(
                 f"CAST(CASE WHEN n_a + n_b = 0 OR __N = 0 OR __M = 0 THEN 0 "
-                f"ELSE (CAST(1000000 AS {dec})"
-                f" * (CAST(n_a AS {dec}) * CAST(__M AS {dec})"
-                f"    - CAST(n_b AS {dec}) * CAST(__N AS {dec}))"
-                f" * (CAST(n_a AS {dec}) * CAST(__M AS {dec})"
-                f"    - CAST(n_b AS {dec}) * CAST(__N AS {dec})))"
-                f" div (CAST(__N AS {dec}) * CAST(__M AS {dec})"
-                f" * CAST(n_a + n_b AS {dec})) END AS BIGINT)"
+                f"ELSE CAST(1000000 AS {dec}) * ((__d * __d) div __den)"
+                f" + (CAST(1000000 AS {dec}) * ((__d * __d) % __den)) div __den "
+                f"END AS BIGINT)"
             ),
         )
         .select("bin", "n_a", "n_b", "chi2_ppm")

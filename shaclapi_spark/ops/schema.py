@@ -76,6 +76,20 @@ def schema_check(
     )
 
 
+# reader-safe type promotions (Iceberg's allowed evolutions): widening
+# integrals, float->double. Everything else — narrowing, string<->numeric,
+# decimal scale changes — is breaking.
+_SAFE_WIDENINGS = {
+    ("tinyint", "smallint"),
+    ("tinyint", "int"),
+    ("tinyint", "bigint"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
 def schema_diff(
     spark: SparkSession,
     old: DataFrame,
@@ -86,13 +100,15 @@ def schema_diff(
     values; this looks at the shape the values live in). One row per
     column that exists in either version:
     (column, change, old_type, new_type, back_compatible) with change ∈
-    {unchanged, added, removed, type_changed, nullability_tightened,
-    nullability_relaxed}.
+    {unchanged, added, removed, type_changed, type_widened,
+    nested_changed, nullability_tightened, nullability_relaxed}.
 
-    ``back_compatible`` encodes the standard reader contract (Iceberg /
-    parquet schema-evolution rules in spirit): additions and nullability
-    RELAXATION are safe for existing readers; removals, retypes, and
-    tightening nullable → required are breaking.
+    ``back_compatible`` encodes the standard reader contract (Iceberg's
+    allowed schema evolutions): additions, nullability RELAXATION, and
+    the widening promotions (int→bigint, float→double, ...) are safe for
+    existing readers; removals, any other retype, changes INSIDE nested
+    struct/array/map types (compared via the type's full json form, not
+    the shape string), and tightening nullable → required are breaking.
 
     Driver-side only (inspects schemas, launches no job) — run it between
     ``revalidate_incremental`` versions to decide whether the old verdict
@@ -106,14 +122,24 @@ def schema_diff(
             rows.append((name, "added", None, fn.dataType.simpleString(), True))
         elif fn is None:
             rows.append((name, "removed", fo.dataType.simpleString(), None, False))
-        elif fo.dataType.simpleString() != fn.dataType.simpleString():
+        elif fo.dataType.json() != fn.dataType.json():
+            # json (not simpleString) so NESTED nullability/metadata edits
+            # inside struct/array/map types register; a widening promotion
+            # (the Iceberg-safe set) is the one retype readers tolerate
+            widened = (
+                fo.dataType.simpleString(),
+                fn.dataType.simpleString(),
+            ) in _SAFE_WIDENINGS
+            same_shape = fo.dataType.simpleString() == fn.dataType.simpleString()
             rows.append(
                 (
                     name,
-                    "type_changed",
+                    "type_widened"
+                    if widened
+                    else ("nested_changed" if same_shape else "type_changed"),
                     fo.dataType.simpleString(),
                     fn.dataType.simpleString(),
-                    False,
+                    widened,
                 )
             )
         elif fo.nullable != fn.nullable:

@@ -67,15 +67,16 @@ def test_expected_from_ddl_roundtrip(spark):
 def test_schema_diff_changes(spark):
     from shaclapi_spark.ops.schema import schema_diff
 
-    old = spark.createDataFrame([], "a string, b int, c double, d string")
-    new = spark.createDataFrame([], "a string, b bigint, d string, e binary")
+    old = spark.createDataFrame([], "a string, b int, c double, d string, f float")
+    new = spark.createDataFrame([], "a string, b bigint, d int, e binary, f double")
     got = {r.column: (r.change, r.back_compatible) for r in schema_diff(spark, old, new).collect()}
     assert got == {
         "a": ("unchanged", True),
-        "b": ("type_changed", False),
+        "b": ("type_widened", True),   # Iceberg-safe promotion
         "c": ("removed", False),
-        "d": ("unchanged", True),
+        "d": ("type_changed", False),  # string -> int is breaking
         "e": ("added", True),
+        "f": ("type_widened", True),
     }
 
 
@@ -92,3 +93,21 @@ def test_schema_diff_nullability(spark):
     assert (r.change, r.back_compatible) == ("nullability_relaxed", True)
     r2 = schema_diff(spark, n, o).collect()[0]
     assert (r2.change, r2.back_compatible) == ("nullability_tightened", False)
+
+
+def test_schema_diff_sees_nested_nullability(spark):
+    from pyspark.sql.types import (
+        IntegerType, StructField, StructType,
+    )
+
+    from shaclapi_spark.ops.schema import schema_diff
+
+    inner_opt = StructType([StructField("s", StructType(
+        [StructField("x", IntegerType(), True)]), True)])
+    inner_req = StructType([StructField("s", StructType(
+        [StructField("x", IntegerType(), False)]), True)])
+    o = spark.createDataFrame([], inner_opt)
+    n = spark.createDataFrame([], inner_req)
+    r = schema_diff(spark, o, n).collect()[0]
+    # same shape string, different nested contract -> flagged, breaking
+    assert (r.change, r.back_compatible) == ("nested_changed", False)
