@@ -795,6 +795,23 @@ def q_simhash_neardups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_neardups(d, "doc_id", "text", max_hamming=3, bits=60, hash_fn="md5_60")
 
 
+def q_curation_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # row-level funnel debugger: the FIRST stage that dropped each doc
+    # (or 'kept') over the same planted-duplicate corpus as the funnel
+    from shaclapi_spark.pipeline import curate as cu
+
+    d = _t(spark, sf_dir, "documents")
+    dup = d.filter(F.col("doc_id") % 11 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    corpus = d.unionByName(dup)
+    bench = sp.hash_sample(d, "doc_id", rate=0.05, salt="bench")
+    return cu.curate_dispositions(
+        corpus, bench, keep_langs=("en", "de"), min_tokens=25,
+        max_token_len=30, n=8,
+    )
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end-to-end curation composition: quality → lang → exact dedup →
     # decontamination, reported as the per-stage funnel counts every
@@ -1733,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         "stratified_quota_docs": q_stratified_quota_docs,
         "curation_funnel": q_curation_funnel,
+        "curation_dispositions": q_curation_dispositions,
         "curation_funnel_neardup": q_curation_funnel_neardup,
         "pipeline_e2e": q_pipeline_e2e,
         "weighted_mix_docs": q_weighted_mix_docs,
@@ -4125,6 +4143,63 @@ SELECT source, doc_id, n_chars, rank FROM r WHERE rank <= 3
         # (checked: LSH output == exact all-pairs relation), so the exact
         # k-gram Jaccard relation IS the oracle — same SQL shape as
         # jaccard_pairs_docs at k=5, threshold=0.5, full table.
+        "curation_dispositions": f"""
+WITH corpus AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 11 = 0
+),
+quality AS (
+  SELECT * FROM corpus
+  WHERE len({_TOKS}) >= 25
+    AND coalesce(list_aggregate(list_transform({_TOKS}, x -> length(x)), 'max'), 0) <= 30
+),
+lng AS (SELECT * FROM quality WHERE lang IN ('en', 'de')),
+surv AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5({_NORM}) AS h FROM lng)
+  GROUP BY h
+),
+dedup AS (SELECT l.* FROM lng l JOIN surv USING (doc_id)),
+w AS (
+  SELECT doc_id, list_filter(string_split({_NORM}, ' '), t -> t <> '') AS words
+  FROM dedup
+),
+g AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(words) - 7, 0) + 1),
+           i -> md5(array_to_string(words[i:i+7], ' ')))) AS gram
+  FROM w
+),
+bw AS (
+  SELECT doc_id, list_filter(string_split({_NORM}, ' '), t -> t <> '') AS words
+  FROM documents
+  WHERE ('0x' || substring(md5('bench' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        < {int(0.05 * (1 << 60))}
+),
+bg AS (
+  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(words) - 7, 0) + 1),
+           i -> md5(array_to_string(words[i:i+7], ' ')))) AS gram
+  FROM bw
+),
+bad AS (SELECT DISTINCT doc_id FROM g JOIN bg USING (gram)),
+decontam AS (
+  SELECT d.doc_id FROM dedup d LEFT JOIN bad USING (doc_id)
+  WHERE bad.doc_id IS NULL
+)
+SELECT c.doc_id,
+  CASE WHEN q.doc_id IS NULL THEN 'quality'
+       WHEN l.doc_id IS NULL THEN 'lang'
+       WHEN dd.doc_id IS NULL THEN 'dedup'
+       WHEN bad.doc_id IS NOT NULL THEN 'decontam'
+       ELSE 'kept' END AS disposition
+FROM corpus c
+LEFT JOIN (SELECT doc_id FROM quality) q USING (doc_id)
+LEFT JOIN (SELECT doc_id FROM lng) l USING (doc_id)
+LEFT JOIN (SELECT doc_id FROM dedup) dd USING (doc_id)
+LEFT JOIN bad USING (doc_id)
+""",
         "curation_funnel": f"""
 WITH corpus AS (
   SELECT * FROM documents

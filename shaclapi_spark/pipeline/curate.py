@@ -250,3 +250,39 @@ def quality_budget_curve(
             "cum_docs", "cum_tokens",
         )
     )
+
+
+def curate_dispositions(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    keep_langs: tuple[str, ...] = ("en", "de"),
+    min_tokens: int = 10,
+    max_token_len: int = 30,
+    n: int = 8,
+) -> DataFrame:
+    """Per-document curation outcome — the row-level debugger behind the
+    aggregate funnel: (id, disposition) where disposition names the FIRST
+    stage that dropped the doc (``quality`` | ``lang`` | ``dedup`` |
+    ``decontam``) or ``kept``. "Why did doc X disappear?" is answered by
+    one lookup instead of re-running stages; grouping this relation by
+    disposition reproduces the funnel's stage deltas exactly.
+
+    Same two narrow corpus scans as the funnel (the flag relation is
+    shared code); the disposition is a row-local CASE over the flags."""
+    flags = _flag_relation(
+        docs, benchmark, id_col, text_col, lang_col,
+        keep_langs, min_tokens, max_token_len, n,
+    )
+    disposition = (
+        F.when(~F.col("__q"), F.lit("quality"))
+        .when(~F.col("__l"), F.lit("lang"))
+        .when(~F.col("__d"), F.lit("dedup"))
+        .when(F.col("__contam"), F.lit("decontam"))
+        .otherwise(F.lit("kept"))
+    )
+    return flags.select(
+        F.col("__id").alias(id_col), disposition.alias("disposition")
+    )

@@ -472,3 +472,29 @@ def test_curate_funnel_monotone_and_composed(spark):
     counts = [f[s] for s in cu.STAGES]
     assert counts == sorted(counts, reverse=True)  # funnel is monotone
     assert [r.doc_id for r in curated.collect()] == [1]
+
+
+def test_curate_dispositions_reproduce_funnel(spark):
+    from pyspark.sql import functions as F
+
+    from shaclapi_spark.pipeline import curate as cu
+    from shaclapi_spark.pipeline import sampling as sp
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dup = docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    corpus = docs.unionByName(dup)
+    bench = sp.hash_sample(docs, "doc_id", rate=0.05, salt="bench")
+    kwargs = dict(keep_langs=("en", "de"), min_tokens=25, max_token_len=30, n=8)
+    disp = cu.curate_dispositions(corpus, bench, **kwargs)
+    counts = {r.disposition: r["count"] for r in disp.groupBy("disposition").count().collect()}
+    _, funnel = cu.curate(corpus, bench, **kwargs)
+    stages = {r.stage: r.n_docs for r in funnel.collect()}
+    # every doc has exactly one disposition; grouping reproduces the funnel
+    assert sum(counts.values()) == stages["raw"]
+    assert counts.get("quality", 0) == stages["raw"] - stages["quality"]
+    assert counts.get("lang", 0) == stages["quality"] - stages["lang"]
+    assert counts.get("dedup", 0) == stages["lang"] - stages["dedup"]
+    assert counts.get("decontam", 0) == stages["dedup"] - stages["decontam"]
+    assert counts.get("kept", 0) == stages["decontam"]
