@@ -812,6 +812,27 @@ def q_curation_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # aggregate reconciliation: each order's recorded total vs the exact-
+    # cents sum of its line amounts, 5% tolerance — the classic warehouse
+    # consistency check fk_match can't express (the synthetic totals are
+    # random, so the check correctly flags most orders)
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return stats_ops.reconciliation_check(
+        o,
+        li,
+        "o_orderkey",
+        "l_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)"
+            " AS BIGINT)"
+        ),
+        tol_ppm=50_000,
+    )
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end-to-end curation composition: quality → lang → exact dedup →
     # decontamination, reported as the per-stage funnel counts every
@@ -1751,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_quota_docs": q_stratified_quota_docs,
         "curation_funnel": q_curation_funnel,
         "curation_dispositions": q_curation_dispositions,
+        "orders_reconciliation": q_orders_reconciliation,
         "curation_funnel_neardup": q_curation_funnel_neardup,
         "pipeline_e2e": q_pipeline_e2e,
         "weighted_mix_docs": q_weighted_mix_docs,
@@ -4143,6 +4165,27 @@ SELECT source, doc_id, n_chars, rank FROM r WHERE rank <= 3
         # (checked: LSH output == exact all-pairs relation), so the exact
         # k-gram Jaccard relation IS the oracle — same SQL shape as
         # jaccard_pairs_docs at k=5, threshold=0.5, full table.
+        "orders_reconciliation": """
+WITH a AS (
+  SELECT l_orderkey AS k,
+    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+                  AS BIGINT)) AS BIGINT) AS actual_cents,
+    CAST(count(*) AS BIGINT) AS n_children
+  FROM lineitem GROUP BY 1
+),
+p AS (
+  SELECT o_orderkey AS key,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS expected_cents
+  FROM orders
+)
+SELECT p.key, p.expected_cents,
+  CAST(coalesce(a.actual_cents, 0) AS BIGINT) AS actual_cents,
+  CAST(coalesce(a.n_children, 0) AS BIGINT) AS n_children,
+  CAST(coalesce(a.actual_cents, 0) - p.expected_cents AS BIGINT) AS diff_cents,
+  abs(coalesce(a.actual_cents, 0) - p.expected_cents) * 1000000
+    <= 50000 * abs(p.expected_cents) AS ok
+FROM p LEFT JOIN a ON a.k = p.key
+""",
         "curation_dispositions": f"""
 WITH corpus AS (
   SELECT * FROM documents

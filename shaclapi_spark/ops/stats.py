@@ -371,3 +371,59 @@ def evaluate_stat_bound_constraints(spark, suite, tables: dict[str, DataFrame]):
         schema="entity_id string, shape string, constraint_id string, detail string",
     )
     return vd, vl
+
+
+def reconciliation_check(
+    parent: DataFrame,
+    child: DataFrame,
+    parent_key: str,
+    child_key: str,
+    parent_cents,
+    child_cents,
+    tol_ppm: int = 0,
+) -> DataFrame:
+    """Cross-table aggregate reconciliation — the classic warehouse
+    validation fk_match cannot express: does each parent's recorded total
+    equal the SUM over its children? (order total vs line amounts,
+    account balance vs ledger entries, clip duration vs segment spans.)
+    Output per parent: (key, expected_cents, actual_cents, diff_cents,
+    n_children, ok) with ok ⇔ |diff| * 10^6 <= tol_ppm * |expected|.
+
+    ``parent_cents`` / ``child_cents`` are Column expressions already
+    scaled to EXACT INTEGERS (e.g. round(amount * 100)): the per-row
+    rounding is a fixed IEEE expression both engines evaluate identically,
+    and integer sums are order-independent — so the relation value-hashes
+    cross-engine where a double sum (whose result depends on reduction
+    order) cannot.
+
+    Scale shape: one map-combinable child aggregation (the shuffle moves
+    one partial row per (task, parent)) + a key equi-join against the
+    parent relation; parents without children reconcile against 0."""
+    actual = child.groupBy(F.col(child_key).alias("__k")).agg(
+        F.sum(child_cents.cast("long")).cast("long").alias("actual_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_children"),
+    )
+    out = (
+        parent.select(
+            F.col(parent_key).alias("key"),
+            parent_cents.cast("long").alias("expected_cents"),
+        )
+        .join(actual, F.col("key") == F.col("__k"), "left")
+        .drop("__k")
+        .withColumn(
+            "actual_cents", F.coalesce("actual_cents", F.lit(0).cast("long"))
+        )
+        .withColumn(
+            "n_children", F.coalesce("n_children", F.lit(0).cast("long"))
+        )
+        .withColumn(
+            "diff_cents",
+            (F.col("actual_cents") - F.col("expected_cents")).cast("long"),
+        )
+        .withColumn(
+            "ok",
+            F.abs(F.col("diff_cents")) * F.lit(1_000_000)
+            <= F.lit(int(tol_ppm)) * F.abs(F.col("expected_cents")),
+        )
+    )
+    return out

@@ -227,3 +227,37 @@ def test_grouped_quantiles_value_salted_exchange(spark):
     assert any(
         "codec" in p and len(p.split(",")) >= 3 for p in parts
     ), parts
+
+
+def test_reconciliation_check_exact_and_orphans(spark):
+    from shaclapi_spark.ops.stats import reconciliation_check
+
+    parent = spark.createDataFrame(
+        [(1, 100.00), (2, 55.50), (3, 10.00)], "pk long, total double"
+    )
+    child = spark.createDataFrame(
+        [(1, 60.00), (1, 40.00), (2, 55.49)], "fk long, amt double"
+    )
+    out = {
+        r.key: (r.expected_cents, r.actual_cents, r.diff_cents, r.n_children, r.ok)
+        for r in reconciliation_check(
+            parent, child, "pk", "fk",
+            F.expr("CAST(round(total * 100) AS BIGINT)"),
+            F.expr("CAST(round(amt * 100) AS BIGINT)"),
+            tol_ppm=0,
+        ).collect()
+    }
+    assert out[1] == (10000, 10000, 0, 2, True)      # exact match
+    assert out[2] == (5550, 5549, -1, 1, False)      # off by one cent
+    assert out[3] == (1000, 0, -1000, 0, False)      # childless parent
+    # tolerance: 1 cent of 55.50 is ~180 ppm
+    out2 = {
+        r.key: r.ok
+        for r in reconciliation_check(
+            parent, child, "pk", "fk",
+            F.expr("CAST(round(total * 100) AS BIGINT)"),
+            F.expr("CAST(round(amt * 100) AS BIGINT)"),
+            tol_ppm=200,
+        ).collect()
+    }
+    assert out2 == {1: True, 2: True, 3: False}
