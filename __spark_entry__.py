@@ -307,6 +307,44 @@ def q_fdep_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.verdicts.select("entity_id", "shape", "is_valid", "reason")
 
 
+def q_reconcile_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reconcile as a first-class constraint kind: per-order verdicts that
+    # the recorded total matches the exact-cents sum of line amounts
+    # within 5% — fused into the engine's child-aggregate machinery
+    suite = Suite(
+        shapes=[
+            Shape(
+                name="OrderShape",
+                table="orders",
+                entity_col="o_orderkey",
+                constraints=[
+                    Constraint(
+                        "o_total",
+                        "reconcile",
+                        {
+                            "child": "lineitem",
+                            "fk": "l_orderkey",
+                            "expected": "CAST(round(o_totalprice * 100) AS BIGINT)",
+                            "amount": (
+                                "CAST(round(l_extendedprice * (1 - l_discount)"
+                                " * (1 + l_tax) * 100) AS BIGINT)"
+                            ),
+                            "tol_ppm": 50_000,
+                            "columns": ["o_totalprice"],
+                        },
+                    ),
+                ],
+            )
+        ]
+    )
+    tables = {
+        "orders": _t(spark, sf_dir, "orders"),
+        "lineitem": _t(spark, sf_dir, "lineitem"),
+    }
+    res = run_suite(spark, suite, tables, config=_CFG)
+    return res.verdicts.select("entity_id", "shape", "is_valid", "reason")
+
+
 def q_stat_bound_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dataset-grain aggregate bounds (null-rate / central tendency /
     # row count / minimum) — all four fused into ONE aggregate job over the
@@ -1773,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "curation_dispositions": q_curation_dispositions,
         "orders_reconciliation": q_orders_reconciliation,
+        "reconcile_verdicts": q_reconcile_verdicts,
         "curation_funnel_neardup": q_curation_funnel_neardup,
         "pipeline_e2e": q_pipeline_e2e,
         "weighted_mix_docs": q_weighted_mix_docs,
@@ -4165,6 +4204,25 @@ SELECT source, doc_id, n_chars, rank FROM r WHERE rank <= 3
         # (checked: LSH output == exact all-pairs relation), so the exact
         # k-gram Jaccard relation IS the oracle — same SQL shape as
         # jaccard_pairs_docs at k=5, threshold=0.5, full table.
+        "reconcile_verdicts": """
+WITH a AS (
+  SELECT l_orderkey AS k,
+    sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+             AS BIGINT)) AS actual
+  FROM lineitem GROUP BY 1
+),
+v AS (
+  SELECT o_orderkey,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS exp,
+    coalesce(a.actual, 0) AS act
+  FROM orders o LEFT JOIN a ON a.k = o.o_orderkey
+)
+SELECT CAST(o_orderkey AS VARCHAR) AS entity_id, 'OrderShape' AS shape,
+  (exp IS NULL OR abs(act - exp) * 1000000 <= 50000 * abs(exp)) AS is_valid,
+  CASE WHEN NOT (exp IS NULL OR abs(act - exp) * 1000000 <= 50000 * abs(exp))
+       THEN 'o_total' ELSE NULL END AS reason
+FROM v
+""",
         "orders_reconciliation": """
 WITH a AS (
   SELECT l_orderkey AS k,

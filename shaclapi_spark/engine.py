@@ -244,6 +244,16 @@ class _ShapeEvaluator:
             proj.append(
                 F.when(raw.isNotNull(), F.xxhash64(raw)).alias(f"__fd_{c.id}")
             )
+        # reconcile constraints: the parent-side integer `expected`
+        # expression is computed scan-side (it reads payload-width parent
+        # columns) and only the 8-byte result crosses the shuffles; with
+        # duplicate entity rows the entity grain takes MAX (deterministic)
+        rec_cs = [c for c in self.child_cs if c.kind == "reconcile"]
+        for c in rec_cs:
+            df = df.withColumn(
+                f"__exp_{c.id}", F.expr(c.params["expected"]).cast("long")
+            )
+            proj.append(F.col(f"__exp_{c.id}"))
         all_row_names = row_bool_names + [f"b_{c.id}" for c in self.audio_cs]
         proj += [F.col(n) for n in all_row_names]
         df = df.select(*proj)
@@ -394,6 +404,8 @@ class _ShapeEvaluator:
             for c in self.fdep_cs:
                 aggs.append(F.min(F.col(f"__fd_{c.id}")).alias(f"__fdlo_{c.id}"))
                 aggs.append(F.max(F.col(f"__fd_{c.id}")).alias(f"__fdhi_{c.id}"))
+            for c in rec_cs:
+                aggs.append(F.max(F.col(f"__exp_{c.id}")).alias(f"__exp_{c.id}"))
             ent = df.groupBy(F.col(entity).alias("entity_id")).agg(*aggs)
         else:
             ent = df.withColumn("__n_rows", F.lit(1)).withColumnRenamed(
@@ -479,9 +491,13 @@ class _ShapeEvaluator:
                     cond = cond & F.coalesce(
                         F.col(f"__v_{rs}_{rk}"), F.lit(True)
                     )
-                aggs.append(
-                    F.sum(F.when(cond, 1).otherwise(0)).alias(f"cnt_{c.id}")
-                )
+                if c.kind == "reconcile":
+                    amt = F.expr(c.params["amount"]).cast("long")
+                    aggs.append(F.sum(F.when(cond, amt)).alias(f"sum_{c.id}"))
+                else:
+                    aggs.append(
+                        F.sum(F.when(cond, 1).otherwise(0)).alias(f"cnt_{c.id}")
+                    )
             agg = child.groupBy(F.col(fk).alias("__fk")).agg(*aggs)
             join_key = (
                 ent["entity_id"]
@@ -490,6 +506,19 @@ class _ShapeEvaluator:
             )
             ent = ent.join(agg, join_key == agg["__fk"], "left").drop("__fk")
             for c in cs:
+                if c.kind == "reconcile":
+                    dec = "decimal(38,0)"
+                    exp = F.col(f"__exp_{c.id}")
+                    act = F.coalesce(
+                        F.col(f"sum_{c.id}"), F.lit(0).cast("long")
+                    )
+                    tol = int(c.params.get("tol_ppm", 0))
+                    diff = F.abs(act.cast(dec) - exp.cast(dec))
+                    bools[c.id] = exp.isNull() | (
+                        diff * F.lit(1_000_000).cast(dec)
+                        <= F.lit(tol).cast(dec) * F.abs(exp.cast(dec))
+                    )
+                    continue
                 cnt = F.coalesce(F.col(f"cnt_{c.id}"), F.lit(0))
                 pred = F.lit(True)
                 if c.kind == "min_count" or (

@@ -42,6 +42,15 @@ child-level (one groupBy+join per (child_table, fk)):
         retracted-consent ids, benchmark-id exclusion). NULL local value is
         vacuously valid. Fuses into the same aggregated-parent join as
         fk_exists against the same (parent, parent_col).
+  reconcile(child, fk, expected, amount, tol_ppm?, where?, local_key?) —
+        aggregate reconciliation: this entity's integer ``expected`` SQL
+        expression (over its own row, e.g. round(total*100)) must equal the
+        SUM of the child rows' integer ``amount`` expression within
+        ``tol_ppm`` millionths of |expected| (default 0 = exact). Childless
+        entities reconcile against 0; NULL expected is vacuously valid.
+        Declare the parent columns the expression reads via ``columns`` so
+        query-driven constraint pruning sees them. Fuses into the same
+        single child groupBy as min/max_count on the same (child, fk).
   fk_match(key, parent, parent_key, column, parent_col) — cross-table value
         equality: this row's `column` must equal EVERY matching parent
         row's `parent_col` (bool_and over parent rows; when duplicated
@@ -92,6 +101,7 @@ CHILD_KINDS = {
     "fk_match",
     "fk_near_match",
     "qualified_shape",
+    "reconcile",
 }
 DATASET_KINDS = {"drift", "stat_bound"}
 ALL_KINDS = ROW_KINDS | ENTITY_KINDS | CHILD_KINDS | DATASET_KINDS | {"or_group"}
