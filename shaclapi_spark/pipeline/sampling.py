@@ -238,8 +238,13 @@ def bucket_prefix_offsets(
     return offsets, acc
 
 
-def offsets_map(offsets: dict) -> Column:
-    """Broadcastable literal map column from a bucket→offset dict."""
+def offsets_map(offsets: dict, key_type: str = "bigint") -> Column:
+    """Broadcastable literal map column from a bucket→offset dict. An
+    EMPTY dict still yields a typed map (an argless create_map is
+    VOID-typed and fails analysis on the first lookup — the empty-corpus
+    path must plan like any other)."""
+    if not offsets:
+        return F.create_map().cast(f"map<{key_type},bigint>")
     return F.create_map(*[F.lit(x) for bo in offsets.items() for x in bo])
 
 
@@ -490,8 +495,10 @@ def interleave_sources(
         for b in sorted(bcounts):
             offset_entries.append((f"{src}\x00{b}", acc))
             acc += bcounts[b]
-    offset_map = F.create_map(
-        *[F.lit(x) for kv in offset_entries for x in kv]
+    offset_map = (
+        F.create_map(*[F.lit(x) for kv in offset_entries for x in kv])
+        if offset_entries
+        else F.create_map().cast("map<string,bigint>")
     )
     # per-source step: L // w  (w divides L by construction)
     step = F.lit(lcm)
