@@ -4240,8 +4240,9 @@ SELECT p.key, p.expected_cents,
   CAST(coalesce(a.actual_cents, 0) AS BIGINT) AS actual_cents,
   CAST(coalesce(a.n_children, 0) AS BIGINT) AS n_children,
   CAST(coalesce(a.actual_cents, 0) - p.expected_cents AS BIGINT) AS diff_cents,
-  abs(coalesce(a.actual_cents, 0) - p.expected_cents) * 1000000
-    <= 50000 * abs(p.expected_cents) AS ok
+  (p.expected_cents IS NULL OR
+   abs(coalesce(a.actual_cents, 0) - p.expected_cents) * 1000000
+     <= 50000 * abs(p.expected_cents)) AS ok
 FROM p LEFT JOIN a ON a.k = p.key
 """,
         "curation_dispositions": f"""

@@ -232,6 +232,8 @@ def chi2_groups(
     totals ride a window over the n_bins-row aggregate — no second scan,
     no driver round-trip. NULLs excluded, out-of-range clamped to the edge
     bins (same convention as observed_histogram)."""
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
     col = F.col(column).cast("double")
     width = (hi - lo) / n_bins
     bin_expr = F.least(

@@ -387,7 +387,13 @@ def reconciliation_check(
     equal the SUM over its children? (order total vs line amounts,
     account balance vs ledger entries, clip duration vs segment spans.)
     Output per parent: (key, expected_cents, actual_cents, diff_cents,
-    n_children, ok) with ok ⇔ |diff| * 10^6 <= tol_ppm * |expected|.
+    n_children, ok) with ok ⇔ |diff| * 10^6 <= tol_ppm * |expected|,
+    evaluated in DECIMAL(38,0) (the raw BIGINT product wraps past 2^63
+    once |diff| or |expected| exceeds ~9.2e12 cents in non-ANSI Spark).
+    A NULL ``expected_cents`` is vacuously valid (ok = true), matching
+    the engine's ``reconcile`` constraint kind (engine.py reconcile
+    branch: ``exp.isNull() | ...``) — no recorded total means nothing
+    to reconcile against.
 
     ``parent_cents`` / ``child_cents`` are Column expressions already
     scaled to EXACT INTEGERS (e.g. round(amount * 100)): the per-row
@@ -422,8 +428,13 @@ def reconciliation_check(
         )
         .withColumn(
             "ok",
-            F.abs(F.col("diff_cents")) * F.lit(1_000_000)
-            <= F.lit(int(tol_ppm)) * F.abs(F.col("expected_cents")),
+            F.col("expected_cents").isNull()
+            | (
+                F.abs(F.col("diff_cents")).cast("decimal(38,0)")
+                * F.lit(1_000_000).cast("decimal(38,0)")
+                <= F.lit(int(tol_ppm)).cast("decimal(38,0)")
+                * F.abs(F.col("expected_cents")).cast("decimal(38,0)")
+            ),
         )
     )
     return out

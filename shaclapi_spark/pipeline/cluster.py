@@ -13,12 +13,16 @@ Scale notes (the part that matters at 100 TB):
 
 * The pair graph is SPARSE relative to the corpus (near-dup blocking emits
   pairs only for colliding docs — 64 edges from 220k docs on the bench
-  fixture), so the edge relation is persisted and counted once, and small
-  graphs (≤ ``driver_edge_limit``, default 2M edges ≈ tens of MB) take a
-  driver-side union-find fast path: one bounded collect, microseconds of
-  find/union, one createDataFrame back — the same bounded-driver device as
-  IVF's training sample and epoch_shuffle's offset collect. Measured ~7 s
-  of fixed per-round dataflow overhead saved on a 64-edge graph.
+  fixture), so the edge relation is persisted and sized once, and small
+  graphs (≤ ``driver_edge_limit`` edges, default 500k, AND
+  ``driver_byte_limit`` id-payload bytes, default 64 MB — which for
+  16-char string ids means ~100-200 MB of transient driver memory
+  including the Arrow batches and the python union-find dict) take a
+  driver-side union-find fast path: one bounded Arrow collect,
+  microseconds of find/union, one Arrow createDataFrame back — the same
+  bounded-driver device as IVF's training sample and epoch_shuffle's
+  offset collect. Measured ~7 s of fixed per-round dataflow overhead
+  saved on a 64-edge graph.
 * Above the limit, driver-side union-find would need the whole edge list
   on one machine — a non-starter. There it is distributed min-label
   propagation: per round, each node takes the min of its own label and its
@@ -48,9 +52,12 @@ from shaclapi_spark.pipeline.sampling import _HASH_SPACE, md5_60
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
     """Bounded driver-side components: collect the (already persisted,
-    already counted) edge relation, run path-compressed union-find with
-    min-id representatives, ship the label table back. Output is
-    IDENTICAL to the distributed path (min id per component)."""
+    already gated-by-bytes) edge relation via Arrow, run path-compressed
+    union-find with min-id representatives, ship the label table back via
+    an Arrow-encoded pandas frame. Output is IDENTICAL to the distributed
+    path (min id per component)."""
+    import pandas as pd
+
     parent: dict = {}
 
     def find(x):
@@ -61,8 +68,10 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in edges.collect():
-        u, v = r.u, r.v
+    # Arrow batch transfer (toPandas), not row-at-a-time Row objects —
+    # ~5-10x less driver memory than collect() of Row for string ids
+    pdf = edges.toPandas()
+    for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
         parent.setdefault(u, u)
         parent.setdefault(v, v)
         ru, rv = find(u), find(v)
@@ -70,12 +79,14 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             # min-id root wins, matching the distributed min-label result
             lo, hi = (ru, rv) if ru < rv else (rv, ru)
             parent[hi] = lo
-    rows = [(n, find(n)) for n in parent]
+    out = pd.DataFrame(
+        {"node": list(parent), "component": [find(n) for n in parent]}
+    )
     id_type = edges.schema["u"].dataType
     from pyspark.sql.types import StructField, StructType
 
     return edges.sparkSession.createDataFrame(
-        rows,
+        out,
         StructType(
             [
                 StructField("node", id_type, True),
@@ -90,23 +101,40 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 50,
-    driver_edge_limit: int = 2_000_000,
+    driver_edge_limit: int = 500_000,
+    driver_byte_limit: int = 64 << 20,
 ) -> DataFrame:
     """(node, component): min-id label per connected component of the
-    undirected pair graph. Graphs with at most ``driver_edge_limit``
-    distinct edges use the bounded driver union-find fast path (see module
-    docstring); larger graphs run distributed min-label propagation. Both
-    paths produce the identical relation."""
+    undirected pair graph. Graphs within BOTH ``driver_edge_limit``
+    distinct edges AND ``driver_byte_limit`` estimated id-payload bytes
+    use the bounded driver union-find fast path (see module docstring);
+    larger graphs run distributed min-label propagation. Both paths
+    produce the identical relation.
+
+    The byte gate is the real bound: 500k edges of 16-char string ids is
+    ~16 MB of id payload → roughly 100-200 MB of transient driver memory
+    (Arrow batches + the python dict); long ids or higher limits scale
+    that linearly, which is why the gate measures sum(len(u)+len(v))
+    rather than trusting the edge count alone."""
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .persist()
     )
-    # materialize the cache and learn the graph size in one job; the edge
-    # count gates the driver fast path
-    n_edges = edges.count()
-    if n_edges <= driver_edge_limit:
+    # materialize the cache and learn the graph size in one job; edge
+    # count AND estimated id bytes gate the driver fast path
+    from pyspark.sql.types import StringType
+
+    if isinstance(edges.schema["u"].dataType, StringType):
+        sz = F.sum(F.length("u") + F.length("v"))
+    else:
+        sz = F.count(F.lit(1)) * F.lit(16)
+    stats = edges.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(sz, F.lit(0)).alias("bytes")
+    ).collect()[0]
+    n_edges, id_bytes = stats["n"], stats["bytes"]
+    if n_edges <= driver_edge_limit and id_bytes <= driver_byte_limit:
         out = _driver_union_find(edges)
         edges.unpersist()
         return out
@@ -166,7 +194,7 @@ def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "a",
     b_col: str = "b",
-    driver_edge_limit: int = 2_000_000,
+    driver_edge_limit: int = 500_000,
 ) -> DataFrame:
     """(doc, cluster_rep, cluster_size): one row per document that appears
     in any near-dup pair; cluster_rep is the minimum doc id of its

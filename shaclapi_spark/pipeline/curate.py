@@ -219,6 +219,8 @@ def quality_budget_curve(
     window over the n_buckets-row aggregate — no second scan. score_lo is
     emitted in exact integer permille of the [lo, hi] span so the relation
     value-hashes across engines."""
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
     col = F.col(score_col).cast("double")
     width = (hi - lo) / n_buckets
     bucket = F.least(

@@ -61,6 +61,11 @@ def zorder_sql(dims: list, bits: int, dialect: str) -> str:
     does) when the optimizer's common-subexpression reuse matters."""
     if dialect not in ("spark", "duckdb"):
         raise ValueError(f"unknown dialect {dialect!r}")
+    if bits * len(dims) > 63:
+        raise ValueError(
+            f"bits*len(dims) = {bits * len(dims)} > 63: the interleaved "
+            "z-key would overflow the sign bit of a 64-bit long"
+        )
     n_dims = len(dims)
     terms = []
     for d, (col_sql, lo, hi) in enumerate(dims):
@@ -118,6 +123,11 @@ def zorder_file_assignment(
         raise ValueError("n_files must be positive")
     if n_buckets & (n_buckets - 1) or n_buckets <= 0:
         raise ValueError("n_buckets must be a power of two")
+    if bits * len(dims) > 63:
+        raise ValueError(
+            f"bits*len(dims) = {bits * len(dims)} > 63: the interleaved "
+            "z-key would overflow the sign bit of a 64-bit long"
+        )
     keyed = with_zorder_key(df, dims, bits)
     n_dims = len(dims)
     total_bits = bits * n_dims
@@ -125,7 +135,9 @@ def zorder_file_assignment(
     keyed = keyed.withColumn("__b", F.shiftright(F.col("zkey"), shift))
     offsets, n_rows = bucket_prefix_offsets(keyed, "__b")
     if n_rows == 0:
-        return keyed.drop("__b").withColumn("file", F.lit(0))
+        # cast to long so the output schema matches the non-empty path's
+        # integer-DIV expression
+        return keyed.drop("__b").withColumn("file", F.lit(0).cast("long"))
     offset_map = offsets_map(offsets)
     w = Window.partitionBy("__b").orderBy("zkey", F.col(id_col))
     rank0 = (

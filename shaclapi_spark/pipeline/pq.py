@@ -307,53 +307,90 @@ def pq_topk_batch(
     id_col: str,
     code_col: str = "codes",
     k: int = 10,
+    chunk_queries: int = 4096,
+    max_queries: int = 262_144,
 ) -> DataFrame:
-    """ADC top-k for a whole RELATION of queries in ONE job (cf.
-    similarity.ann_lsh_topk_batch / ivf.ivf_index_topk_batch — a job per
-    query never amortizes). The bounded query relation is collected and
-    its (Q, M, ksub) LUT stack broadcast inside one Arrow pass that emits
-    only each batch's per-query top-k candidates — k·Q rows per batch,
-    never the Q×corpus cross product — and a per-query window takes the
-    global top k from that bounded candidate relation.
+    """ADC top-k for a whole RELATION of queries in ONE job per
+    ``chunk_queries`` chunk (cf. similarity.ann_lsh_topk_batch /
+    ivf.ivf_index_topk_batch — a job per query never amortizes). Each
+    bounded query chunk is collected and its (chunk, M, ksub) LUT stack
+    broadcast inside one Arrow pass that emits only each batch's
+    per-query top-k candidates — k·chunk rows per batch, never the
+    Q×corpus cross product — and a per-query window takes the global top
+    k from the bounded candidate union.
+
+    Driver memory is ENFORCED bounded: the LUT broadcast is at most
+    chunk_queries × M × ksub longs (default 4096×16×256 ≈ 128 MB) per
+    pass regardless of Q, and a query relation larger than
+    ``max_queries`` raises rather than silently collecting — at that
+    scale the probe side is itself big data, so route it through the
+    LSH/IVF batch paths (which join the probe relation) or raise the cap
+    deliberately after persisting ``encoded``.
 
     Returns (qid, id, pq_dist, rank); qid is stringified. Distances are
     the same exact fixed-point integers as ``pq_topk`` (probe-all PQ),
     so per-query results equal Q independent ``pq_topk`` calls."""
     B = np.asarray(codebooks, dtype=np.int64)
     m = B.shape[0]
-    qrows = queries.select(q_id_col, q_vec_col).collect()
+    # over-read by one row so an oversized relation is detected without a
+    # full count job
+    qrows = queries.select(q_id_col, q_vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_topk_batch: query relation exceeds max_queries="
+            f"{max_queries}; a probe side this large should go through a "
+            "join-based batch path (ann_lsh_topk_batch / "
+            "ivf_index_topk_batch) or raise max_queries explicitly"
+        )
     if not qrows:
         return encoded.sparkSession.createDataFrame(
             [], f"qid string, {id_col} long, pq_dist long, rank int"
         )
-    qids = [str(r[q_id_col]) for r in qrows]
-    luts = np.stack([adc_lut(B, list(r[q_vec_col])) for r in qrows])
 
     id_field = encoded.select(id_col).schema.fields[0]
     out_schema = (
         f"qid string, {id_field.name} {id_field.dataType.simpleString()}, "
         "pq_dist long"
     )
+    codes = encoded.select(id_col, code_col)
 
-    def gen(batches):
-        for pdf in batches:
-            C = np.vstack(pdf[code_col].to_numpy()).astype(np.int64)
-            d = np.zeros((len(qids), len(C)), dtype=np.int64)
-            for mi in range(m):
-                d += luts[:, mi, :][:, C[:, mi]]
-            keep = min(k, len(C))
-            rows = []
-            ids = pdf[id_field.name].to_numpy()
-            for qi, qid in enumerate(qids):
-                # (dist, id) lexsort so boundary TIES keep the smallest
-                # ids — the global window's tiebreak must already hold
-                # inside every batch or tied candidates get pruned
-                order = np.lexsort((ids, d[qi]))[:keep]
-                for j in order:
-                    rows.append((qid, ids[j], int(d[qi, j])))
-            yield pd.DataFrame(rows, columns=["qid", id_field.name, "pq_dist"])
+    def chunk_candidates(chunk_rows):
+        qids = [str(r[q_id_col]) for r in chunk_rows]
+        # the closure ships the raw query vectors (chunk × D floats, ~MBs)
+        # and each task materializes the (chunk, M, ksub) LUT stack ONCE
+        # lazily — so N pending chunk closures never pin N LUT stacks
+        # (each ~100 MB at M=16, ksub=256) on the driver simultaneously
+        qvecs = [list(r[q_vec_col]) for r in chunk_rows]
 
-    cand = encoded.select(id_col, code_col).mapInPandas(gen, schema=out_schema)
+        def gen(batches):
+            luts = np.stack([adc_lut(B, v) for v in qvecs])
+            for pdf in batches:
+                C = np.vstack(pdf[code_col].to_numpy()).astype(np.int64)
+                d = np.zeros((len(qids), len(C)), dtype=np.int64)
+                for mi in range(m):
+                    d += luts[:, mi, :][:, C[:, mi]]
+                keep = min(k, len(C))
+                rows = []
+                ids = pdf[id_field.name].to_numpy()
+                for qi, qid in enumerate(qids):
+                    # (dist, id) lexsort so boundary TIES keep the
+                    # smallest ids — the global window's tiebreak must
+                    # already hold inside every batch or tied candidates
+                    # get pruned
+                    order = np.lexsort((ids, d[qi]))[:keep]
+                    for j in order:
+                        rows.append((qid, ids[j], int(d[qi, j])))
+                yield pd.DataFrame(
+                    rows, columns=["qid", id_field.name, "pq_dist"]
+                )
+
+        return codes.mapInPandas(gen, schema=out_schema)
+
+    cand = chunk_candidates(qrows[:chunk_queries])
+    for start in range(chunk_queries, len(qrows), chunk_queries):
+        cand = cand.unionByName(
+            chunk_candidates(qrows[start : start + chunk_queries])
+        )
     w = Window.partitionBy("qid").orderBy(
         F.col("pq_dist").asc(), F.col(id_field.name).asc()
     )

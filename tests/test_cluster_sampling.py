@@ -414,3 +414,20 @@ def test_interleave_sources_validation(spark):
         sampling.interleave_sources(df, "doc_id", "source", weights={"a": 0})
     with pytest.raises(ValueError):
         sampling.interleave_sources(df, "doc_id", "source", n_buckets=3)
+
+
+def test_connected_components_byte_gate_routes_distributed(spark):
+    # ids long enough that the byte gate trips even though the edge count
+    # is tiny — must still produce the identical relation via the
+    # distributed label-propagation path
+    pairs = spark.createDataFrame(
+        [("doc_" + "x" * 50 + str(i), "doc_" + "x" * 50 + str(i + 1))
+         for i in range(4)],
+        "a string, b string",
+    )
+    default = cluster.connected_components(pairs).orderBy("node").collect()
+    gated = cluster.connected_components(
+        pairs, driver_byte_limit=10
+    ).orderBy("node").collect()
+    assert default == gated
+    assert len({r["component"] for r in gated}) == 1

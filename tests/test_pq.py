@@ -179,3 +179,33 @@ def test_pq_topk_batch_matches_single(spark):
     # empty query relation -> empty result, stable schema
     empty = pq.pq_topk_batch(enc, B, qdf.limit(0), "qid", "qvec", "vec_id")
     assert empty.count() == 0 and "rank" in empty.columns
+
+
+def test_pq_topk_batch_chunked_and_guarded(spark):
+    rng = np.random.default_rng(29)
+    X = rng.normal(size=(60, 16))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    B = pq.synthetic_codebooks(4, 8, 4)
+    enc = df.select("vec_id", pq.encode_column(B, "embedding").alias("codes"))
+    qdf = spark.createDataFrame(
+        [(j, [float(v) for v in rng.normal(size=16)]) for j in range(7)],
+        "qid long, qvec array<double>",
+    )
+    inline = pq.pq_topk_batch(enc, B, qdf, "qid", "qvec", "vec_id", k=4)
+    chunked = pq.pq_topk_batch(
+        enc, B, qdf, "qid", "qvec", "vec_id", k=4, chunk_queries=2
+    )
+    key = lambda r: (r["qid"], r["rank"], r["vec_id"], r["pq_dist"])
+    assert sorted(map(key, inline.collect())) == sorted(
+        map(key, chunked.collect())
+    )
+    # a query relation past max_queries must raise, not silently collect
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_queries"):
+        pq.pq_topk_batch(
+            enc, B, qdf, "qid", "qvec", "vec_id", k=4, max_queries=3
+        )
