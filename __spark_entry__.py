@@ -35,6 +35,7 @@ from shaclapi_spark.pipeline import sampling as sp
 from shaclapi_spark.pipeline import sessions as sess
 from shaclapi_spark.pipeline import audio_analysis as aa
 from shaclapi_spark.pipeline import audio_transform as at
+from shaclapi_spark.pipeline import imagery as ig
 from shaclapi_spark.pipeline import multimodal as mm
 from shaclapi_spark.pipeline import asr_qa
 from shaclapi_spark.pipeline import shards
@@ -1566,6 +1567,53 @@ def q_multimodal_byte_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_row.groupBy("clip_id", "bin").agg(F.sum("n_bytes").alias("n_bytes"))
 
 
+def _av_tables(spark: SparkSession, sf_dir: str) -> tuple:
+    n = fixture_n_clips(sf_dir)
+    paths = fixture_io.ensure_fixture_pandas(n)
+    return (
+        spark.read.parquet(paths["images"]),
+        spark.read.parquet(paths["videos"]),
+    )
+
+
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # real-container (BMP/PPM) image metadata with JVM built-ins only —
+    # the still-image analog of audio_container_summary; the oracle
+    # re-parses the identical header bytes with hex arithmetic
+    images, _ = _av_tables(spark, sf_dir)
+    return ig.image_meta(images)
+
+
+def q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full pixel decode (numpy BMP/PPM readers in one Arrow pass) ->
+    # integer-exact channel sums / min / max / luma; the oracle re-decodes
+    # every payload byte from hex (stride-aware, BGR vs RGB)
+    images, _ = _av_tables(spark, sf_dir)
+    return ig.image_pixel_stats(images)
+
+
+def q_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nearest-neighbor thumbnail by exact integer index math + a
+    # position-weighted checksum, so the oracle byte-addresses exactly the
+    # pixels the resample must have selected
+    images, _ = _av_tables(spark, sf_dir)
+    return ig.image_resize_stats(images, 8, 6)
+
+
+def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SGV1 concatenated-frame container metadata, JVM built-ins only
+    _, videos = _av_tables(spark, sf_dir)
+    return ig.video_meta(videos)
+
+
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # frame sampling (every 2nd frame) + per-frame integer stats + motion
+    # energy vs the previous sampled frame — one shuffle-free Arrow pass;
+    # the oracle re-reads the sampled frames' bytes and the motion pairs
+    _, videos = _av_tables(spark, sf_dir)
+    return ig.video_frame_stats(videos, every_n=2)
+
+
 def q_speech_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # VAD-style speech/silence segmentation: contiguous runs of
     # active/silent 20 ms frames (integer-exact energy test), oracled by
@@ -1767,8 +1815,67 @@ def entry(spark: SparkSession) -> DataFrame:
     return clip_res.verdicts.unionByName(tpch_res.verdicts)
 
 
+# Driver-verification rotation (round-3 review): the driver's correctness
+# gate oracle-checks only the FIRST 50 queries() entries per round, so the
+# dict is reordered before return — the 9 core validation queries stay
+# pinned up front, then every entry the driver has NOT yet checked
+# (CORRECTNESS_r03.json covered exactly the first 50 of 110; the list below
+# is its complement plus anything newly added), then the already-verified
+# remainder. Each round the driver window therefore re-verifies the stalest
+# entries first.
+_PINNED_CORE = [
+    "clip_verdicts",
+    "clip_verdicts_pop",
+    "violation_evidence_fk",
+    "clip_violations",
+    "shacl_report",
+    "clips_quarantine",
+    "verdict_counts",
+    "clip_summary",
+    "clip_cycle_verdicts",
+]
+
+#: driver-verified through round 3 (keys of CORRECTNESS_r03.json)
+_DRIVER_VERIFIED_R3 = {
+    *_PINNED_CORE,
+    "fdep_verdicts", "monotonic_verdicts", "blocklist_verdicts",
+    "stat_bound_verdicts", "incremental_verdicts",
+    "incremental_changelog_verdicts", "verdict_regression", "clip_stats",
+    "grouped_stats_codec", "dup_clip_ids", "drift_hist_dur", "tpch_verdicts",
+    "events_hourly", "doc_dedup_groups", "jaccard_pairs_docs",
+    "dedup_clusters_docs", "precedence_dedup_docs", "interleave_docs",
+    "pq_topk", "pq_batch_topk", "budget_cut_docs", "zorder_prune_lineitem",
+    "audio_fp_matches", "hard_negatives_emb", "matryoshka_recall_emb",
+    "quality_budget_docs", "leakage_split_docs", "chi2_drift_docs",
+    "stratified_sample_docs", "stratified_quota_docs", "curation_funnel",
+    "curation_dispositions", "orders_reconciliation", "reconcile_verdicts",
+    "curation_funnel_neardup", "pipeline_e2e", "weighted_mix_docs",
+    "pack_sequences_docs", "repetition_docs", "decontam_docs",
+    "minhash_neardups_docs",
+}
+
+
+#: added this round — never seen by ANY driver window, so they outrank the
+#: round-3 judge-verified backlog
+_NEW_THIS_ROUND = [
+    "image_meta",
+    "image_pixel_stats",
+    "image_resize_stats",
+    "video_meta",
+    "video_frame_stats",
+]
+
+
+def _rotate_for_driver_window(q: dict) -> dict:
+    order = list(_PINNED_CORE)
+    order += [k for k in _NEW_THIS_ROUND if k in q]
+    order += [k for k in q if k not in _DRIVER_VERIFIED_R3 and k not in order]
+    order += [k for k in q if k not in order]
+    return {k: q[k] for k in order}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _rotate_for_driver_window({
         "clip_verdicts": q_clip_verdicts,
         "clip_verdicts_pop": q_clip_verdicts_pop,
         "violation_evidence_fk": q_violation_evidence_fk,
@@ -1879,7 +1986,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_wer": q_transcript_wer,
         "cer_verdicts": q_cer_verdicts,
         "multimodal_byte_hist": q_multimodal_byte_hist,
-    }
+        "image_meta": q_image_meta,
+        "image_pixel_stats": q_image_pixel_stats,
+        "image_resize_stats": q_image_resize_stats,
+        "video_meta": q_video_meta,
+        "video_frame_stats": q_video_frame_stats,
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -2859,6 +2971,245 @@ SELECT codec, status,
   CAST(sum(CASE WHEN parseable THEN blen - 21 END) AS BIGINT) AS payload_bytes,
   CAST(sum(CASE WHEN parseable THEN 2 * n END) AS BIGINT) AS raw_bytes
 FROM pc GROUP BY 1, 2
+"""
+
+
+def _image_meta_ctes() -> str:
+    """Shared image header-parse CTE chain (ends at relation ``meta``) —
+    the BMP/PPM analog of ``_audio_decode_ctes``: every field is read
+    from the REAL container bytes with hex substring arithmetic (BMP
+    little-endian u32/u16 fields; the fixture's fixed-width 19-byte PPM
+    header), and ``status`` replays imagery.image_meta's rejection
+    order exactly."""
+    i = _clips_pq("images")
+    return f"""raw AS (
+  SELECT img_id, upper(hex(bytes)) AS h,
+    octet_length(bytes) AS blen, bytes IS NULL AS is_null
+  FROM {i}
+),
+flags AS (
+  SELECT *, substr(h, 1, 4) = '424D' AS is_bmp,
+    substr(h, 1, 4) = '5036' AS is_ppm
+  FROM raw
+),
+fields AS (
+  SELECT *,
+    CASE WHEN is_bmp AND blen >= 54 THEN ('0x' || substr(h,43,2) ||
+      substr(h,41,2) || substr(h,39,2) || substr(h,37,2))::BIGINT END AS bmp_w,
+    CASE WHEN is_bmp AND blen >= 54 THEN ('0x' || substr(h,51,2) ||
+      substr(h,49,2) || substr(h,47,2) || substr(h,45,2))::BIGINT END AS bmp_h,
+    CASE WHEN is_bmp AND blen >= 54 THEN ('0x' || substr(h,59,2) ||
+      substr(h,57,2))::BIGINT END AS bmp_bpp,
+    CASE WHEN is_bmp AND blen >= 54 THEN ('0x' || substr(h,67,2) ||
+      substr(h,65,2) || substr(h,63,2) || substr(h,61,2))::BIGINT END AS bmp_comp,
+    CASE WHEN is_bmp AND blen >= 54 THEN ('0x' || substr(h,27,2) ||
+      substr(h,25,2) || substr(h,23,2) || substr(h,21,2))::BIGINT END AS data_off,
+    CASE WHEN is_ppm AND blen >= 19
+      THEN trim(CAST(unhex(substr(h, 7, 10)) AS VARCHAR))::BIGINT END AS ppm_w,
+    CASE WHEN is_ppm AND blen >= 19
+      THEN trim(CAST(unhex(substr(h, 19, 10)) AS VARCHAR))::BIGINT END AS ppm_h
+  FROM flags
+),
+meta AS (
+  SELECT img_id, h, blen, is_bmp, is_ppm, data_off,
+    CASE WHEN is_bmp THEN bmp_w ELSE ppm_w END AS w,
+    CASE WHEN is_bmp THEN bmp_h ELSE ppm_h END AS hh,
+    CASE WHEN is_bmp THEN bmp_bpp WHEN is_ppm THEN 24 END AS bpp,
+    CASE WHEN is_bmp THEN ((3 * bmp_w + 3) // 4) * 4 END AS stride,
+    CASE WHEN is_bmp THEN data_off + ((3 * bmp_w + 3) // 4) * 4 * bmp_h
+         WHEN is_ppm THEN 19 + 3 * ppm_w * ppm_h END AS need,
+    CASE
+      WHEN is_null THEN 'null'
+      WHEN NOT (is_bmp OR is_ppm) THEN 'bad_magic'
+      WHEN is_bmp AND blen < 54 THEN 'truncated'
+      WHEN is_ppm AND blen < 19 THEN 'truncated'
+      WHEN is_bmp AND (bmp_bpp <> 24 OR bmp_comp <> 0) THEN 'unsupported'
+      WHEN blen < (CASE WHEN is_bmp
+                        THEN data_off + ((3 * bmp_w + 3) // 4) * 4 * bmp_h
+                        ELSE 19 + 3 * ppm_w * ppm_h END) THEN 'truncated'
+      ELSE 'ok' END AS status,
+    (NOT is_null AND ((is_bmp AND blen >= 54) OR (is_ppm AND blen >= 19)))
+      AS parseable
+  FROM fields
+)"""
+
+
+def _image_meta_sql() -> str:
+    return f"""
+WITH {_image_meta_ctes()}
+SELECT img_id, status,
+  CASE WHEN parseable THEN (CASE WHEN is_bmp THEN 'bmp' ELSE 'ppm' END)
+    END AS fmt,
+  CAST(CASE WHEN parseable THEN w END AS BIGINT) AS width,
+  CAST(CASE WHEN parseable THEN hh END AS BIGINT) AS height,
+  CAST(CASE WHEN parseable THEN bpp END AS BIGINT) AS bpp,
+  CAST(CASE WHEN parseable THEN need END AS BIGINT) AS need_bytes,
+  CAST(blen AS BIGINT) AS actual_bytes
+FROM meta
+"""
+
+
+def _image_pixel_stats_sql() -> str:
+    """Full per-pixel re-decode from hex: payload byte k of a decodable
+    image maps to its stored offset (stride-aware rows for BMP, flat for
+    PPM) and its channel (BGR for BMP payload order, RGB for PPM); sums
+    / min / max are position-independent so stored row order (BMP
+    bottom-up) needs no flip."""
+    return f"""
+WITH {_image_meta_ctes()},
+ok AS (
+  SELECT img_id, h, is_bmp, w, hh, data_off, stride
+  FROM meta WHERE status = 'ok'
+),
+px AS (
+  SELECT img_id, h, is_bmp, w, hh, data_off, stride,
+    unnest(range(0, 3 * w * hh)) AS k
+  FROM ok
+),
+v AS (
+  SELECT img_id, w, hh, is_bmp, k % 3 AS c,
+    ('0x' || substr(h, CAST(2 * (CASE WHEN is_bmp
+        THEN data_off + (k // (3 * w)) * stride + (k % (3 * w))
+        ELSE 19 + k END) + 1 AS INT), 2))::INT AS val
+  FROM px
+)
+SELECT img_id,
+  CAST(max(w) AS INT) AS width, CAST(max(hh) AS INT) AS height,
+  CAST(sum(CASE WHEN (is_bmp AND c = 2) OR (NOT is_bmp AND c = 0)
+           THEN val END) AS BIGINT) AS sum_r,
+  CAST(sum(CASE WHEN c = 1 THEN val END) AS BIGINT) AS sum_g,
+  CAST(sum(CASE WHEN (is_bmp AND c = 0) OR (NOT is_bmp AND c = 2)
+           THEN val END) AS BIGINT) AS sum_b,
+  CAST(min(val) AS INT) AS min_px, CAST(max(val) AS INT) AS max_px,
+  CAST(299 * sum(CASE WHEN (is_bmp AND c = 2) OR (NOT is_bmp AND c = 0)
+                 THEN val END)
+     + 587 * sum(CASE WHEN c = 1 THEN val END)
+     + 114 * sum(CASE WHEN (is_bmp AND c = 0) OR (NOT is_bmp AND c = 2)
+                 THEN val END) AS BIGINT) AS luma_sum
+FROM v GROUP BY img_id
+"""
+
+
+def _image_resize_stats_sql(out_w: int = 8, out_h: int = 6) -> str:
+    """Thumbnail oracle: for each output cell j (row-major), byte-address
+    the EXACT source pixel the integer-division resample rule selects —
+    BMP pixels live at data_off + (hh-1-sy)*stride + 3*sx in BGR order,
+    PPM at 19 + 3*(sy*w+sx) in RGB — and replay the channel sums and the
+    position-weighted luma checksum."""
+    return f"""
+WITH {_image_meta_ctes()},
+ok AS (
+  SELECT img_id, h, is_bmp, w, hh, data_off, stride
+  FROM meta WHERE status = 'ok'
+),
+g AS (
+  SELECT img_id, h, is_bmp, w, hh, data_off, stride,
+    unnest(range(0, {out_w * out_h})) AS j
+  FROM ok
+),
+m AS (
+  SELECT img_id, h, is_bmp, j,
+    CASE WHEN is_bmp
+      THEN data_off + (hh - 1 - (((j // {out_w}) * hh) // {out_h})) * stride
+           + 3 * (((j % {out_w}) * w) // {out_w})
+      ELSE 19 + 3 * ((((j // {out_w}) * hh) // {out_h}) * w
+           + ((j % {out_w}) * w) // {out_w}) END AS base
+  FROM g
+),
+v AS (
+  SELECT img_id, j,
+    ('0x' || substr(h, CAST(2 * (base + CASE WHEN is_bmp THEN 2 ELSE 0 END)
+      + 1 AS INT), 2))::INT AS r,
+    ('0x' || substr(h, CAST(2 * (base + 1) + 1 AS INT), 2))::INT AS g,
+    ('0x' || substr(h, CAST(2 * (base + CASE WHEN is_bmp THEN 0 ELSE 2 END)
+      + 1 AS INT), 2))::INT AS b
+  FROM m
+)
+SELECT img_id, CAST({out_w} AS INT) AS out_w, CAST({out_h} AS INT) AS out_h,
+  CAST(sum(r) AS BIGINT) AS sum_r,
+  CAST(sum(g) AS BIGINT) AS sum_g,
+  CAST(sum(b) AS BIGINT) AS sum_b,
+  CAST(sum((1 + j) * (299 * r + 587 * g + 114 * b)) AS BIGINT) AS checksum
+FROM v GROUP BY img_id
+"""
+
+
+def _video_meta_ctes() -> str:
+    v = _clips_pq("videos")
+    return f"""raw AS (
+  SELECT vid_id, upper(hex(bytes)) AS h,
+    octet_length(bytes) AS blen, bytes IS NULL AS is_null
+  FROM {v}
+),
+meta AS (
+  SELECT vid_id, h, blen,
+    ('0x' || substr(h,11,2) || substr(h,9,2))::BIGINT AS w,
+    ('0x' || substr(h,15,2) || substr(h,13,2))::BIGINT AS hh,
+    ('0x' || substr(h,19,2) || substr(h,17,2))::BIGINT AS n,
+    ('0x' || substr(h,21,2))::BIGINT AS fps,
+    CASE
+      WHEN is_null THEN 'null'
+      WHEN blen < 11 THEN 'bad_magic'
+      WHEN substr(h, 1, 8) <> '53475631' THEN 'bad_magic'
+      WHEN blen < 11 + ('0x' || substr(h,19,2) || substr(h,17,2))::BIGINT
+           * ('0x' || substr(h,15,2) || substr(h,13,2))::BIGINT
+           * ('0x' || substr(h,11,2) || substr(h,9,2))::BIGINT
+        THEN 'truncated'
+      ELSE 'ok' END AS status,
+    (NOT is_null AND blen >= 11 AND substr(h, 1, 8) = '53475631')
+      AS parseable
+  FROM raw
+)"""
+
+
+def _video_meta_sql() -> str:
+    return f"""
+WITH {_video_meta_ctes()}
+SELECT vid_id, status,
+  CAST(CASE WHEN parseable THEN w END AS BIGINT) AS width,
+  CAST(CASE WHEN parseable THEN hh END AS BIGINT) AS height,
+  CAST(CASE WHEN parseable THEN n END AS BIGINT) AS n_frames,
+  CAST(CASE WHEN parseable THEN fps END AS BIGINT) AS fps,
+  CAST(CASE WHEN parseable THEN 11 + n * hh * w END AS BIGINT) AS need_bytes,
+  CAST(blen AS BIGINT) AS actual_bytes
+FROM meta
+"""
+
+
+def _video_frame_stats_sql(every_n: int = 2) -> str:
+    """Sampled-frame oracle: frame t = every_n·j lives at byte offset
+    11 + t·w·h; each of its w·h bytes is re-read from hex, and the motion
+    term pairs byte k with the same k in the previously SAMPLED frame
+    (offset lag every_n·w·h)."""
+    return f"""
+WITH {_video_meta_ctes()},
+ok AS (SELECT vid_id, h, w, hh, n FROM meta WHERE status = 'ok'),
+fr AS (
+  SELECT vid_id, h, w, hh,
+    unnest(range(0, CAST((n + {every_n} - 1) // {every_n} AS BIGINT))) AS j
+  FROM ok
+),
+px AS (
+  SELECT vid_id, h, w, hh, j, unnest(range(0, w * hh)) AS k
+  FROM fr
+),
+v AS (
+  SELECT vid_id, j, w, hh,
+    ('0x' || substr(h,
+      CAST(2 * (11 + {every_n} * j * w * hh + k) + 1 AS INT), 2))::INT AS val,
+    CASE WHEN j > 0 THEN ('0x' || substr(h,
+      CAST(2 * (11 + {every_n} * (j - 1) * w * hh + k) + 1 AS INT), 2))::INT
+    END AS pval
+  FROM px
+)
+SELECT vid_id,
+  CAST({every_n} * j AS INT) AS frame_idx,
+  CAST(max(w * hh) AS INT) AS n_px,
+  CAST(sum(val) AS BIGINT) AS sum_val,
+  CAST(min(val) AS INT) AS min_val,
+  CAST(max(val) AS INT) AS max_val,
+  CAST(coalesce(sum(abs(val - pval)), 0) AS BIGINT) AS motion_abs
+FROM v GROUP BY vid_id, j
 """
 
 
@@ -3984,6 +4335,11 @@ FROM per LEFT JOIN ga USING (event_type) CROSS JOIN gl
         "audio_bandwidth": _audio_bandwidth_sql(),
         "audio_pitch": _audio_pitch_sql(),
         "audio_container_summary": _container_summary_sql(),
+        "image_meta": _image_meta_sql(),
+        "image_pixel_stats": _image_pixel_stats_sql(),
+        "image_resize_stats": _image_resize_stats_sql(),
+        "video_meta": _video_meta_sql(),
+        "video_frame_stats": _video_frame_stats_sql(),
         "audio_speed_perturb": _speed_perturb_sql(num=11, den=10),
         "audio_pad_trim": _pad_trim_sql(target=400),
         "shard_manifest_docs": """

@@ -144,13 +144,84 @@ def transcripts_pdf(n_clips: int) -> pd.DataFrame:
     )
 
 
+#: image fixture geometry — small enough that the DuckDB oracle's
+#: per-pixel hex decode stays cheap (w*h = 384 px/image), large enough
+#: that stats are non-trivial
+IMG_W, IMG_H = 24, 16
+VID_W, VID_H, VID_FRAMES = 16, 12, 6
+
+
+def images_pdf(n_images: int) -> pd.DataFrame:
+    """T4 images: deterministic real-container blobs (24-bit BMP / binary
+    PPM, imagery.synth_image_bytes) + declared-dimension metadata columns
+    (the clips sr_hz/dur_ms analog — the blob is authoritative, the
+    metadata is what a catalog claims)."""
+    from shaclapi_spark.pipeline import imagery
+
+    rows = []
+    for i in range(n_images):
+        rows.append(
+            (
+                f"img_{i:08d}",
+                imagery.synth_image_bytes(i, IMG_W, IMG_H),
+                "bmp" if i % 5 < 3 else "ppm",
+                IMG_W,
+                IMG_H,
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["img_id", "bytes", "fmt", "meta_w", "meta_h"]
+    )
+
+
+def videos_pdf(n_videos: int) -> pd.DataFrame:
+    """T5 videos: deterministic SGV1 blobs (imagery.synth_video_bytes) +
+    declared frame-count/fps metadata."""
+    from shaclapi_spark.pipeline import imagery
+
+    rows = []
+    for i in range(n_videos):
+        rows.append(
+            (
+                f"vid_{i:08d}",
+                imagery.synth_video_bytes(i, VID_W, VID_H, VID_FRAMES),
+                VID_FRAMES,
+                25,
+            )
+        )
+    return pd.DataFrame(rows, columns=["vid_id", "bytes", "meta_frames", "meta_fps"])
+
+
+IMAGES_ARROW_SCHEMA = pa.schema(
+    [
+        ("img_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("fmt", pa.string()),
+        ("meta_w", pa.int32()),
+        ("meta_h", pa.int32()),
+    ]
+)
+
+VIDEOS_ARROW_SCHEMA = pa.schema(
+    [
+        ("vid_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("meta_frames", pa.int32()),
+        ("meta_fps", pa.int32()),
+    ]
+)
+
+
 def fixture_paths(n_clips: int, root: str = FIXTURE_ROOT) -> dict[str, str]:
     d = os.path.join(root, f"n{n_clips}")
     return {
         "clips": os.path.join(d, "clips.parquet"),
         "transcripts": os.path.join(d, "transcripts.parquet"),
         "ref_histograms": os.path.join(d, "ref_histograms.parquet"),
+        "images": os.path.join(d, "images.parquet"),
+        "videos": os.path.join(d, "videos.parquet"),
         "_marker": os.path.join(d, "_OK"),
+        "_marker_av": os.path.join(d, "_OK_AV"),
     }
 
 
@@ -158,6 +229,7 @@ def ensure_fixture_pandas(n_clips: int, root: str = FIXTURE_ROOT) -> dict[str, s
     """Idempotently write the clips fixture with pandas. Returns table paths."""
     paths = fixture_paths(n_clips, root)
     if os.path.exists(paths["_marker"]):
+        _ensure_av(n_clips, paths)
         return paths
     os.makedirs(os.path.dirname(paths["clips"]), exist_ok=True)
     # bounded row groups: Spark's parquet split granularity is the row
@@ -188,4 +260,34 @@ def ensure_fixture_pandas(n_clips: int, root: str = FIXTURE_ROOT) -> dict[str, s
     )
     with open(paths["_marker"], "w") as fh:
         fh.write(str(n_clips))
+    _ensure_av(n_clips, paths)
     return paths
+
+
+def _ensure_av(n_clips: int, paths: dict) -> None:
+    """Idempotently add the image/video tables next to an existing clips
+    fixture (separate marker so pre-existing fixture dirs upgrade in
+    place without regenerating the audio tables)."""
+    if os.path.exists(paths["_marker_av"]):
+        return
+    os.makedirs(os.path.dirname(paths["images"]), exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(
+            images_pdf(max(n_clips // 4, 50)),
+            schema=IMAGES_ARROW_SCHEMA,
+            preserve_index=False,
+        ),
+        paths["images"],
+        row_group_size=2500,
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            videos_pdf(max(n_clips // 8, 25)),
+            schema=VIDEOS_ARROW_SCHEMA,
+            preserve_index=False,
+        ),
+        paths["videos"],
+        row_group_size=1250,
+    )
+    with open(paths["_marker_av"], "w") as fh:
+        fh.write(str(n_clips))

@@ -613,23 +613,44 @@ def audio_spectral_features(
 
 
 def decode_image(blob: bytes) -> "np.ndarray":
-    """STUB — image decode needs PIL/opencv, absent in this container."""
+    """(h, w, 3) uint8 RGB decode. Uncompressed 24-bit BMP and binary PPM
+    (P6) decode natively (pure numpy — pipeline.imagery.decode_image);
+    other containers (jpeg/png/webp) fall through to a Pillow path that
+    stays GATED in this sandbox (library absent)."""
+    from shaclapi_spark.pipeline import imagery
+
+    try:
+        return imagery.decode_image(blob)
+    except ValueError:
+        pass  # not BMP/PPM (or corrupt) — try the gated real-codec path
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "image decode requires Pillow/opencv; not available in this environment"
+            "jpeg/png/webp decode requires Pillow/opencv; not available "
+            "in this environment (BMP/PPM decode natively via "
+            "pipeline.imagery)"
         ) from exc
     raise NotImplementedError("real image path not wired in this sandbox")
 
 
 def sample_video_frames(blob: bytes, every_n: int = 30) -> list:
-    """STUB — video frame sampling needs pyav/ffmpeg, absent here."""
+    """Every n-th frame as (h, w) uint8 arrays. The SGV1 concatenated-
+    frame container decodes natively (pipeline.imagery.sample_video_
+    frames); real mp4/webm falls through to a pyav path that stays GATED
+    in this sandbox (library absent)."""
+    from shaclapi_spark.pipeline import imagery
+
+    try:
+        return imagery.sample_video_frames(blob, every_n)
+    except ValueError:
+        pass  # not SGV1 (or corrupt) — try the gated real-codec path
     try:
         import av  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "video frame sampling requires pyav/ffmpeg; not available here"
+            "mp4/webm frame sampling requires pyav/ffmpeg; not available "
+            "here (SGV1 decode natively via pipeline.imagery)"
         ) from exc
     raise NotImplementedError("real video path not wired in this sandbox")
 

@@ -1,0 +1,213 @@
+"""Image/video multimodal layer: real-container codecs (BMP/PPM/SGV1)
+round-trip against pure-numpy references; JVM-builtin metadata parse and
+Arrow-pass pixel/frame stats match driver-side recomputation exactly."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from shaclapi_spark import fixture_io
+from shaclapi_spark.pipeline import imagery as im
+from shaclapi_spark.pipeline import multimodal as mm
+
+
+# ---------------------------------------------------------------------------
+# codecs (no Spark)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("w,h", [(24, 16), (5, 3), (7, 2), (1, 1)])
+def test_bmp_ppm_round_trip(w, h):
+    pix = im.synth_pixels(42, w, h)
+    assert np.array_equal(im.decode_image(im.encode_bmp(pix)), pix)
+    assert np.array_equal(im.decode_image(im.encode_ppm(pix)), pix)
+
+
+def test_bmp_stride_padding():
+    # w=5 -> 15 payload bytes/row padded to 16; total must match spec
+    pix = im.synth_pixels(1, 5, 3)
+    blob = im.encode_bmp(pix)
+    assert len(blob) == 54 + 16 * 3
+    assert blob[:2] == b"BM"
+
+
+def test_generic_ppm_header_accepted():
+    # decoder accepts any whitespace/comment-formed P6, not just the
+    # fixture's fixed-width header
+    pix = im.synth_pixels(9, 4, 3)
+    generic = b"P6\n# comment\n4 3\n255\n" + pix.tobytes()
+    assert np.array_equal(im.decode_image(generic), pix)
+
+
+def test_decode_image_rejections():
+    pix = im.synth_pixels(3, 8, 8)
+    good = im.encode_bmp(pix)
+    with pytest.raises(ValueError):
+        im.decode_image(None)
+    with pytest.raises(ValueError):
+        im.decode_image(b"XX" + good[2:])
+    with pytest.raises(ValueError):
+        im.decode_image(good[: len(good) // 2])
+    # 8-bit BMP variant rejected (bpp word at offset 28)
+    bad_bpp = bytearray(good)
+    bad_bpp[28:30] = (8).to_bytes(2, "little")
+    with pytest.raises(ValueError):
+        im.decode_image(bytes(bad_bpp))
+
+
+def test_video_round_trip_and_sampling():
+    fr = im.synth_frames(7, 16, 12, 6)
+    blob = im.encode_video(fr, 25)
+    hdr, back = im.decode_video(blob)
+    assert hdr == {"w": 16, "h": 12, "n_frames": 6, "fps": 25}
+    assert np.array_equal(back, fr)
+    s = im.sample_video_frames(blob, every_n=2)
+    assert len(s) == 3 and np.array_equal(s[1], fr[2])
+    with pytest.raises(ValueError):
+        im.decode_video(blob[:20])
+    with pytest.raises(ValueError):
+        im.sample_video_frames(blob, every_n=0)
+
+
+def test_resize_nearest_exact_index_rule():
+    pix = im.synth_pixels(3, 24, 16)
+    t = im.resize_nearest(pix, 8, 6)
+    assert t.shape == (6, 8, 3)
+    for y in range(6):
+        for x in range(8):
+            assert np.array_equal(t[y, x], pix[(y * 16) // 6, (x * 24) // 8])
+
+
+def test_multimodal_stubs_delegate():
+    # the formerly-gated multimodal entry points now decode BMP/PPM/SGV1
+    pix = im.synth_pixels(11, 6, 4)
+    assert np.array_equal(mm.decode_image(im.encode_bmp(pix)), pix)
+    frames = im.synth_frames(11, 8, 6, 4)
+    got = mm.sample_video_frames(im.encode_video(frames), every_n=3)
+    assert len(got) == 2 and np.array_equal(got[1], frames[3])
+    # unknown container still raises the gated NotImplementedError
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+# ---------------------------------------------------------------------------
+# Spark ops on the fixture tables
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def av_tables(spark):
+    paths = fixture_io.ensure_fixture_pandas(2000)
+    return (
+        spark.read.parquet(paths["images"]),
+        spark.read.parquet(paths["videos"]),
+    )
+
+
+def test_image_meta_statuses(spark, av_tables):
+    images, _ = av_tables
+    meta = im.image_meta(images).collect()
+    by_id = {r["img_id"]: r for r in meta}
+    assert len(by_id) == 500
+    for r in meta:
+        i = int(r["img_id"][4:])
+        if i % 127 == 0:
+            assert r["status"] == "null"
+        elif i % 89 == 0:
+            assert r["status"] == "bad_magic"
+        elif i % 101 == 0:
+            assert r["status"] == "truncated"
+        else:
+            assert r["status"] == "ok", r
+            assert (r["fmt"] == "bmp") == (i % 5 < 3)
+            assert (r["width"], r["height"], r["bpp"]) == (24, 16, 24)
+            assert r["need_bytes"] == r["actual_bytes"]
+
+
+def test_video_meta_statuses(spark, av_tables):
+    _, videos = av_tables
+    for r in im.video_meta(videos).collect():
+        i = int(r["vid_id"][4:])
+        if i % 127 == 0:
+            assert r["status"] == "null"
+        elif i % 89 == 0:
+            assert r["status"] == "bad_magic"
+        elif i % 101 == 0:
+            assert r["status"] == "truncated"
+        else:
+            assert r["status"] == "ok"
+            assert (r["width"], r["height"], r["n_frames"], r["fps"]) == (
+                16, 12, 6, 25,
+            )
+
+
+def test_image_pixel_stats_exact(spark, av_tables):
+    images, _ = av_tables
+    got = {r["img_id"]: r for r in im.image_pixel_stats(images).collect()}
+    n_checked = 0
+    for i in range(500):
+        iid = f"img_{i:08d}"
+        if i % 127 == 0 or i % 89 == 0 or i % 101 == 0:
+            assert iid not in got
+            continue
+        pix = im.synth_pixels(i, 24, 16).astype(np.int64)
+        r = got[iid]
+        cs = pix.sum(axis=(0, 1))
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(int(v) for v in cs)
+        assert r["min_px"] == int(pix.min()) and r["max_px"] == int(pix.max())
+        assert r["luma_sum"] == int(299 * cs[0] + 587 * cs[1] + 114 * cs[2])
+        assert (r["width"], r["height"]) == (24, 16)
+        n_checked += 1
+    assert n_checked > 450
+
+
+def test_image_resize_stats_exact(spark, av_tables):
+    images, _ = av_tables
+    got = {
+        r["img_id"]: r
+        for r in im.image_resize_stats(images, 8, 6).collect()
+    }
+    pos_w = 1 + np.arange(48, dtype=np.int64).reshape(6, 8)
+    for i in (1, 2, 3, 7, 123):
+        t = im.resize_nearest(im.synth_pixels(i, 24, 16), 8, 6).astype(np.int64)
+        r = got[f"img_{i:08d}"]
+        cs = t.sum(axis=(0, 1))
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(int(v) for v in cs)
+        luma = 299 * t[:, :, 0] + 587 * t[:, :, 1] + 114 * t[:, :, 2]
+        assert r["checksum"] == int((pos_w * luma).sum())
+    with pytest.raises(ValueError):
+        im.image_resize_stats(images, 0, 6)
+
+
+def test_video_frame_stats_exact(spark, av_tables):
+    _, videos = av_tables
+    rows = im.video_frame_stats(videos, every_n=2).collect()
+    got = {(r["vid_id"], r["frame_idx"]): r for r in rows}
+    for i in (1, 2, 3, 11):
+        fr = im.synth_frames(i, 16, 12, 6).astype(np.int64)
+        sel = fr[::2]
+        prev = None
+        for j, f_idx in enumerate(range(0, 6, 2)):
+            r = got[(f"vid_{i:08d}", f_idx)]
+            assert r["n_px"] == 192
+            assert r["sum_val"] == int(sel[j].sum())
+            assert r["min_val"] == int(sel[j].min())
+            assert r["max_val"] == int(sel[j].max())
+            expect_mo = 0 if prev is None else int(np.abs(sel[j] - prev).sum())
+            assert r["motion_abs"] == expect_mo
+            prev = sel[j]
+    # corrupted rows emit nothing
+    # (idx 0 is a NULL-bytes seed, idx 89 a bad-magic seed — both absent)
+    assert ("vid_00000089", 0) not in got and ("vid_00000000", 0) not in got
+    assert ("vid_00000001", 0) in got
+
+
+def test_image_ops_plan_shape(spark, av_tables):
+    # metadata op must stay UDF-free (pure projection over the scan);
+    # stats ops must be a single Arrow pass with no shuffle
+    images, _ = av_tables
+    meta_plan = im.image_meta(images)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in meta_plan and "BatchEvalPython" not in meta_plan
+    assert "Exchange" not in meta_plan
+    stats_plan = (
+        im.image_pixel_stats(images)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in stats_plan and "Exchange" not in stats_plan
