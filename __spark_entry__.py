@@ -1614,6 +1614,16 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ig.video_frame_stats(videos, every_n=2)
 
 
+def q_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL audio container end-to-end: SGA1 decode -> canonical PCM-WAV
+    # (RIFF) encode -> WAV decode (chunk walk) -> integer sample stats
+    # with a position-weighted checksum. The oracle predicts every value
+    # from the ORIGINAL SGA1 bytes, so the WAV encode/decode pair must be
+    # bit-exact in the right order to hash-match.
+    c = _uniq_clips(spark, sf_dir)
+    return at.wav_sample_stats(at.transcode_wav(c))
+
+
 def q_speech_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # VAD-style speech/silence segmentation: contiguous runs of
     # active/silent 20 ms frames (integer-exact energy test), oracled by
@@ -1858,6 +1868,7 @@ _DRIVER_VERIFIED_R3 = {
 #: added this round — never seen by ANY driver window, so they outrank the
 #: round-3 judge-verified backlog
 _NEW_THIS_ROUND = [
+    "wav_roundtrip",
     "image_meta",
     "image_pixel_stats",
     "image_resize_stats",
@@ -1986,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_wer": q_transcript_wer,
         "cer_verdicts": q_cer_verdicts,
         "multimodal_byte_hist": q_multimodal_byte_hist,
+        "wav_roundtrip": q_wav_roundtrip,
         "image_meta": q_image_meta,
         "image_pixel_stats": q_image_pixel_stats,
         "image_resize_stats": q_image_resize_stats,
@@ -2971,6 +2983,30 @@ SELECT codec, status,
   CAST(sum(CASE WHEN parseable THEN blen - 21 END) AS BIGINT) AS payload_bytes,
   CAST(sum(CASE WHEN parseable THEN 2 * n END) AS BIGINT) AS raw_bytes
 FROM pc GROUP BY 1, 2
+"""
+
+
+def _wav_roundtrip_sql() -> str:
+    """Predicts the WAV-export round trip from the ORIGINAL SGA1 bytes:
+    the shared decode CTEs produce every sample value, so n / sum / min /
+    max / Σ(i+1)·val and the canonical WAV size 44 + 2n are all known
+    before the WAV is ever built — only a bit-exact encode_wav/decode_wav
+    pair can reproduce them."""
+    return f"""
+WITH {_audio_decode_ctes()},
+agg AS (
+  SELECT clip_id,
+    CAST(count(*) AS BIGINT) AS n_samples,
+    CAST(sum(val) AS BIGINT) AS sum_val,
+    CAST(min(val) AS INT) AS min_val,
+    CAST(max(val) AS INT) AS max_val,
+    CAST(sum((i + 1) * val) AS BIGINT) AS checksum
+  FROM dec GROUP BY 1
+)
+SELECT a.clip_id, CAST(h.sr AS INT) AS sr_hz, a.n_samples,
+  CAST(44 + 2 * a.n_samples AS BIGINT) AS wav_bytes,
+  a.sum_val, a.min_val, a.max_val, a.checksum
+FROM agg a JOIN hdr h USING (clip_id)
 """
 
 
@@ -4335,6 +4371,7 @@ FROM per LEFT JOIN ga USING (event_type) CROSS JOIN gl
         "audio_bandwidth": _audio_bandwidth_sql(),
         "audio_pitch": _audio_pitch_sql(),
         "audio_container_summary": _container_summary_sql(),
+        "wav_roundtrip": _wav_roundtrip_sql(),
         "image_meta": _image_meta_sql(),
         "image_pixel_stats": _image_pixel_stats_sql(),
         "image_resize_stats": _image_resize_stats_sql(),

@@ -143,13 +143,92 @@ def encode_samples(
     return header + payload
 
 
+WAV_HEADER_LEN = 44  # canonical RIFF/WAVE header (fmt + data, no extras)
+
+
+def encode_wav(samples: np.ndarray, sr_hz: int) -> bytes:
+    """Real PCM-WAV container (RIFF/WAVE, 16-bit mono little-endian) from
+    int16 samples — the canonical 44-byte header any WAV reader (including
+    the stdlib ``wave`` module) accepts. Deterministic byte-for-byte, so
+    cross-engine oracles can replay the container from arithmetic alone:
+    file length = 44 + 2·n, data chunk size = 2·n."""
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,  # PCM
+        1,  # mono
+        int(sr_hz),
+        int(sr_hz) * 2,  # byte rate
+        2,  # block align
+        16,  # bits per sample
+        b"data",
+        len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(blob: bytes) -> tuple[dict, np.ndarray]:
+    """Parse a real RIFF/WAVE container → (header dict, int16 samples).
+
+    Walks the chunk list (real-world WAVs carry LIST/INFO/fact chunks
+    between fmt and data), accepts 16-bit PCM, and returns channel 0 of a
+    multi-channel stream (deterministic; the pipeline's sample domain is
+    mono). The header dict carries ``freq_hz``/``amp`` as None — a WAV
+    embeds no reference-signal metadata, so the SGA1 SNR invariant is
+    vacuous for these rows (see snr_db)."""
+    if blob is None or len(blob) < 12:
+        raise ValueError("truncated header")
+    b = bytes(blob)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("bad magic")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            if len(body) < size:
+                raise ValueError("truncated payload")
+            data = body
+            break  # fmt always precedes data in conforming files
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, sr, _rate, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16 or n_ch < 1:
+        raise ValueError("unsupported WAV variant (need 16-bit PCM)")
+    frames = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    samples = frames[::n_ch].astype(np.int16)  # channel 0
+    hdr = {
+        "codec": "pcm_wav",
+        "sr_hz": int(sr),
+        "n_samples": int(len(samples)),
+        "freq_hz": None,
+        "amp": None,
+    }
+    return hdr, samples
+
+
 def decode_clip(blob: bytes) -> tuple[dict, np.ndarray]:
-    """Parse an SGA1 container → (header dict, int16 samples).
+    """Parse an audio container → (header dict, int16 samples): the SGA1
+    deterministic container, or a real RIFF/WAVE PCM file (decode_wav).
 
     Raises ValueError on malformed input (bad magic / truncated payload).
     """
     if blob is None or len(blob) < HEADER_LEN:
         raise ValueError("truncated header")
+    if bytes(blob[:4]) == b"RIFF":
+        return decode_wav(blob)
     magic, codec_id, sr, n, freq, amp = HEADER.unpack_from(blob, 0)
     if magic != MAGIC:
         raise ValueError("bad magic")
@@ -176,6 +255,11 @@ def snr_db(blob: bytes) -> float:
         hdr, samples = decode_clip(blob)
     except ValueError:
         return float("-inf")
+    if hdr["freq_hz"] is None:
+        # real-container rows (WAV) embed no reference signal: the SGA1
+        # SNR invariant is vacuous — pass, same unbound⇒valid discipline
+        # as the engine's undecided verdicts
+        return float("inf")
     if hdr["n_samples"] == 0:
         # zero-sample clip ⇒ -inf (no evidence of a valid signal) — pinned to
         # agree with snr_db_batch, which hits its n == 0 branch before the
@@ -233,6 +317,16 @@ def snr_db_batch(blobs) -> np.ndarray:
         try:
             if len(blob) < HEADER_LEN:
                 raise ValueError
+            if bytes(blob[:4]) == b"RIFF":
+                # real-container row: no embedded reference signal, the
+                # SNR invariant is vacuous when the WAV decodes (scalar
+                # snr_db parity), -inf when it does not
+                try:
+                    decode_wav(blob)
+                    out[k] = float("inf")
+                except ValueError:
+                    out[k] = float("-inf")
+                continue
             magic, codec_id, sr, n, freq, amp = HEADER.unpack_from(blob, 0)
             if magic != MAGIC or codec_id not in CODEC_NAMES:
                 raise ValueError
@@ -315,12 +409,13 @@ def snr_db_batch(blobs) -> np.ndarray:
 
 
 def decode_external(blob: bytes, codec: str) -> np.ndarray:
-    """Hook for real codec decode via soundfile — STUB in this container.
-
-    The image/audio libs are not installed here; the Spark plumbing that
-    calls this (ops/audio.py mapInPandas) is real and tested against the
-    SGA1 path above.
-    """
+    """Real-codec decode hook. PCM-WAV (RIFF) decodes natively — pure
+    numpy/struct, no dependency (``decode_wav``); compressed codecs
+    (flac/opus/mp3) still need soundfile/pyav and stay GATED in this
+    container. The Spark plumbing that calls this (ops/audio.py
+    mapInPandas) is identical either way."""
+    if codec in ("wav", "pcm_wav", "riff"):
+        return decode_wav(blob)[1]
     try:
         import soundfile  # noqa: F401
     except ImportError as exc:  # pragma: no cover - library absent by design

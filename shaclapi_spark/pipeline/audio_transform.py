@@ -760,3 +760,111 @@ def time_mask(
     return df.select(F.col(id_col), F.col(bytes_col), F.col(sr_col)).mapInPandas(
         gen, schema=schema
     )
+
+
+WAV_EXPORT_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType()),
+        StructField("sr_hz", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("bytes", BinaryType()),
+    ]
+)
+
+
+def transcode_wav(
+    df: DataFrame, id_col: str = "clip_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """Export clips as REAL PCM-WAV files (RIFF/WAVE, 16-bit mono —
+    audio_codec.encode_wav): decode whatever container the row carries
+    (SGA1 or already-WAV), re-encode canonically. This is the export leg a
+    training pipeline ships to consumers that expect standard audio files
+    (cf. shards.write_shards for the manifest side); the WAV bytes are
+    byte-deterministic (44-byte canonical header + LE samples), so
+    len(bytes) == 44 + 2·n_samples exactly and downstream engines can
+    re-read the samples with plain byte arithmetic.
+
+    One mapInPandas pass, no shuffle; undecodable rows are skipped."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for cid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                try:
+                    hdr, s = audio_codec.decode_clip(bytes(blob))
+                except (ValueError, TypeError):
+                    continue
+                rows.append(
+                    (
+                        str(cid),
+                        int(hdr["sr_hz"]),
+                        int(len(s)),
+                        audio_codec.encode_wav(s, hdr["sr_hz"]),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=WAV_EXPORT_SCHEMA.fieldNames())
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        gen, schema=WAV_EXPORT_SCHEMA
+    )
+
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType()),
+        StructField("sr_hz", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("wav_bytes", LongType()),
+        StructField("sum_val", LongType()),
+        StructField("min_val", IntegerType()),
+        StructField("max_val", IntegerType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def wav_sample_stats(
+    df: DataFrame, id_col: str = "clip_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """Integer-exact sample statistics read back from REAL WAV bytes
+    (audio_codec.decode_wav — RIFF chunk walk, 16-bit PCM): signed sum /
+    min / max plus the position-weighted checksum Σ (i+1)·sample[i], which
+    is order-sensitive — a WAV whose samples survived the export
+    bit-for-bit in the right order is the ONLY relation that matches.
+    Composed after :func:`transcode_wav` this closes the loop on the real
+    container: SGA1 decode → WAV encode → WAV decode → stats, with a
+    DuckDB oracle that predicts every value from the ORIGINAL SGA1 bytes.
+
+    One mapInPandas pass; non-WAV / truncated rows are skipped."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for cid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                try:
+                    hdr, s = audio_codec.decode_wav(bytes(blob))
+                except (ValueError, TypeError):
+                    continue
+                s64 = s.astype(np.int64)
+                n = len(s64)
+                rows.append(
+                    (
+                        str(cid),
+                        int(hdr["sr_hz"]),
+                        int(n),
+                        int(len(blob)),
+                        int(s64.sum()),
+                        int(s64.min()) if n else 0,
+                        int(s64.max()) if n else 0,
+                        int((np.arange(1, n + 1, dtype=np.int64) * s64).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=WAV_STATS_SCHEMA.fieldNames())
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        gen, schema=WAV_STATS_SCHEMA
+    )

@@ -51,3 +51,78 @@ def test_zero_sample_clip_scalar_and_batch_agree():
     assert scalar == float("-inf")
     assert batch == float("-inf")
     assert scalar == batch
+
+
+# ---------------------------------------------------------------------------
+# real PCM-WAV container (round 4)
+# ---------------------------------------------------------------------------
+
+def test_wav_round_trip_and_stdlib_compat(tmp_path):
+    import wave as stdlib_wave
+
+    s = ac.synth_sine(440.0, 16000, 500, 0.6)
+    blob = ac.encode_wav(s, 16000)
+    assert len(blob) == 44 + 2 * 500
+    hdr, back = ac.decode_wav(blob)
+    assert hdr["codec"] == "pcm_wav" and hdr["sr_hz"] == 16000
+    assert hdr["freq_hz"] is None and hdr["amp"] is None
+    assert np.array_equal(back, s)
+    # the stdlib wave module accepts the canonical container
+    p = tmp_path / "t.wav"
+    p.write_bytes(blob)
+    with stdlib_wave.open(str(p)) as w:
+        assert (w.getframerate(), w.getnchannels(), w.getsampwidth()) == (
+            16000, 1, 2,
+        )
+        assert np.array_equal(
+            np.frombuffer(w.readframes(500), dtype="<i2"), s
+        )
+
+
+def test_wav_chunk_walk_and_stereo():
+    import struct as st
+
+    s = ac.synth_sine(300.0, 8000, 64, 0.4)
+    blob = bytearray(ac.encode_wav(s, 8000))
+    # splice a LIST chunk between fmt and data (real-world WAVs do this)
+    info = b"LIST" + st.pack("<I", 4) + b"INFO"
+    spliced = bytes(blob[:36]) + info + bytes(blob[36:])
+    spliced = spliced[:4] + st.pack("<I", len(spliced) - 8) + spliced[8:]
+    hdr, back = ac.decode_wav(spliced)
+    assert np.array_equal(back, s)
+    # stereo: channel 0 extracted
+    inter = np.empty(2 * len(s), dtype="<i2")
+    inter[0::2] = s
+    inter[1::2] = -s
+    stereo = (
+        bytes(blob[:22]) + st.pack("<H", 2) + bytes(blob[24:40])
+        + st.pack("<I", len(inter) * 2) + inter.tobytes()
+    )
+    stereo = stereo[:4] + st.pack("<I", len(stereo) - 8) + stereo[8:]
+    hdr2, back2 = ac.decode_wav(stereo)
+    assert np.array_equal(back2, s)
+
+
+def test_wav_rejections_and_dispatch():
+    s = ac.synth_sine(440.0, 16000, 100, 0.5)
+    blob = ac.encode_wav(s, 16000)
+    with pytest.raises(ValueError):
+        ac.decode_wav(blob[:30])  # truncated
+    with pytest.raises(ValueError):
+        ac.decode_wav(b"XXXX" + blob[4:])  # bad magic
+    # decode_clip dispatches RIFF automatically
+    hdr, back = ac.decode_clip(blob)
+    assert hdr["codec"] == "pcm_wav" and np.array_equal(back, s)
+    # decode_external handles wav natively, still gates compressed codecs
+    assert np.array_equal(ac.decode_external(blob, "wav"), s)
+    with pytest.raises(NotImplementedError):
+        ac.decode_external(blob, "mp3")
+
+
+def test_wav_snr_vacuous():
+    s = ac.synth_sine(440.0, 16000, 100, 0.5)
+    blob = ac.encode_wav(s, 16000)
+    assert ac.snr_db(blob) == float("inf")
+    batch = ac.snr_db_batch([blob, None, b"RIFFbad"])
+    assert batch[0] == float("inf")
+    assert np.isnan(batch[1]) and batch[2] == float("-inf")
