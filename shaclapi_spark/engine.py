@@ -702,6 +702,7 @@ def run_suite(
     target_population: "str | DataFrame | dict | None" = None,
     order_strategy: str = "heuristic",
     seed_shape: str | None = None,
+    cyclic_seed_verdicts: DataFrame | None = None,
 ) -> SuiteResult:
     """Validate `tables` against `suite`; returns verdicts + violations +
     per-bucket summary for the target shapes (all shapes if None).
@@ -725,7 +726,21 @@ def run_suite(
     to referenced helper shapes via (child, fk) semi-joins — helper verdicts
     are computed only for the child entities the restricted targets can
     reach; shapes inside cyclic groups stay unrestricted (fixpoint feedback
-    makes per-population pruning unsafe there).
+    makes per-population pruning unsafe there) UNLESS
+    ``cyclic_seed_verdicts`` is provided.
+
+    ``cyclic_seed_verdicts``: a verdict relation (entity_id, shape,
+    is_valid, reason) from a prior run of the suite — the incremental-
+    revalidation contract (revalidate.py). When every shape of a cyclic
+    group has a population restriction, the group's fixpoint iterates ONLY
+    over the restricted populations, with references to out-of-population
+    entities answered from the seed verdicts. Soundness requires the
+    populations to be CLOSED under the group's internal reference edges
+    (every entity whose verdict can differ from the seed is inside them) —
+    revalidate.affected_populations computes exactly that closure; with an
+    unclosed population the carried seed verdicts may be stale. Without
+    this argument (or without full population coverage of the group) the
+    cyclic fixpoint runs unrestricted, as before.
 
     ``order_strategy`` / ``seed_shape``: see compiler.evaluation_order."""
     cfg = config or EngineConfig()
@@ -752,7 +767,11 @@ def run_suite(
     verdicts_by_shape: dict[str, DataFrame] = dict(preseeded_verdicts or {})
     violations_by_shape: dict[str, DataFrame] = {}
 
-    def eval_one(name: str, prereq: dict[str, DataFrame]):
+    def eval_one(
+        name: str,
+        prereq: dict[str, DataFrame],
+        population: DataFrame | None = None,
+    ):
         ev = _ShapeEvaluator(
             spark,
             shape_by_name[name],
@@ -760,7 +779,9 @@ def run_suite(
             prereq,
             cfg,
             entity_col_by_shape,
-            population=pop_by_shape.get(name),
+            population=(
+                population if population is not None else pop_by_shape.get(name)
+            ),
         )
         return ev.evaluate()
 
@@ -775,20 +796,57 @@ def run_suite(
             verdicts_by_shape[name] = vd
             violations_by_shape[name] = vl
         else:
+            # seeded-restricted fixpoint (incremental revalidation): every
+            # group shape restricted + a prior verdict relation supplied ⇒
+            # iterate only over the affected populations; out-of-population
+            # references answer from the (unchanged, by closure) seed
+            seeded = cyclic_seed_verdicts is not None and all(
+                n in target_pops for n in group.shapes
+            )
+            seed_outside: dict[str, DataFrame] = {}
+            group_pop: dict[str, DataFrame] = {}
+            if seeded:
+                for n in group.shapes:
+                    ids = target_pops[n].select(
+                        F.col("__pop_id").cast("string").alias("__pop_id")
+                    ).persist()
+                    group_pop[n] = target_pops[n]
+                    s_old = cyclic_seed_verdicts.filter(
+                        F.col("shape") == F.lit(n)
+                    ).select("entity_id", "shape", "is_valid", "reason")
+                    seed_outside[n] = s_old.join(
+                        ids, s_old["entity_id"] == ids["__pop_id"], "left_anti"
+                    ).localCheckpoint(eager=True)
+
+            def init_valid(n: str) -> DataFrame:
+                av = _all_valid_verdicts(shape_by_name[n], tables)
+                if not seeded:
+                    return av
+                ids = group_pop[n].select(
+                    F.col("__pop_id").cast("string").alias("__pop_id")
+                )
+                return av.join(
+                    ids, av["entity_id"] == ids["__pop_id"], "leftsemi"
+                )
+
             # unbound ⇒ valid initialization, iterate to fixpoint
-            current = {
-                n: _all_valid_verdicts(shape_by_name[n], tables)
-                for n in group.shapes
-            }
+            current = {n: init_valid(n) for n in group.shapes}
             fps = {n: None for n in group.shapes}
             last_viol: dict[str, DataFrame] = {}
             for _ in range(cfg.max_fixpoint_iters):
                 prereq = dict(verdicts_by_shape)
-                prereq.update(current)
+                for n in group.shapes:
+                    prereq[n] = (
+                        seed_outside[n].unionByName(current[n])
+                        if seeded
+                        else current[n]
+                    )
                 new = {}
                 changed = False
                 for n in group.shapes:
-                    vd, vl = eval_one(n, prereq)
+                    vd, vl = eval_one(
+                        n, prereq, population=group_pop.get(n)
+                    )
                     vd = vd.localCheckpoint(eager=True)
                     new[n] = vd
                     last_viol[n] = vl

@@ -27,11 +27,15 @@ Change propagation is computed per shape, prerequisites-first:
                   affected — verdict changes propagate UP the shape DAG
 
 Conservative supersets are sound: re-validating an unchanged entity
-reproduces its old verdict. Cyclic suites fall back to a full run (fixpoint
-feedback makes population pruning unsafe — same rule as engine's
-_propagate_population); drift constraints are dataset-grain aggregates with
-no per-entity locality, so suites carrying them are rejected (recompute
-drift with a normal run, it is one scan of two numeric columns).
+reproduces its old verdict. Cyclic suites (round 4) are incremental too:
+the affected populations of a cyclic SCC are CLOSED under its internal
+reference edges (iterated to a monotone fixpoint over id relations), and
+the engine's cyclic fixpoint then runs restricted to those populations
+with out-of-population references answered from the prior run's verdicts
+(engine.run_suite ``cyclic_seed_verdicts``) — no full-table rescan.
+Drift constraints are dataset-grain aggregates with no per-entity
+locality, so suites carrying them are rejected (recompute drift with a
+normal run, it is one scan of two numeric columns).
 
 At Iceberg scale the `changed_entity_keys` diff would read the snapshot's
 changed-data-file manifest instead of both full versions; here it is
@@ -196,12 +200,6 @@ def _expand_affected(
     verdict dependencies)."""
     targets = target_shapes or suite.names()
     reduced, groups = compile_suite(suite, targets)
-    if any(g.cyclic for g in groups):
-        raise ValueError(
-            "incremental revalidation requires an acyclic suite "
-            "(cyclic fixpoint feedback defeats population pruning) — "
-            "run a full run_suite instead"
-        )
     shape_by_name = {s.name: s for s in reduced.shapes}
     entity_col_by_shape = {s.name: s.entity_col for s in reduced.shapes}
 
@@ -227,8 +225,27 @@ def _expand_affected(
         )
 
     pops: dict[str, DataFrame] = {}
-    for group in groups:  # prerequisites-first
-        name = group.shapes[0]
+
+    def ref_propagation(s, c, ref_aff: DataFrame) -> DataFrame:
+        """Entities of `s` linked (through the NEW child table) to affected
+        referenced-shape entities — verdict changes propagate UP."""
+        ref = c.params["shape"]
+        child = new_tables[c.params["child"]]
+        ref_col = c.params.get("ref_key") or entity_col_by_shape[ref]
+        linked_fks = (
+            child.join(
+                ref_aff, child[ref_col] == ref_aff["__pop_id"], "leftsemi"
+            )
+            .select(F.col(c.params["fk"]).alias("__pop_id"))
+            .filter(F.col("__pop_id").isNotNull())
+        )
+        local = c.params.get("local_key") or s.entity_col
+        return map_keys_to_entities(s, linked_fks, local)
+
+    def initial_parts(name: str, in_group: set) -> DataFrame:
+        """Diff-driven affected entities of `name`: own rows, fk parents,
+        child links, and propagation from already-resolved referenced
+        shapes (same-group references are handled by the SCC closure)."""
         s = shape_by_name[name]
         parts = [diff(s.table, s.entity_col)]
         for c0 in s.constraints:
@@ -239,25 +256,8 @@ def _expand_affected(
                     parts.append(map_keys_to_entities(s, fk_changed, local))
                 if c.kind == "qualified_shape":
                     ref = c.params["shape"]
-                    ref_aff = pops.get(ref)
-                    if ref_aff is not None:
-                        child = new_tables[c.params["child"]]
-                        ref_col = (
-                            c.params.get("ref_key") or entity_col_by_shape[ref]
-                        )
-                        linked_fks = (
-                            child.join(
-                                ref_aff,
-                                child[ref_col] == ref_aff["__pop_id"],
-                                "leftsemi",
-                            )
-                            .select(F.col(c.params["fk"]).alias("__pop_id"))
-                            .filter(F.col("__pop_id").isNotNull())
-                        )
-                        local = c.params.get("local_key") or s.entity_col
-                        parts.append(
-                            map_keys_to_entities(s, linked_fks, local)
-                        )
+                    if ref not in in_group and pops.get(ref) is not None:
+                        parts.append(ref_propagation(s, c, pops[ref]))
                 elif c.kind in ("fk_exists", "fk_not_exists"):
                     pk = diff(c.params["parent"], c.params["parent_col"])
                     parts.append(map_keys_to_entities(s, pk, c.params["column"]))
@@ -273,7 +273,61 @@ def _expand_affected(
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        pops[name] = out.distinct().persist()
+        return out.distinct()
+
+    for group in groups:  # prerequisites-first
+        if not group.cyclic:
+            name = group.shapes[0]
+            pops[name] = initial_parts(name, set()).persist()
+            continue
+        # cyclic SCC: a verdict flip anywhere in the group can ripple along
+        # its internal reference edges, so the affected populations must be
+        # CLOSED under them — iterate the qualified_shape propagation inside
+        # the group until no population grows (the table-diff parts are
+        # iteration-independent and enter once). Each round shuffles only
+        # id relations; convergence is monotone and bounded by the longest
+        # reference chain among changed entities (the same quantity that
+        # bounds the engine's own fixpoint).
+        in_group = set(group.shapes)
+        cur = {
+            n: initial_parts(n, in_group).localCheckpoint(eager=True)
+            for n in group.shapes
+        }
+        sizes = {n: cur[n].count() for n in group.shapes}
+        max_iters = 50
+        for _ in range(max_iters):
+            grew = False
+            for name in group.shapes:
+                s = shape_by_name[name]
+                adds = []
+                for c0 in s.constraints:
+                    for c in _walk(c0):
+                        if (
+                            c.kind == "qualified_shape"
+                            and c.params["shape"] in in_group
+                        ):
+                            adds.append(
+                                ref_propagation(s, c, cur[c.params["shape"]])
+                            )
+                if not adds:
+                    continue
+                new = cur[name]
+                for a in adds:
+                    new = new.unionByName(a)
+                new = new.distinct().localCheckpoint(eager=True)
+                n_new = new.count()
+                if n_new != sizes[name]:
+                    grew = True
+                cur[name], sizes[name] = new, n_new
+            if not grew:
+                break
+        else:
+            raise ValueError(
+                f"affected-population closure for cyclic group "
+                f"{group.shapes} did not converge in {max_iters} rounds"
+            )
+        for name in group.shapes:
+            pops[name] = cur[name].persist()
     return pops
 
 
@@ -348,6 +402,10 @@ def _run_restricted_and_merge(
         target_shapes=targets,
         target_population={n: pops[n] for n in targets if n in pops},
         config=config,
+        # cyclic groups iterate their fixpoint ONLY over the (closed)
+        # affected populations, reading unchanged entities' verdicts from
+        # the prior run instead of rescanning the tables
+        cyclic_seed_verdicts=old_verdicts,
     )
 
     def merge(old: DataFrame | None, fresh: DataFrame | None) -> DataFrame | None:

@@ -112,10 +112,41 @@ def test_changed_entity_keys_multiset_sensitivity(spark):
     assert got == {"a"}
 
 
-def test_cyclic_suite_rejected(spark, versions):
+def test_cyclic_incremental_equals_full_run(spark, versions):
+    # tc3-style 2-cycle (ClipShape <-> TranscriptShape): the incremental
+    # merge must equal a full fixpoint run on the new version
     old, new = versions
-    with pytest.raises(ValueError, match="acyclic"):
-        revalidate.affected_populations(fixtures.clip_cycle_suite(), old, new)
+    suite = fixtures.clip_cycle_suite()
+    old_res = run_suite(spark, suite, old, config=CFG)
+    full_new = run_suite(spark, suite, new, config=CFG)
+    inc = revalidate.revalidate_incremental(
+        spark, suite, old, new, old_res.verdicts, config=CFG
+    )
+    assert _sets(inc.verdicts) == _sets(full_new.verdicts)
+
+
+def test_cyclic_affected_closed_and_restricted(spark, versions):
+    # the SCC closure produces a strict subset, and the seeded engine
+    # fixpoint evaluates ONLY that subset (no full-population rescan)
+    old, new = versions
+    suite = fixtures.clip_cycle_suite()
+    pops = revalidate.affected_populations(suite, old, new)
+    n_clips = new["clips"].select("clip_id").distinct().count()
+    n_aff = pops["ClipShape"].count()
+    assert 0 < n_aff < 0.5 * n_clips
+    old_res = run_suite(spark, suite, old, config=CFG)
+    res = run_suite(
+        spark,
+        suite,
+        new,
+        target_population={n: pops[n] for n in pops},
+        config=CFG,
+        cyclic_seed_verdicts=old_res.verdicts,
+    )
+    fresh_clip = res.verdicts_by_shape["ClipShape"].count()
+    # restricted fixpoint: emitted verdicts bounded by the affected
+    # population, far from the full table
+    assert fresh_clip <= n_aff < 0.5 * n_clips
 
 
 def test_drift_suite_rejected(spark, versions):
@@ -205,6 +236,23 @@ def test_changelog_path_equals_full_rerun(spark, versions):
         a = {r["__pop_id"] for r in pops_cl[shape].collect()}
         b = {r["__pop_id"] for r in pops_2v[shape].collect()}
         assert a == b, shape
+
+
+def test_changelog_cyclic_equals_full_rerun(spark, versions):
+    # cyclic SCC driven from changelog relations: delta-cost population
+    # derivation + seeded restricted fixpoint == full re-run
+    old, new = versions
+    suite = fixtures.clip_cycle_suite()
+    cls = {
+        t: revalidate.synthesize_changelog(old[t], new[t])
+        for t in ("clips", "transcripts")
+    }
+    old_res = run_suite(spark, suite, old, config=CFG)
+    full_new = run_suite(spark, suite, new, config=CFG)
+    inc = revalidate.revalidate_incremental_from_changelogs(
+        spark, suite, cls, new, old_res.verdicts, config=CFG
+    )
+    assert _sets(inc.verdicts) == _sets(full_new.verdicts)
 
 
 def test_changelog_missing_table_raises(spark, versions):
