@@ -131,10 +131,23 @@ def explain(
     relevant_columns: set[str] | None = None,
 ) -> dict:
     """POST /reduce analog — compile-only, no data touched: the reduced
-    shape network and its evaluation order."""
+    shape network, its chosen evaluation order, and exactly what the
+    reduction PRUNED (shapes unreachable from the targets; constraint ids
+    dropped by column-relevance narrowing) — the reference's /reduce
+    returns the reduced schema, this adds the audit of the reduction
+    itself."""
     reduced, groups = compile_suite(
         suite, target_shapes or suite.names(), relevant_columns=relevant_columns
     )
+    kept = {s.name: {c.id for c in s.constraints} for s in reduced.shapes}
+    pruned_shapes = [n for n in suite.names() if n not in kept]
+    pruned_constraints = {
+        s.name: sorted(
+            {c.id for c in s.constraints} - kept.get(s.name, set())
+        )
+        for s in suite.shapes
+        if s.name in kept and {c.id for c in s.constraints} - kept[s.name]
+    }
     return {
         "shapes": reduced.names(),
         "order": [
@@ -143,6 +156,8 @@ def explain(
         "constraints": {
             s.name: [c.id for c in s.constraints] for s in reduced.shapes
         },
+        "pruned_shapes": pruned_shapes,
+        "pruned_constraints": pruned_constraints,
     }
 
 

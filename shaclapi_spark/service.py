@@ -11,10 +11,15 @@ POST /multiprocessing      full suite evaluation (api.run) → JSON verdict
   (run.py:21-34)           rows (bounded by ``limit``) + per-shape counts
 POST /validation           api.validation_summary → per-shape valid/invalid
   (run.py:37-48)           counts + bounded verdict rows
-POST /reduce               api.explain (compile-only) → {"shapes": [...]};
-  (run.py:51-62)           errors → {"result": [], "error": ...} exactly
+POST /reduce               api.explain (compile-only) → reduced shapes +
+  (run.py:51-62)           evaluation order + surviving constraint ids +
+                           pruned shapes/constraints (the reduction audit);
+                           errors → {"result": [], "error": ...} exactly
                            like the reference's handler
 GET  /                     health text (run.py:65-66)
+GET  /metrics              per-request stage timings (the stats.csv analog,
+                           ref statsCalculation.py:112-170): JSON relation,
+                           or the literal csv shape with ``?format=csv``
 =========================  =================================================
 
 Form arguments (``application/x-www-form-urlencoded``, mirroring the
@@ -51,6 +56,7 @@ from urllib.parse import parse_qs
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from shaclapi_spark import api, sources
+from shaclapi_spark.metrics import MetricsRecorder
 from shaclapi_spark.shacl import LinkBinding, ShapeBinding, parse_shape_dir, to_suite
 from shaclapi_spark.suite import Suite
 
@@ -122,8 +128,21 @@ def _target_shapes(form: dict[str, str]) -> list[str] | None:
     return [s.strip() for s in raw.split(",") if s.strip()]
 
 
-def make_app(spark: SparkSession) -> Callable:
-    """Build the WSGI application over an existing SparkSession."""
+def make_app(
+    spark: SparkSession, recorder: MetricsRecorder | None = None
+) -> Callable:
+    """Build the WSGI application over an existing SparkSession.
+
+    ``recorder``: optional MetricsRecorder shared with the caller; when
+    omitted the app creates its own. Every validating POST records the
+    reference's stats.csv stage columns per request
+    (ref shaclapi/statsCalculation.py:112-170 — total_execution_time /
+    query_time / network_validation_time analogs as
+    ``<route>.total_execution_time`` / ``<route>.load_time`` /
+    ``<route>.validation_time``), and ``GET /metrics`` serves the
+    accumulated relation as JSON (or text/csv with ``?format=csv`` — the
+    literal stats.csv shape)."""
+    rec = recorder if recorder is not None else MetricsRecorder(run_id="service")
 
     def respond(start_response, status: str, payload, mimetype: str):
         body = (
@@ -143,55 +162,137 @@ def make_app(spark: SparkSession) -> Callable:
         return [body]
 
     def route_multiprocessing(form: dict[str, str]):
-        suite = _load_suite(form)
-        tables = _load_tables(spark, form)
-        limit = int(form.get("limit", "1000"))
-        res = api.run(spark, suite, tables, target_shapes=_target_shapes(form))
-        counts = {
-            r["shape"]: {"valid": int(r["valid"]), "invalid": int(r["invalid"])}
-            for r in _rows(
-                res.verdicts.groupBy("shape").agg(
-                    F.sum(F.col("is_valid").cast("long")).alias("valid"),
-                    F.sum((~F.col("is_valid")).cast("long")).alias("invalid"),
-                ),
-                10_000,
-            )
-        }
-        return {
-            "shapes": counts,
-            "verdicts": _rows(res.verdicts, limit),
-            "violations": _rows(res.violations, limit),
-        }
+        with rec.stage("multiprocessing.total_execution_time") as total:
+            with rec.stage("multiprocessing.load_time"):
+                suite = _load_suite(form)
+                tables = _load_tables(spark, form)
+                limit = int(form.get("limit", "1000"))
+            with rec.stage("multiprocessing.validation_time") as vt:
+                res = api.run(
+                    spark, suite, tables, target_shapes=_target_shapes(form)
+                )
+                counts = {
+                    r["shape"]: {
+                        "valid": int(r["valid"]),
+                        "invalid": int(r["invalid"]),
+                    }
+                    for r in _rows(
+                        res.verdicts.groupBy("shape").agg(
+                            F.sum(F.col("is_valid").cast("long")).alias("valid"),
+                            F.sum((~F.col("is_valid")).cast("long")).alias(
+                                "invalid"
+                            ),
+                        ),
+                        10_000,
+                    )
+                }
+                n_total = sum(
+                    c["valid"] + c["invalid"] for c in counts.values()
+                )
+                vt.record_rows(n_total)
+            out = {
+                "shapes": counts,
+                "verdicts": _rows(res.verdicts, limit),
+                "violations": _rows(res.violations, limit),
+            }
+            total.record_rows(n_total)
+        return out
 
     def route_validation(form: dict[str, str]):
-        suite = _load_suite(form)
-        tables = _load_tables(spark, form)
-        limit = int(form.get("limit", "1000"))
-        out = api.validation_summary(
-            spark, suite, tables, target_shapes=_target_shapes(form)
-        )
-        return {
-            "shapes": out["shapes"],
-            "verdicts": _rows(out["verdicts"], limit),
-        }
+        with rec.stage("validation.total_execution_time") as total:
+            with rec.stage("validation.load_time"):
+                suite = _load_suite(form)
+                tables = _load_tables(spark, form)
+                limit = int(form.get("limit", "1000"))
+            with rec.stage("validation.validation_time") as vt:
+                out = api.validation_summary(
+                    spark, suite, tables, target_shapes=_target_shapes(form)
+                )
+                n_total = sum(
+                    c["valid"] + c["invalid"] for c in out["shapes"].values()
+                )
+                vt.record_rows(n_total)
+            payload = {
+                "shapes": out["shapes"],
+                "verdicts": _rows(out["verdicts"], limit),
+            }
+            total.record_rows(n_total)
+        return payload
 
     def route_reduce(form: dict[str, str]):
-        # the reference's /reduce never touches data — suite only
+        # the reference's /reduce never touches data — suite only. Beyond
+        # the reduced schema, the payload carries the FULL reduction audit:
+        # chosen evaluation order (with cyclic-group markers), per-shape
+        # surviving constraint ids, and exactly what was pruned
         suite = _load_suite(form)
         try:
             targets = _target_shapes(form)
             for name in targets or []:
                 suite.shape(name)  # KeyError on unknown target, like the ref
-            info = api.explain(suite, target_shapes=targets)
-            return {"shapes": info["shapes"], "order": info["order"]}
+            relevant = None
+            if form.get("relevantColumns"):
+                relevant = set(json.loads(form["relevantColumns"]))
+            info = api.explain(
+                suite, target_shapes=targets, relevant_columns=relevant
+            )
+            return {
+                "shapes": info["shapes"],
+                "order": info["order"],
+                "constraints": info["constraints"],
+                "pruned_shapes": info["pruned_shapes"],
+                "pruned_constraints": info["pruned_constraints"],
+            }
         except Exception:  # noqa: BLE001 — parity: ref run.py:56-62
             return {"result": [], "error": repr(traceback.format_exc())}
+
+    def route_metrics(query: dict[str, str]):
+        stages = [
+            {
+                "run_id": r[0],
+                "stage": r[1],
+                "wall_sec": r[2],
+                "n_rows": r[3],
+                "ts": r[4],
+            }
+            for r in rec.rows
+        ]
+        if query.get("format") == "csv":
+            lines = ["run_id,stage,wall_sec,n_rows,ts"]
+            for r in rec.rows:
+                lines.append(
+                    f"{r[0]},{r[1]},{r[2]},{'' if r[3] is None else r[3]},{r[4]}"
+                )
+            return ("\n".join(lines) + "\n", "text/csv")
+        return (
+            {
+                "run_id": rec.run_id,
+                "stages": stages,
+                "trace": [
+                    {
+                        "run_id": t[0],
+                        "answer": t[1],
+                        "time": t[2],
+                        "n_rows": t[3],
+                        "ts": t[4],
+                    }
+                    for t in rec.trace
+                ],
+            },
+            "application/json",
+        )
 
     def app(environ, start_response):
         path = environ.get("PATH_INFO", "/")
         method = environ.get("REQUEST_METHOD", "GET")
         if path == "/" and method == "GET":
             return respond(start_response, "200 OK", "shaclapi-spark", "text/plain")
+        if path == "/metrics" and method == "GET":
+            query = {
+                k: v[0]
+                for k, v in parse_qs(environ.get("QUERY_STRING", "")).items()
+            }
+            payload, mimetype = route_metrics(query)
+            return respond(start_response, "200 OK", payload, mimetype)
         handlers = {
             "/multiprocessing": route_multiprocessing,
             "/validation": route_validation,

@@ -154,3 +154,53 @@ ex:ClipShape a sh:NodeShape ;
     assert status == 200
     c = out["shapes"]["ClipShape"]
     assert c["valid"] + c["invalid"] > 0
+
+
+def _get(addr, path):
+    conn = http.client.HTTPConnection(*addr)
+    conn.request("GET", path)
+    r = conn.getresponse()
+    body = r.read().decode()
+    ctype = r.getheader("Content-Type")
+    conn.close()
+    return r.status, ctype, json.loads(body) if body.startswith(("{", "[")) else body
+
+
+def test_metrics_route_records_request_stages(server, fixture_dir):
+    # drive one validation, then the stats.csv-analog relation must carry
+    # the per-request stage rows (total/load/validation) with row counts
+    status, out = _post(server, "/validation", _form(fixture_dir))
+    assert status == 200
+    n_total = sum(c["valid"] + c["invalid"] for c in out["shapes"].values())
+    status, ctype, m = _get(server, "/metrics")
+    assert status == 200 and ctype == "application/json"
+    stages = {s["stage"] for s in m["stages"]}
+    assert {
+        "validation.total_execution_time",
+        "validation.load_time",
+        "validation.validation_time",
+    } <= stages
+    vt = [
+        s for s in m["stages"] if s["stage"] == "validation.validation_time"
+    ][-1]
+    assert vt["n_rows"] == n_total and vt["wall_sec"] > 0
+    # csv export: the literal stats.csv shape
+    status, ctype, csv = _get(server, "/metrics?format=csv")
+    assert status == 200 and ctype == "text/csv"
+    assert csv.splitlines()[0] == "run_id,stage,wall_sec,n_rows,ts"
+    assert any("validation.total_execution_time" in ln for ln in csv.splitlines())
+
+
+def test_reduce_route_reports_reduction_audit(server):
+    # target restriction prunes the unreachable shape and reports it
+    suite = fixtures.clip_suite(include_audio=False, include_drift=False)
+    status, out = _post(
+        server,
+        "/reduce",
+        {"suite": suite.to_json(), "targetShape": "TranscriptShape"},
+    )
+    assert status == 200
+    assert out["shapes"] == ["TranscriptShape"]
+    assert "ClipShape" in out["pruned_shapes"]
+    assert out["constraints"]["TranscriptShape"]
+    assert out["order"][0]["cyclic"] is False
