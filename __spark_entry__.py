@@ -1600,6 +1600,38 @@ def q_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ig.image_resize_stats(images, 8, 6)
 
 
+def q_image_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the CONSTRAINT ENGINE validating an image table: container
+    # integrity + dims-vs-catalog-metadata as pure-builtin expr
+    # constraints (fixtures.image_suite) — zero UDFs in the constraint
+    # path, first-fail reason attribution like every other shape
+    images, _ = _av_tables(spark, sf_dir)
+    res = run_suite(spark, fixtures.image_suite(), {"images": images}, config=_CFG)
+    return res.verdicts.select("entity_id", "shape", "is_valid", "reason")
+
+
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # perceptual difference-hash per decodable image — exact integer luma
+    # + integer-division thumbnail + strict neighbor compare, so the
+    # oracle rebuilds the identical 64-bit hash from the container bytes
+    images, _ = _av_tables(spark, sf_dir)
+    return ig.image_dhash(images)
+
+
+def q_image_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # perceptual near-dup pairs at hamming <= 2 via lossless pigeonhole
+    # blocking + exact bit_count verify; the oracle is brute-force
+    # all-pairs over the SQL-rebuilt hashes — equality proves the
+    # blocked join loses nothing. 1/16 id slice: the gradient fixture
+    # makes "all smooth increasing gradients" one perceptual mega-group
+    # (hash 0), so the full-table pair relation is quadratically
+    # degenerate — the slice keeps the contract relation audit-sized
+    # while still spanning every hash group
+    images, _ = _av_tables(spark, sf_dir)
+    sl = images.filter(F.expr("CAST(substr(img_id, 5) AS BIGINT) % 16 = 0"))
+    return ig.dhash_neardups(sl, max_hamming=2)
+
+
 def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SGV1 concatenated-frame container metadata, JVM built-ins only
     _, videos = _av_tables(spark, sf_dir)
@@ -1869,6 +1901,9 @@ _DRIVER_VERIFIED_R3 = {
 #: round-3 judge-verified backlog
 _NEW_THIS_ROUND = [
     "wav_roundtrip",
+    "image_verdicts",
+    "image_dhash",
+    "image_dhash_dups",
     "image_meta",
     "image_pixel_stats",
     "image_resize_stats",
@@ -1998,6 +2033,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cer_verdicts": q_cer_verdicts,
         "multimodal_byte_hist": q_multimodal_byte_hist,
         "wav_roundtrip": q_wav_roundtrip,
+        "image_verdicts": q_image_verdicts,
+        "image_dhash": q_image_dhash,
+        "image_dhash_dups": q_image_dhash_dups,
         "image_meta": q_image_meta,
         "image_pixel_stats": q_image_pixel_stats,
         "image_resize_stats": q_image_resize_stats,
@@ -3019,7 +3057,7 @@ def _image_meta_ctes() -> str:
     order exactly."""
     i = _clips_pq("images")
     return f"""raw AS (
-  SELECT img_id, upper(hex(bytes)) AS h,
+  SELECT img_id, meta_w, meta_h, upper(hex(bytes)) AS h,
     octet_length(bytes) AS blen, bytes IS NULL AS is_null
   FROM {i}
 ),
@@ -3047,7 +3085,7 @@ fields AS (
   FROM flags
 ),
 meta AS (
-  SELECT img_id, h, blen, is_bmp, is_ppm, data_off,
+  SELECT img_id, meta_w, meta_h, h, blen, is_bmp, is_ppm, data_off,
     CASE WHEN is_bmp THEN bmp_w ELSE ppm_w END AS w,
     CASE WHEN is_bmp THEN bmp_h ELSE ppm_h END AS hh,
     CASE WHEN is_bmp THEN bmp_bpp WHEN is_ppm THEN 24 END AS bpp,
@@ -3167,6 +3205,109 @@ SELECT img_id, CAST({out_w} AS INT) AS out_w, CAST({out_h} AS INT) AS out_h,
   CAST(sum(b) AS BIGINT) AS sum_b,
   CAST(sum((1 + j) * (299 * r + 587 * g + 114 * b)) AS BIGINT) AS checksum
 FROM v GROUP BY img_id
+"""
+
+
+def _image_verdicts_sql() -> str:
+    """ImageShape verdicts from the meta CTE: is_valid ⇔ the container is
+    structurally ok AND (when ok) the header dims equal the catalog
+    metadata; reason = first failing constraint in declaration order
+    (img_unique and img_w_meta never fail in the fixture)."""
+    return f"""
+WITH {_image_meta_ctes()}
+SELECT img_id AS entity_id, 'ImageShape' AS shape,
+  (status = 'ok'
+   AND (w = CAST(meta_w AS BIGINT) AND hh = CAST(meta_h AS BIGINT)))
+    AS is_valid,
+  CASE
+    WHEN status <> 'ok' THEN 'img_decodable'
+    WHEN NOT (w = CAST(meta_w AS BIGINT) AND hh = CAST(meta_h AS BIGINT))
+      THEN 'img_dims'
+    ELSE NULL END AS reason
+FROM meta
+"""
+
+
+def _image_dhash_ctes() -> str:
+    """dHash rebuilt from the container bytes: per ok image, per bit
+    j ∈ [0,64): thumbnail cells (x, y) = (j%8, j//8) and (x+1, y) map to
+    source pixels via the exact resize rule, each pixel's integer luma is
+    read from its 3 bytes (BGR for BMP storage order, RGB for PPM), and
+    bit j is set iff luma_a > luma_b — bit 63 contributes -2^63 so the
+    assembled value is the same SIGNED 64-bit hash Spark emits. Ends at
+    relation ``dh`` (img_id, dhash)."""
+
+    def lum(base: str, fmt_r: str, fmt_b: str) -> str:
+        def byte(k: str) -> str:
+            return (
+                f"('0x' || substr(h, CAST(2 * ({base} + {k}) + 1 AS INT), 2))"
+                "::BIGINT"
+            )
+
+        return (
+            f"((299 * {byte(fmt_r)} + 587 * {byte('1')} + 114 * {byte(fmt_b)})"
+            " // 1000)"
+        )
+
+    base_a = (
+        "CASE WHEN is_bmp THEN data_off + (hh - 1 - sy) * stride + 3 * sxa"
+        " ELSE 19 + 3 * (sy * w + sxa) END"
+    )
+    base_b = (
+        "CASE WHEN is_bmp THEN data_off + (hh - 1 - sy) * stride + 3 * sxb"
+        " ELSE 19 + 3 * (sy * w + sxb) END"
+    )
+    r_off = "CASE WHEN is_bmp THEN 2 ELSE 0 END"
+    b_off = "CASE WHEN is_bmp THEN 0 ELSE 2 END"
+    return f"""{_image_meta_ctes()},
+ok AS (
+  SELECT img_id, h, is_bmp, w, hh, data_off, stride
+  FROM meta WHERE status = 'ok'
+),
+bits AS (
+  SELECT img_id, h, is_bmp, w, hh, data_off, stride,
+    unnest(range(0, 64)) AS j
+  FROM ok
+),
+coords AS (
+  SELECT img_id, h, is_bmp, w, hh, data_off, stride, j,
+    ((j % 8) * w) // 9 AS sxa,
+    (((j % 8) + 1) * w) // 9 AS sxb,
+    ((j // 8) * hh) // 8 AS sy
+  FROM bits
+),
+lums AS (
+  SELECT img_id, j,
+    {lum(f'({base_a})', f'({r_off})', f'({b_off})')} AS la,
+    {lum(f'({base_b})', f'({r_off})', f'({b_off})')} AS lb
+  FROM coords
+),
+dh AS (
+  SELECT img_id,
+    CAST(sum(CASE WHEN la > lb THEN
+      (CASE WHEN j = 63 THEN -9223372036854775807 - 1
+            ELSE (1::BIGINT << CAST(j AS INT)) END)
+      ELSE 0 END) AS BIGINT) AS dhash
+  FROM lums GROUP BY img_id
+)"""
+
+
+def _image_dhash_sql() -> str:
+    return f"WITH {_image_dhash_ctes()}\nSELECT img_id, dhash FROM dh"
+
+
+def _image_dhash_dups_sql(max_hamming: int = 2) -> str:
+    """Brute-force all-pairs hamming over the SQL-rebuilt hashes — the
+    recall oracle for the pigeonhole-blocked Spark join."""
+    return f"""
+WITH {_image_dhash_ctes()},
+dsl AS (
+  SELECT * FROM dh WHERE CAST(substr(img_id, 5) AS BIGINT) % 16 = 0
+)
+SELECT a.img_id AS a, b.img_id AS b,
+  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM dsl a JOIN dsl b ON a.img_id < b.img_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {int(max_hamming)}
 """
 
 
@@ -4372,6 +4513,9 @@ FROM per LEFT JOIN ga USING (event_type) CROSS JOIN gl
         "audio_pitch": _audio_pitch_sql(),
         "audio_container_summary": _container_summary_sql(),
         "wav_roundtrip": _wav_roundtrip_sql(),
+        "image_verdicts": _image_verdicts_sql(),
+        "image_dhash": _image_dhash_sql(),
+        "image_dhash_dups": _image_dhash_dups_sql(),
         "image_meta": _image_meta_sql(),
         "image_pixel_stats": _image_pixel_stats_sql(),
         "image_resize_stats": _image_resize_stats_sql(),

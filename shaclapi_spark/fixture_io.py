@@ -160,12 +160,15 @@ def images_pdf(n_images: int) -> pd.DataFrame:
 
     rows = []
     for i in range(n_images):
+        # i%73: catalog metadata LIES about the width (container is
+        # authoritative) — the dims-vs-metadata constraint seed, the image
+        # analog of the clips hdr-vs-sr_hz seeds
         rows.append(
             (
                 f"img_{i:08d}",
                 imagery.synth_image_bytes(i, IMG_W, IMG_H),
                 "bmp" if i % 5 < 3 else "ppm",
-                IMG_W,
+                IMG_W - 1 if i % 73 == 0 else IMG_W,
                 IMG_H,
             )
         )
@@ -221,7 +224,7 @@ def fixture_paths(n_clips: int, root: str = FIXTURE_ROOT) -> dict[str, str]:
         "images": os.path.join(d, "images.parquet"),
         "videos": os.path.join(d, "videos.parquet"),
         "_marker": os.path.join(d, "_OK"),
-        "_marker_av": os.path.join(d, "_OK_AV"),
+        "_marker_av": os.path.join(d, "_OK_AV2"),
     }
 
 

@@ -117,6 +117,41 @@ def clip_suite(include_audio: bool = True, include_drift: bool = True) -> Suite:
     return Suite(shapes=[clip_shape(include_audio, include_drift), transcript_shape()])
 
 
+def image_shape() -> Shape:
+    """ImageShape: the image-modality analog of clip_shape — container
+    integrity and dims-vs-catalog-metadata checks expressed as `expr`
+    constraints over the SAME pure-builtin header arithmetic the imagery
+    metadata op uses (imagery.image_ok_sql / image_dims_match_sql), so
+    the validation engine covers image tables with zero new constraint
+    kinds and zero UDFs in the constraint path."""
+    from shaclapi_spark.pipeline import imagery
+
+    ok = imagery.image_ok_sql("bytes")
+    dims = imagery.image_dims_match_sql("bytes", "meta_w", "meta_h")
+    return Shape(
+        name="ImageShape",
+        table="images",
+        entity_col="img_id",
+        constraints=[
+            Constraint("img_unique", "unique", {"column": "img_id"}),
+            Constraint("img_decodable", "expr", {"sql": ok}),
+            # dims check is vacuous for undecodable rows (they already
+            # fail img_decodable; double-flagging would hide which
+            # invariant broke)
+            Constraint("img_dims", "expr", {"sql": f"(NOT {ok}) OR {dims}"}),
+            Constraint(
+                "img_w_meta",
+                "range",
+                {"column": "meta_w", "min": 1, "max": 65535},
+            ),
+        ],
+    )
+
+
+def image_suite() -> Suite:
+    return Suite(shapes=[image_shape()])
+
+
 def clip_cycle_suite() -> Suite:
     """tc3 analog (A→C→D→A): TranscriptShape additionally requires its parent
     clip to be a valid ClipShape — a 2-cycle resolved by the unbound⇒valid

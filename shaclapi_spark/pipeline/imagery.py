@@ -607,3 +607,244 @@ def video_frame_stats(
     return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
         gen, schema=VIDEO_FRAME_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual image dedup — dHash (difference hash), exact integer discipline
+# ---------------------------------------------------------------------------
+
+#: dHash sampling grid: 9 columns x 8 rows of the luma thumbnail; bit
+#: j = y*8 + x is set iff luma(x, y) > luma(x+1, y)
+DHASH_W, DHASH_H = 9, 8
+
+
+def dhash_pixels(pix: np.ndarray) -> int:
+    """Signed-64-bit dHash of an (h, w, 3) RGB uint8 array — the numpy
+    reference the Arrow op and the SQL oracle must both reproduce.
+
+    Every step is exact integer math, so any engine replays it
+    bit-for-bit from the original container bytes:
+      1. per-pixel integer luma  l = (299·r + 587·g + 114·b) div 1000
+      2. nearest-neighbor resample of the luma plane to 9×8
+         (``resize_nearest`` index rule: sx = x·w div 9, sy = y·h div 8)
+      3. bit j = y·8+x  ⇔  t[y, x] > t[y, x+1]  (strict)
+      4. assemble as a SIGNED 64-bit value (bit 63 contributes -2^63),
+         so the hash fits BIGINT in Spark and DuckDB alike."""
+    p = pix.astype(np.int64)
+    luma = (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000
+    t = resize_nearest(luma, DHASH_W, DHASH_H)
+    val = 0
+    for y in range(DHASH_H):
+        for x in range(DHASH_W - 1):
+            if t[y, x] > t[y, x + 1]:
+                val |= 1 << (y * 8 + x)
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+DHASH_SCHEMA = "img_id string, dhash long"
+
+
+def image_dhash(
+    df: DataFrame, id_col: str = "img_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """(img_id, dhash): perceptual difference-hash per decodable image —
+    one shuffle-free Arrow pass (decode + ``dhash_pixels``); undecodable
+    rows are skipped. The hash is gradient-based, so it is invariant to
+    uniform brightness shifts and robust to mild re-encoding — the
+    image-modality analog of audio's content fingerprint
+    (audio_analysis.audio_fingerprint)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for iid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                try:
+                    pix = decode_image(bytes(blob))
+                except ValueError:
+                    continue
+                ids.append(str(iid))
+                hs.append(dhash_pixels(pix))
+            yield pd.DataFrame(
+                {"img_id": ids, "dhash": pd.array(hs, dtype="int64")}
+            )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        gen, schema=DHASH_SCHEMA
+    )
+
+
+def dhash_neardups(
+    df: DataFrame,
+    id_col: str = "img_id",
+    bytes_col: str = "bytes",
+    max_hamming: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Image pairs with hamming(dhash_a, dhash_b) ≤ ``max_hamming`` —
+    (a, b, hamming), a < b. Candidates come from the pigeonhole blocking
+    trick (split the 64-bit hash into max_hamming+1 chunks; a qualifying
+    pair must agree on ≥1 chunk — LOSSLESS recall by construction, same
+    device as dedup.simhash_neardups), verified with JVM
+    ``bit_count(a XOR b)``, so the output equals brute-force all-pairs
+    exactly while the join stays a bounded equi-join — no O(n²) compare.
+
+    ``max_bucket`` is the degenerate-duplication cap (same stop-token
+    rationale as audio's fingerprint_matches): a perceptual mega-group —
+    a billion near-identical thumbnails — makes EVERY blocking scheme
+    quadratic because the true pair relation itself is quadratic; buckets
+    whose (chunk, key) holds more than ``max_bucket`` images are dropped
+    before the join, so pairs whose agreement lives only in mega-buckets
+    are missed. Size it above the largest real duplicate group you must
+    resolve; None (default) keeps lossless recall.
+
+    Scale shape: one Arrow decode pass → 8-byte signatures; everything
+    after moves 16 bytes/row. The signature relation feeds both join
+    sides and is persisted for the duration of the join build."""
+    sig = image_dhash(df, id_col, bytes_col).persist()
+    try:
+        n_chunks = max_hamming + 1
+        chunk_bits = 64 // n_chunks
+        chunks = sig.select(
+            "img_id",
+            "dhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("chunk"),
+                            F.shiftrightunsigned(F.col("dhash"), c * chunk_bits)
+                            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                            .alias("ckey"),
+                        )
+                        for c in range(n_chunks)
+                    ]
+                )
+            ).alias("ck"),
+        ).select("img_id", "dhash", "ck.chunk", "ck.ckey")
+        if max_bucket is not None:
+            hot = (
+                chunks.groupBy("chunk", "ckey")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > int(max_bucket))
+                .select("chunk", "ckey")
+            )
+            chunks = chunks.join(
+                F.broadcast(hot), ["chunk", "ckey"], "left_anti"
+            )
+        a = chunks.select(
+            F.col("img_id").alias("a"), F.col("dhash").alias("sig_a"),
+            "chunk", "ckey",
+        )
+        b = chunks.select(
+            F.col("img_id").alias("b"), F.col("dhash").alias("sig_b"),
+            "chunk", "ckey",
+        )
+        out = (
+            a.join(b, ["chunk", "ckey"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", "sig_a", "sig_b")
+            .distinct()
+            .withColumn(
+                "hamming",
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sig.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# validation-suite surface: image-integrity predicates as Spark-SQL text,
+# so the CONSTRAINT ENGINE can validate image tables with `expr` constraints
+# (the image analog of the audio SNR constraint kind)
+# ---------------------------------------------------------------------------
+
+def _le_u32_sql(h: str, byte_off: int) -> str:
+    p = 2 * byte_off - 1
+    return (
+        f"CAST(conv(concat(substring({h},{p+6},2),substring({h},{p+4},2),"
+        f"substring({h},{p+2},2),substring({h},{p},2)),16,10) AS BIGINT)"
+    )
+
+
+def _le_u16_sql(h: str, byte_off: int) -> str:
+    p = 2 * byte_off - 1
+    return (
+        f"CAST(conv(concat(substring({h},{p+2},2),substring({h},{p},2))"
+        f",16,10) AS BIGINT)"
+    )
+
+
+def _ppm_dim_sql(h: str, byte_off: int, n_bytes: int = 5) -> str:
+    """The fixture's fixed-width space-padded ascii decimal field parsed
+    with PURE conv/CASE arithmetic — no decode(), no throwing CAST: under
+    ANSI mode Spark may evaluate an AND/OR's subexpressions eagerly, so a
+    BMP row reaching a PPM-branch ``CAST(decode(...))`` would throw on
+    its (arbitrary-byte) header. Each byte folds left-to-right:
+    acc = acc*10 + digit when the byte is '0'..'9', else acc."""
+    acc = "CAST(0 AS BIGINT)"
+    for i in range(n_bytes):
+        p = 2 * (byte_off + i) - 1
+        v = f"CAST(conv(substring({h},{p},2),16,10) AS BIGINT)"
+        acc = (
+            f"(CASE WHEN {v} BETWEEN 48 AND 57"
+            f" THEN ({acc}) * 10 + {v} - 48 ELSE ({acc}) END)"
+        )
+    return acc
+
+
+def image_ok_sql(bytes_col: str = "bytes") -> str:
+    """Boolean Spark-SQL text: the blob parses as a structurally-sound
+    24-bit BMP or (fixed-width-header) PPM whose payload is complete —
+    ``image_meta().status = 'ok'`` as a single expression, usable as an
+    engine ``expr`` constraint over an image table. Built-ins only, so
+    the constraint evaluates scan-side inside whole-stage codegen; the
+    DuckDB oracle replays it through the identical hex arithmetic."""
+    h = f"upper(hex({bytes_col}))"
+    blen = f"CAST(length({bytes_col}) AS BIGINT)"
+    bmp_w = _le_u32_sql(h, 19)
+    bmp_h = _le_u32_sql(h, 23)
+    bmp_bpp = _le_u16_sql(h, 29)
+    bmp_comp = _le_u32_sql(h, 31)
+    bmp_off = _le_u32_sql(h, 11)
+    stride = f"((3 * {bmp_w} + 3) div 4) * 4"
+    ppm_w = _ppm_dim_sql(h, 4)
+    ppm_h = _ppm_dim_sql(h, 10)
+    return (
+        f"({bytes_col} IS NOT NULL AND ("
+        f"(substring({h},1,4) = '424D' AND {blen} >= {BMP_HEADER_BYTES}"
+        f" AND {bmp_bpp} = 24 AND {bmp_comp} = 0"
+        f" AND {blen} >= {bmp_off} + {stride} * {bmp_h})"
+        f" OR "
+        f"(substring({h},1,4) = '5036' AND {blen} >= {PPM_HEADER_BYTES}"
+        f" AND {blen} >= {PPM_HEADER_BYTES} + 3 * {ppm_w} * {ppm_h})"
+        f"))"
+    )
+
+
+def image_dims_match_sql(
+    bytes_col: str = "bytes", w_col: str = "meta_w", h_col: str = "meta_h"
+) -> str:
+    """Boolean Spark-SQL text: the container header's declared dimensions
+    equal the catalog's metadata columns — the image analog of the clip
+    fixture's hdr-vs-metadata checks. Rows whose container cannot be
+    parsed are NOT excused here (combine with ``image_ok_sql`` in an
+    engine ``or``/precondition when that is the wanted semantics)."""
+    h = f"upper(hex({bytes_col}))"
+    bmp = (
+        f"(substring({h},1,4) = '424D'"
+        f" AND {_le_u32_sql(h, 19)} = CAST({w_col} AS BIGINT)"
+        f" AND {_le_u32_sql(h, 23)} = CAST({h_col} AS BIGINT))"
+    )
+    ppm = (
+        f"(substring({h},1,4) = '5036'"
+        f" AND {_ppm_dim_sql(h, 4)} = CAST({w_col} AS BIGINT)"
+        f" AND {_ppm_dim_sql(h, 10)} = CAST({h_col} AS BIGINT))"
+    )
+    return f"({bytes_col} IS NOT NULL AND ({bmp} OR {ppm}))"

@@ -211,3 +211,72 @@ def test_image_ops_plan_shape(spark, av_tables):
         im.image_pixel_stats(images)._jdf.queryExecution().executedPlan().toString()
     )
     assert "MapInPandas" in stats_plan and "Exchange" not in stats_plan
+
+
+# ---------------------------------------------------------------------------
+# perceptual dHash + validation-suite surface (round 4)
+# ---------------------------------------------------------------------------
+
+def test_dhash_reference_properties():
+    pix = im.synth_pixels(12, 24, 16)
+    h1 = im.dhash_pixels(pix)
+    # brightness-shift invariance (gradient hash ignores uniform offsets)
+    shifted = np.clip(pix.astype(np.int64) + 10, 0, 255).astype(np.uint8)
+    assert im.dhash_pixels(shifted) == h1
+    # signed-64 discipline: always fits BIGINT
+    for i in range(50):
+        v = im.dhash_pixels(im.synth_pixels(i, 24, 16))
+        assert -(1 << 63) <= v < (1 << 63)
+
+
+def test_image_dhash_matches_reference(spark, av_tables):
+    images, _ = av_tables
+    got = {r["img_id"]: r["dhash"] for r in im.image_dhash(images).collect()}
+    for i in (1, 2, 3, 7, 12, 123):
+        assert got[f"img_{i:08d}"] == im.dhash_pixels(
+            im.synth_pixels(i, 24, 16)
+        )
+    assert f"img_{0:08d}" not in got  # null seed skipped
+
+
+def test_dhash_neardups_equals_bruteforce(spark, av_tables):
+    images, _ = av_tables
+    sl = images.filter(F.expr("CAST(substr(img_id, 5) AS BIGINT) % 16 = 0"))
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in im.dhash_neardups(sl, max_hamming=2).collect()
+    }
+    sig = {r["img_id"]: r["dhash"] for r in im.image_dhash(sl).collect()}
+    ids = sorted(sig)
+    brute = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            hm = bin((sig[ids[x]] ^ sig[ids[y]]) & ((1 << 64) - 1)).count("1")
+            if hm <= 2:
+                brute.add((ids[x], ids[y], hm))
+    assert got == brute and len(brute) > 0
+    # the stop-bucket cap strictly reduces (or keeps) the pair set
+    capped = {
+        (r["a"], r["b"], r["hamming"])
+        for r in im.dhash_neardups(sl, max_hamming=2, max_bucket=3).collect()
+    }
+    assert capped <= got
+
+
+def test_image_suite_verdicts(spark, av_tables):
+    from shaclapi_spark import fixtures
+    from shaclapi_spark.engine import run_suite
+
+    images, _ = av_tables
+    res = run_suite(spark, fixtures.image_suite(), {"images": images})
+    by_id = {r["entity_id"]: r for r in res.verdicts.collect()}
+    assert len(by_id) == 500
+    for i in range(500):
+        r = by_id[f"img_{i:08d}"]
+        if i % 127 == 0 or i % 89 == 0 or i % 101 == 0:
+            assert not r["is_valid"] and r["reason"] == "img_decodable", r
+        elif i % 73 == 0:
+            # catalog metadata lies about the width -> img_dims fires
+            assert not r["is_valid"] and r["reason"] == "img_dims", r
+        else:
+            assert r["is_valid"] and r["reason"] is None, r
