@@ -1656,6 +1656,23 @@ def q_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return at.wav_sample_stats(at.transcode_wav(c))
 
 
+def q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-frame perceptual hash tokens (grayscale dHash) — the video
+    # analog of the audio PCM fingerprint; oracle rebuilds every frame's
+    # hash from the SGV1 bytes
+    _, videos = _av_tables(spark, sf_dir)
+    return ig.video_fingerprint(videos, every_n=1)
+
+
+def q_video_content_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-duplicate videos by shared frame-hash tokens (>= 2 distinct),
+    # position-independent; 1/8 id slice for the same degenerate-
+    # mega-group reason as image_dhash_dups
+    _, videos = _av_tables(spark, sf_dir)
+    sl = videos.filter(F.expr("CAST(substr(vid_id, 5) AS BIGINT) % 8 = 0"))
+    return ig.video_content_matches(sl, min_shared=2, every_n=1)
+
+
 def q_speech_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # VAD-style speech/silence segmentation: contiguous runs of
     # active/silent 20 ms frames (integer-exact energy test), oracled by
@@ -1909,6 +1926,8 @@ _NEW_THIS_ROUND = [
     "image_resize_stats",
     "video_meta",
     "video_frame_stats",
+    "video_fingerprint",
+    "video_content_matches",
 ]
 
 
@@ -2041,6 +2060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize_stats": q_image_resize_stats,
         "video_meta": q_video_meta,
         "video_frame_stats": q_video_frame_stats,
+        "video_fingerprint": q_video_fingerprint,
+        "video_content_matches": q_video_content_matches,
     })
 
 
@@ -3390,6 +3411,67 @@ FROM v GROUP BY vid_id, j
 """
 
 
+def _video_fp_ctes() -> str:
+    """Per-frame grayscale dHash rebuilt from the SGV1 bytes: frame t's
+    pixel (x, y) lives at byte 11 + t·w·h + y·w + x; the thumbnail /
+    neighbor-compare / signed-bit rules are identical to the image dHash
+    oracle (single channel — the luma step is the identity). Ends at
+    relation ``vfp`` (vid_id, frame_idx, fhash)."""
+
+    def px(sx: str, sy: str) -> str:
+        off = f"(11 + t * w * hh + ({sy}) * w + ({sx}))"
+        return f"('0x' || substr(h, CAST(2 * {off} + 1 AS INT), 2))::BIGINT"
+
+    return f"""{_video_meta_ctes()},
+okv AS (SELECT vid_id, h, w, hh, n FROM meta WHERE status = 'ok'),
+vt AS (
+  SELECT vid_id, h, w, hh, unnest(range(0, n)) AS t FROM okv
+),
+vb AS (
+  SELECT vid_id, h, w, hh, t, unnest(range(0, 64)) AS j FROM vt
+),
+vc AS (
+  SELECT vid_id, h, w, hh, t, j,
+    ((j % 8) * w) // 9 AS sxa,
+    (((j % 8) + 1) * w) // 9 AS sxb,
+    ((j // 8) * hh) // 8 AS sy
+  FROM vb
+),
+vl AS (
+  SELECT vid_id, t, j,
+    {px('sxa', 'sy')} AS la,
+    {px('sxb', 'sy')} AS lb
+  FROM vc
+),
+vfp AS (
+  SELECT vid_id, CAST(t AS INT) AS frame_idx,
+    CAST(sum(CASE WHEN la > lb THEN
+      (CASE WHEN j = 63 THEN -9223372036854775807 - 1
+            ELSE (1::BIGINT << CAST(j AS INT)) END)
+      ELSE 0 END) AS BIGINT) AS fhash
+  FROM vl GROUP BY vid_id, t
+)"""
+
+
+def _video_fingerprint_sql() -> str:
+    return f"WITH {_video_fp_ctes()}\nSELECT vid_id, frame_idx, fhash FROM vfp"
+
+
+def _video_content_matches_sql(min_shared: int = 2) -> str:
+    return f"""
+WITH {_video_fp_ctes()},
+tok AS (
+  SELECT DISTINCT vid_id, fhash FROM vfp
+  WHERE CAST(substr(vid_id, 5) AS BIGINT) % 8 = 0
+)
+SELECT a.vid_id AS a, b.vid_id AS b,
+  CAST(count(*) AS BIGINT) AS n_shared
+FROM tok a JOIN tok b ON a.fhash = b.fhash AND a.vid_id < b.vid_id
+GROUP BY 1, 2
+HAVING count(*) >= {int(min_shared)}
+"""
+
+
 def _align_tokens_sql(frame_ms: int = 20) -> str:
     """Proportional token-time alignment over the segments CTE — exact
     mirror of mm.align_tokens: token j of t owns speech ordinals
@@ -4521,6 +4603,8 @@ FROM per LEFT JOIN ga USING (event_type) CROSS JOIN gl
         "image_resize_stats": _image_resize_stats_sql(),
         "video_meta": _video_meta_sql(),
         "video_frame_stats": _video_frame_stats_sql(),
+        "video_fingerprint": _video_fingerprint_sql(),
+        "video_content_matches": _video_content_matches_sql(),
         "audio_speed_perturb": _speed_perturb_sql(num=11, den=10),
         "audio_pad_trim": _pad_trim_sql(target=400),
         "shard_manifest_docs": """

@@ -848,3 +848,115 @@ def image_dims_match_sql(
         f" AND {_ppm_dim_sql(h, 10)} = CAST({h_col} AS BIGINT))"
     )
     return f"({bytes_col} IS NOT NULL AND ({bmp} OR {ppm}))"
+
+
+# ---------------------------------------------------------------------------
+# video content fingerprint — per-sampled-frame dHash tokens
+# ---------------------------------------------------------------------------
+
+def frame_dhash(frame: np.ndarray) -> int:
+    """Signed-64-bit dHash of a single-channel (h, w) uint8 frame — the
+    grayscale specialization of ``dhash_pixels`` (the luma step is the
+    identity), same exact-integer thumbnail + neighbor-compare rules."""
+    t = resize_nearest(frame.astype(np.int64), DHASH_W, DHASH_H)
+    val = 0
+    for y in range(DHASH_H):
+        for x in range(DHASH_W - 1):
+            if t[y, x] > t[y, x + 1]:
+                val |= 1 << (y * 8 + x)
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+VIDEO_FP_SCHEMA = "vid_id string, frame_idx int, fhash long"
+
+
+def video_fingerprint(
+    df: DataFrame,
+    id_col: str = "vid_id",
+    bytes_col: str = "bytes",
+    every_n: int = 1,
+) -> DataFrame:
+    """(vid_id, frame_idx, fhash): perceptual hash of every ``every_n``-th
+    frame — the video analog of audio_analysis.audio_fingerprint's
+    per-frame token relation. One shuffle-free Arrow pass; undecodable
+    rows are skipped."""
+    if every_n <= 0:
+        raise ValueError("every_n must be positive")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, hs = [], [], []
+            for vid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                try:
+                    _, frames = decode_video(bytes(blob))
+                except ValueError:
+                    continue
+                for t in range(0, len(frames), every_n):
+                    ids.append(str(vid))
+                    fidx.append(t)
+                    hs.append(frame_dhash(frames[t]))
+            yield pd.DataFrame(
+                {
+                    "vid_id": ids,
+                    "frame_idx": pd.array(fidx, dtype="int32"),
+                    "fhash": pd.array(hs, dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        gen, schema=VIDEO_FP_SCHEMA
+    )
+
+
+def video_content_matches(
+    df: DataFrame,
+    id_col: str = "vid_id",
+    bytes_col: str = "bytes",
+    min_shared: int = 2,
+    every_n: int = 1,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate video pairs (a, b, n_shared): videos sharing at
+    least ``min_shared`` DISTINCT frame-hash values, position-independent
+    — a re-cut / trimmed copy still matches on its overlapping frames
+    (the audio fingerprint_matches shape, frame-dHash tokens instead of
+    PCM window digests). ``max_bucket`` drops frame-hash buckets larger
+    than the cap before the join — the degenerate-duplication stop-token
+    device; None keeps exact recall.
+
+    Scale shape: Arrow decode once → (vid, 8-byte hash) tokens; one
+    distinct projection, one token equi-join, one map-combinable pair
+    count — fan-out tracks true duplication, never corpus size."""
+    base = (
+        video_fingerprint(df, id_col, bytes_col, every_n)
+        .select("vid_id", "fhash")
+        .distinct()
+        .persist()
+    )
+    t = base
+    if max_bucket is not None:
+        hot = (
+            base.groupBy("fhash")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > int(max_bucket))
+            .select("fhash")
+        )
+        t = base.join(F.broadcast(hot), "fhash", "left_anti").persist()
+    try:
+        a = t.select(F.col("vid_id").alias("a"), "fhash")
+        b = t.select(F.col("vid_id").alias("b"), "fhash")
+        out = (
+            a.join(b, "fhash")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= F.lit(int(min_shared)))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        t.unpersist()
+        if t is not base:
+            base.unpersist()
+    return out

@@ -280,3 +280,43 @@ def test_image_suite_verdicts(spark, av_tables):
             assert not r["is_valid"] and r["reason"] == "img_dims", r
         else:
             assert r["is_valid"] and r["reason"] is None, r
+
+
+def test_video_fingerprint_matches_reference(spark, av_tables):
+    _, videos = av_tables
+    got = {
+        (r["vid_id"], r["frame_idx"]): r["fhash"]
+        for r in im.video_fingerprint(videos, every_n=1).collect()
+    }
+    for i in (1, 2, 3, 11):
+        fr = im.synth_frames(i, 16, 12, 6)
+        for t in range(6):
+            assert got[(f"vid_{i:08d}", t)] == im.frame_dhash(fr[t])
+    with pytest.raises(ValueError):
+        im.video_fingerprint(videos, every_n=0)
+
+
+def test_video_content_matches_bruteforce(spark, av_tables):
+    _, videos = av_tables
+    sl = videos.filter(F.expr("CAST(substr(vid_id, 5) AS BIGINT) % 8 = 0"))
+    got = {
+        (r["a"], r["b"]): r["n_shared"]
+        for r in im.video_content_matches(sl, min_shared=2).collect()
+    }
+    toks = {}
+    for r in im.video_fingerprint(sl).collect():
+        toks.setdefault(r["vid_id"], set()).add(r["fhash"])
+    ids = sorted(toks)
+    brute = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            n = len(toks[ids[x]] & toks[ids[y]])
+            if n >= 2:
+                brute[(ids[x], ids[y])] = n
+    assert got == brute and len(brute) > 0
+    # stop-bucket cap only shrinks the pair set
+    capped = {
+        (r["a"], r["b"])
+        for r in im.video_content_matches(sl, min_shared=2, max_bucket=3).collect()
+    }
+    assert capped <= set(got)
