@@ -3100,9 +3100,11 @@ fields AS (
     CASE WHEN is_bmp AND blen >= 54 THEN ('0x' || substr(h,27,2) ||
       substr(h,25,2) || substr(h,23,2) || substr(h,21,2))::BIGINT END AS data_off,
     CASE WHEN is_ppm AND blen >= 19
-      THEN trim(CAST(unhex(substr(h, 7, 10)) AS VARCHAR))::BIGINT END AS ppm_w,
+      THEN TRY_CAST(trim(CAST(unhex(substr(h, 7, 10)) AS VARCHAR)) AS BIGINT)
+      END AS ppm_w,
     CASE WHEN is_ppm AND blen >= 19
-      THEN trim(CAST(unhex(substr(h, 19, 10)) AS VARCHAR))::BIGINT END AS ppm_h
+      THEN TRY_CAST(trim(CAST(unhex(substr(h, 19, 10)) AS VARCHAR)) AS BIGINT)
+      END AS ppm_h
   FROM flags
 ),
 meta AS (
@@ -3119,6 +3121,8 @@ meta AS (
       WHEN is_bmp AND blen < 54 THEN 'truncated'
       WHEN is_ppm AND blen < 19 THEN 'truncated'
       WHEN is_bmp AND (bmp_bpp <> 24 OR bmp_comp <> 0) THEN 'unsupported'
+      WHEN is_ppm AND (ppm_w IS NULL OR ppm_h IS NULL
+                       OR ppm_w <= 0 OR ppm_h <= 0) THEN 'unsupported'
       WHEN blen < (CASE WHEN is_bmp
                         THEN data_off + ((3 * bmp_w + 3) // 4) * 4 * bmp_h
                         ELSE 19 + 3 * ppm_w * ppm_h END) THEN 'truncated'

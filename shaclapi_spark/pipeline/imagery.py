@@ -293,10 +293,15 @@ def _le_u16(h: Column, byte_off: int) -> Column:
 
 def _ascii_int(h: Column, byte_off: int, n_bytes: int) -> Column:
     """Decimal integer stored as ``n_bytes`` ascii chars (space-padded) at
-    1-based byte offset — unhex the span back to text, trim, cast."""
+    1-based byte offset — unhex the span back to text, trim, TRY-cast
+    (NULL, never a throw, when a hostile header puts non-fixed-width or
+    non-numeric bytes there — ANSI CAST would abort the whole job on one
+    bad row)."""
     return F.trim(
-        F.decode(F.unhex(F.substring(h, 2 * byte_off - 1, 2 * n_bytes)), "UTF-8")
-    ).cast("long")
+        F.decode(
+            F.unhex(F.substring(h, 2 * byte_off - 1, 2 * n_bytes)), "UTF-8"
+        )
+    ).try_cast("long")
 
 
 def image_meta(
@@ -346,6 +351,19 @@ def image_meta(
         .when(is_bmp & (blen < F.lit(BMP_HEADER_BYTES)), F.lit("truncated"))
         .when(is_ppm & (blen < F.lit(PPM_HEADER_BYTES)), F.lit("truncated"))
         .when(is_bmp & ((bmp_bpp != 24) | (bmp_comp != 0)), F.lit("unsupported"))
+        # hostile/non-fixed-width PPM headers: dims don't parse (NULL from
+        # the try-cast) or are non-positive — without this, NULL `need`
+        # would null out the truncation test below and fall through to ok
+        .when(
+            is_ppm
+            & (
+                ppm_w.isNull()
+                | ppm_h.isNull()
+                | (ppm_w <= 0)
+                | (ppm_h <= 0)
+            ),
+            F.lit("unsupported"),
+        )
         .when(blen < need, F.lit("truncated"))
         .otherwise(F.lit("ok"))
     )
