@@ -160,3 +160,91 @@ def test_bpe_training_prefix_stability(counts, n_merges):
     for w, _c in wc:
         out = _encode_word(w, ranks)
         assert "".join(out) == w
+
+
+# ---------------------------------------------------------------------------
+# imagery codec properties (round 4)
+# ---------------------------------------------------------------------------
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=80, deadline=None)
+def test_bmp_ppm_round_trip_any_dims(w, h, seed):
+    import numpy as np
+
+    from shaclapi_spark.pipeline import imagery as im
+
+    rng = np.random.default_rng(seed)
+    pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(im.decode_image(im.encode_bmp(pix)), pix)
+    assert np.array_equal(im.decode_image(im.encode_ppm(pix)), pix)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=32),
+    h=st.integers(min_value=1, max_value=24),
+    n=st.integers(min_value=0, max_value=8),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=80, deadline=None)
+def test_video_round_trip_any_shape(w, h, n, seed):
+    import numpy as np
+
+    from shaclapi_spark.pipeline import imagery as im
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
+    hdr, back = im.decode_video(im.encode_video(frames, fps=30))
+    assert hdr == {"w": w, "h": h, "n_frames": n, "fps": 30}
+    assert np.array_equal(back, frames)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+    out_w=st.integers(min_value=1, max_value=16),
+    out_h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=80, deadline=None)
+def test_resize_nearest_properties(w, h, out_w, out_h, seed):
+    import numpy as np
+
+    from shaclapi_spark.pipeline import imagery as im
+
+    rng = np.random.default_rng(seed)
+    pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    t = im.resize_nearest(pix, out_w, out_h)
+    assert t.shape == (out_h, out_w, 3)
+    # every output pixel is an actual source pixel (nearest-neighbor:
+    # no interpolation, no invented values), selected by the exact rule
+    for y in (0, out_h - 1):
+        for x in (0, out_w - 1):
+            assert np.array_equal(t[y, x], pix[(y * h) // out_h, (x * w) // out_w])
+    # identity when dims match
+    assert np.array_equal(im.resize_nearest(pix, w, h), pix)
+
+
+@given(
+    w=st.integers(min_value=2, max_value=40),
+    h=st.integers(min_value=2, max_value=30),
+    shift=st.integers(min_value=-40, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_dhash_brightness_invariance(w, h, shift, seed):
+    import numpy as np
+
+    from shaclapi_spark.pipeline import imagery as im
+
+    rng = np.random.default_rng(seed)
+    pix = rng.integers(60, 196, size=(h, w, 3), dtype=np.uint8)
+    shifted = np.clip(pix.astype(np.int64) + shift, 0, 255).astype(np.uint8)
+    # pixel range keeps shift from clipping, so the luma ORDER between any
+    # two pixels is preserved -> identical hash
+    assert im.dhash_pixels(pix) == im.dhash_pixels(shifted)
+    v = im.dhash_pixels(pix)
+    assert -(1 << 63) <= v < (1 << 63)
