@@ -3091,8 +3091,15 @@ fields AS (
   SELECT *,
     CASE WHEN is_bmp AND blen >= 54 THEN ('0x' || substr(h,43,2) ||
       substr(h,41,2) || substr(h,39,2) || substr(h,37,2))::BIGINT END AS bmp_w,
-    CASE WHEN is_bmp AND blen >= 54 THEN ('0x' || substr(h,51,2) ||
-      substr(h,49,2) || substr(h,47,2) || substr(h,45,2))::BIGINT END AS bmp_h,
+    -- height is SIGNED i32 (negative = spec top-down marker): sign-extend,
+    -- keep the magnitude, mirroring imagery.image_meta
+    CASE WHEN is_bmp AND blen >= 54 THEN abs(
+      CASE WHEN ('0x' || substr(h,51,2) || substr(h,49,2) || substr(h,47,2)
+                 || substr(h,45,2))::BIGINT >= 2147483648
+           THEN ('0x' || substr(h,51,2) || substr(h,49,2) || substr(h,47,2)
+                 || substr(h,45,2))::BIGINT - 4294967296
+           ELSE ('0x' || substr(h,51,2) || substr(h,49,2) || substr(h,47,2)
+                 || substr(h,45,2))::BIGINT END) END AS bmp_h,
     CASE WHEN is_bmp AND blen >= 54 THEN ('0x' || substr(h,59,2) ||
       substr(h,57,2))::BIGINT END AS bmp_bpp,
     CASE WHEN is_bmp AND blen >= 54 THEN ('0x' || substr(h,67,2) ||
@@ -3107,29 +3114,40 @@ fields AS (
       END AS ppm_h
   FROM flags
 ),
+sanef AS (
+  SELECT *,
+    (bmp_w BETWEEN 1 AND 1048576 AND bmp_h BETWEEN 1 AND 1048576
+     AND data_off <= 1048576) AS bmp_sane,
+    (ppm_w IS NOT NULL AND ppm_h IS NOT NULL
+     AND ppm_w >= 1 AND ppm_h >= 1) AS ppm_sane
+  FROM fields
+),
 meta AS (
   SELECT img_id, meta_w, meta_h, h, blen, is_bmp, is_ppm, data_off,
     CASE WHEN is_bmp THEN bmp_w ELSE ppm_w END AS w,
     CASE WHEN is_bmp THEN bmp_h ELSE ppm_h END AS hh,
     CASE WHEN is_bmp THEN bmp_bpp WHEN is_ppm THEN 24 END AS bpp,
     CASE WHEN is_bmp THEN ((3 * bmp_w + 3) // 4) * 4 END AS stride,
-    CASE WHEN is_bmp THEN data_off + ((3 * bmp_w + 3) // 4) * 4 * bmp_h
-         WHEN is_ppm THEN 19 + 3 * ppm_w * ppm_h END AS need,
+    -- size arithmetic guarded on sane dims, mirroring image_meta's
+    -- overflow protection
+    CASE WHEN is_bmp AND bmp_sane
+           THEN data_off + ((3 * bmp_w + 3) // 4) * 4 * bmp_h
+         WHEN is_ppm AND ppm_sane THEN 19 + 3 * ppm_w * ppm_h END AS need,
     CASE
       WHEN is_null THEN 'null'
       WHEN NOT (is_bmp OR is_ppm) THEN 'bad_magic'
       WHEN is_bmp AND blen < 54 THEN 'truncated'
       WHEN is_ppm AND blen < 19 THEN 'truncated'
       WHEN is_bmp AND (bmp_bpp <> 24 OR bmp_comp <> 0) THEN 'unsupported'
-      WHEN is_ppm AND (ppm_w IS NULL OR ppm_h IS NULL
-                       OR ppm_w <= 0 OR ppm_h <= 0) THEN 'unsupported'
+      WHEN is_bmp AND NOT bmp_sane THEN 'unsupported'
+      WHEN is_ppm AND NOT ppm_sane THEN 'unsupported'
       WHEN blen < (CASE WHEN is_bmp
                         THEN data_off + ((3 * bmp_w + 3) // 4) * 4 * bmp_h
                         ELSE 19 + 3 * ppm_w * ppm_h END) THEN 'truncated'
       ELSE 'ok' END AS status,
     (NOT is_null AND ((is_bmp AND blen >= 54) OR (is_ppm AND blen >= 19)))
       AS parseable
-  FROM fields
+  FROM sanef
 )"""
 
 

@@ -809,14 +809,37 @@ def run_suite(
                 for n in group.shapes:
                     ids = target_pops[n].select(
                         F.col("__pop_id").cast("string").alias("__pop_id")
-                    ).persist()
+                    )
                     group_pop[n] = target_pops[n]
                     s_old = cyclic_seed_verdicts.filter(
                         F.col("shape") == F.lit(n)
                     ).select("entity_id", "shape", "is_valid", "reason")
-                    seed_outside[n] = s_old.join(
-                        ids, s_old["entity_id"] == ids["__pop_id"], "left_anti"
-                    ).localCheckpoint(eager=True)
+                    # entities DELETED from the new version fall out of the
+                    # population (it is new-table-intersected), so their
+                    # stale verdicts would otherwise survive in the seed —
+                    # a full run emits nothing for them and coalesces
+                    # references to valid; restrict the seed to entities
+                    # the NEW table still carries
+                    sh = shape_by_name[n]
+                    live = tables[sh.table]
+                    if sh.target_filter:
+                        live = live.filter(F.expr(sh.target_filter))
+                    live_ids = live.select(
+                        F.col(sh.entity_col).cast("string").alias("__live_id")
+                    ).distinct()
+                    seed_outside[n] = (
+                        s_old.join(
+                            ids,
+                            s_old["entity_id"] == ids["__pop_id"],
+                            "left_anti",
+                        )
+                        .join(
+                            live_ids,
+                            F.col("entity_id") == F.col("__live_id"),
+                            "leftsemi",
+                        )
+                        .localCheckpoint(eager=True)
+                    )
 
             def init_valid(n: str) -> DataFrame:
                 av = _all_valid_verdicts(shape_by_name[n], tables)
@@ -858,7 +881,18 @@ def run_suite(
                 if not changed:
                     break
             for n in group.shapes:
-                verdicts_by_shape[n] = current[n]
+                # seeded runs must publish the MERGED relation (seed for
+                # unaffected entities ∪ fresh slice): downstream shapes
+                # referencing into the cyclic group need verdicts for
+                # entities outside the affected population too, or their
+                # qualified_shape joins coalesce the gap to valid. The
+                # post-loop target-population filter restricts what is
+                # EMITTED back to the affected slice.
+                verdicts_by_shape[n] = (
+                    seed_outside[n].unionByName(current[n])
+                    if seeded
+                    else current[n]
+                )
                 violations_by_shape[n] = last_viol[n]
 
     # targets that had to evaluate unrestricted (cyclic groups, unrestricted

@@ -291,17 +291,30 @@ def _le_u16(h: Column, byte_off: int) -> Column:
     ).cast("long")
 
 
+#: parsed-dimension sanity ceiling: headers claiming a side beyond this are
+#: classified 'unsupported' BEFORE any size arithmetic — a u32 width times a
+#: u32 height times 3 overflows int64 (ANSI mode would abort the job on ONE
+#: hostile row; non-ANSI would silently wrap and can mislabel a truncated
+#: blob 'ok'). 2^20 px per side is far beyond any real still image.
+MAX_DIM = 1 << 20
+
+
 def _ascii_int(h: Column, byte_off: int, n_bytes: int) -> Column:
     """Decimal integer stored as ``n_bytes`` ascii chars (space-padded) at
-    1-based byte offset — unhex the span back to text, trim, TRY-cast
-    (NULL, never a throw, when a hostile header puts non-fixed-width or
-    non-numeric bytes there — ANSI CAST would abort the whole job on one
-    bad row)."""
-    return F.trim(
-        F.decode(
-            F.unhex(F.substring(h, 2 * byte_off - 1, 2 * n_bytes)), "UTF-8"
-        )
-    ).try_cast("long")
+    1-based byte offset, parsed with conv/CASE digit folding ONLY — no
+    decode() (ANSI throws MALFORMED_CHARACTER_CODING on non-UTF-8 header
+    bytes) and no throwing CAST. Non-digit bytes fold as skips; a field
+    with NO digits at all yields NULL (distinguishing 'no number here'
+    from a legitimate 0)."""
+    acc: Column = F.lit(0).cast("long")
+    any_digit: Column = F.lit(False)
+    for i in range(n_bytes):
+        p = 2 * (byte_off + i) - 1
+        v = F.conv(F.substring(h, p, 2), 16, 10).cast("long")
+        is_digit = (v >= 48) & (v <= 57)
+        acc = F.when(is_digit, acc * 10 + v - 48).otherwise(acc)
+        any_digit = any_digit | is_digit
+    return F.when(any_digit, acc)
 
 
 def image_meta(
@@ -326,16 +339,38 @@ def image_meta(
     is_ppm = F.substring(h, 1, 4) == F.lit("5036")  # "P6"
 
     bmp_w = _le_u32(h, 19)
-    bmp_h = _le_u32(h, 23)
+    # height is SIGNED i32 per the BMP spec: negative marks a top-down
+    # row order (decode_image honors it) — sign-extend, keep magnitude
+    bmp_h_raw = _le_u32(h, 23)
+    bmp_h_signed = F.when(
+        bmp_h_raw >= F.lit(1 << 31), bmp_h_raw - F.lit(1 << 32)
+    ).otherwise(bmp_h_raw)
+    bmp_h = F.abs(bmp_h_signed)
     bmp_bpp = _le_u16(h, 29)
     bmp_comp = _le_u32(h, 31)
     bmp_off = _le_u32(h, 11)
+    # dims sanity BEFORE any size product: a u32 × u32 × 3 passes int64
+    # and ANSI mode aborts the whole job on ONE hostile header (or
+    # non-ANSI silently wraps); the CASE-guard keeps the product lazy
+    bmp_sane = (
+        (bmp_w >= 1)
+        & (bmp_w <= F.lit(MAX_DIM))
+        & (bmp_h >= 1)
+        & (bmp_h <= F.lit(MAX_DIM))
+        & (bmp_off <= F.lit(MAX_DIM))
+    )
     bmp_stride = F.floor((F.lit(3) * bmp_w + F.lit(3)) / 4) * 4
-    bmp_need = bmp_off + bmp_stride * bmp_h
+    bmp_need = F.when(bmp_sane, bmp_off + bmp_stride * bmp_h)
 
     ppm_w = _ascii_int(h, 4, 5)
     ppm_h = _ascii_int(h, 10, 5)
-    ppm_need = F.lit(PPM_HEADER_BYTES) + F.lit(3) * ppm_w * ppm_h
+    # 5 ascii digits cap at 99,999: 3·w·h <= 3e10, no overflow possible
+    ppm_sane = (
+        ppm_w.isNotNull() & ppm_h.isNotNull() & (ppm_w >= 1) & (ppm_h >= 1)
+    )
+    ppm_need = F.when(
+        ppm_sane, F.lit(PPM_HEADER_BYTES) + F.lit(3) * ppm_w * ppm_h
+    )
 
     fmt = F.when(is_bmp, F.lit("bmp")).when(is_ppm, F.lit("ppm"))
     width = F.when(is_bmp, bmp_w).when(is_ppm, ppm_w)
@@ -344,26 +379,16 @@ def image_meta(
     need = F.when(is_bmp, bmp_need).when(is_ppm, ppm_need)
 
     # rejection order mirrors decode_image: magic first, then header
-    # truncation, then variant support, then payload-size truncation
+    # truncation, then variant support (incl. insane dims), then
+    # payload-size truncation
     status = (
         F.when(F.col(bytes_col).isNull(), F.lit("null"))
         .when(~(is_bmp | is_ppm), F.lit("bad_magic"))
         .when(is_bmp & (blen < F.lit(BMP_HEADER_BYTES)), F.lit("truncated"))
         .when(is_ppm & (blen < F.lit(PPM_HEADER_BYTES)), F.lit("truncated"))
         .when(is_bmp & ((bmp_bpp != 24) | (bmp_comp != 0)), F.lit("unsupported"))
-        # hostile/non-fixed-width PPM headers: dims don't parse (NULL from
-        # the try-cast) or are non-positive — without this, NULL `need`
-        # would null out the truncation test below and fall through to ok
-        .when(
-            is_ppm
-            & (
-                ppm_w.isNull()
-                | ppm_h.isNull()
-                | (ppm_w <= 0)
-                | (ppm_h <= 0)
-            ),
-            F.lit("unsupported"),
-        )
+        .when(is_bmp & ~bmp_sane, F.lit("unsupported"))
+        .when(is_ppm & ~ppm_sane, F.lit("unsupported"))
         .when(blen < need, F.lit("truncated"))
         .otherwise(F.lit("ok"))
     )
@@ -827,20 +852,43 @@ def image_ok_sql(bytes_col: str = "bytes") -> str:
     h = f"upper(hex({bytes_col}))"
     blen = f"CAST(length({bytes_col}) AS BIGINT)"
     bmp_w = _le_u32_sql(h, 19)
-    bmp_h = _le_u32_sql(h, 23)
+    # signed i32 height (negative = spec's top-down marker): sign-extend,
+    # compare on the magnitude
+    bmp_h = (
+        f"abs(CASE WHEN {_le_u32_sql(h, 23)} >= {1 << 31}"
+        f" THEN {_le_u32_sql(h, 23)} - {1 << 32}"
+        f" ELSE {_le_u32_sql(h, 23)} END)"
+    )
     bmp_bpp = _le_u16_sql(h, 29)
     bmp_comp = _le_u32_sql(h, 31)
     bmp_off = _le_u32_sql(h, 11)
     stride = f"((3 * {bmp_w} + 3) div 4) * 4"
+    # sanity-cap the dims BEFORE the size product (u32·u32·3 passes int64:
+    # ANSI aborts the job on one hostile header, non-ANSI silently wraps);
+    # the CASE keeps the product from ever evaluating on insane dims
+    bmp_sane = (
+        f"({bmp_w} BETWEEN 1 AND {MAX_DIM}"
+        f" AND {bmp_h} BETWEEN 1 AND {MAX_DIM}"
+        f" AND {bmp_off} <= {MAX_DIM})"
+    )
+    bmp_fits = (
+        f"(CASE WHEN {bmp_sane}"
+        f" THEN {blen} >= {bmp_off} + {stride} * {bmp_h}"
+        f" ELSE false END)"
+    )
     ppm_w = _ppm_dim_sql(h, 4)
     ppm_h = _ppm_dim_sql(h, 10)
     return (
         f"({bytes_col} IS NOT NULL AND ("
         f"(substring({h},1,4) = '424D' AND {blen} >= {BMP_HEADER_BYTES}"
         f" AND {bmp_bpp} = 24 AND {bmp_comp} = 0"
-        f" AND {blen} >= {bmp_off} + {stride} * {bmp_h})"
+        f" AND {bmp_fits})"
         f" OR "
         f"(substring({h},1,4) = '5036' AND {blen} >= {PPM_HEADER_BYTES}"
+        # garbage ascii folds to 0 in _ppm_dim_sql — a >= 1 floor rejects
+        # both unparseable and zero-dim headers (5 digits cap the product
+        # at 3e10, no overflow risk)
+        f" AND {ppm_w} >= 1 AND {ppm_h} >= 1"
         f" AND {blen} >= {PPM_HEADER_BYTES} + 3 * {ppm_w} * {ppm_h})"
         f"))"
     )
@@ -855,10 +903,17 @@ def image_dims_match_sql(
     parsed are NOT excused here (combine with ``image_ok_sql`` in an
     engine ``or``/precondition when that is the wanted semantics)."""
     h = f"upper(hex({bytes_col}))"
+    signed_h = (
+        f"abs(CASE WHEN {_le_u32_sql(h, 23)} >= {1 << 31}"
+        f" THEN {_le_u32_sql(h, 23)} - {1 << 32}"
+        f" ELSE {_le_u32_sql(h, 23)} END)"
+    )
     bmp = (
         f"(substring({h},1,4) = '424D'"
         f" AND {_le_u32_sql(h, 19)} = CAST({w_col} AS BIGINT)"
-        f" AND {_le_u32_sql(h, 23)} = CAST({h_col} AS BIGINT))"
+        # height magnitude: a spec-conforming top-down BMP (negative i32
+        # height) still matches its positive catalog height
+        f" AND {signed_h} = CAST({h_col} AS BIGINT))"
     )
     ppm = (
         f"(substring({h},1,4) = '5036'"

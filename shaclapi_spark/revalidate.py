@@ -32,7 +32,9 @@ the affected populations of a cyclic SCC are CLOSED under its internal
 reference edges (iterated to a monotone fixpoint over id relations), and
 the engine's cyclic fixpoint then runs restricted to those populations
 with out-of-population references answered from the prior run's verdicts
-(engine.run_suite ``cyclic_seed_verdicts``) — no full-table rescan.
+(engine.run_suite ``cyclic_seed_verdicts``) — no full-table
+re-VALIDATION (the seed restriction adds one id-only projection scan per
+cyclic shape to drop verdicts of entities the new version deleted).
 Drift constraints are dataset-grain aggregates with no per-entity
 locality, so suites carrying them are rejected (recompute drift with a
 normal run, it is one scan of two numeric columns).

@@ -193,3 +193,65 @@ def test_dhash_join_plan_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_review_hostile_cases_meta_and_sql(spark):
+    # round-4 review repros: combined huge dims (w*h*3 passes int64 —
+    # must not ARITHMETIC_OVERFLOW the job), non-UTF-8 bytes behind a P6
+    # magic (must not MALFORMED_CHARACTER_CODING), zero dims (must not
+    # classify 'ok'), and a spec-conforming top-down BMP (must classify
+    # 'ok' with the POSITIVE height, not a 4-billion u32)
+    from pyspark.sql import functions as SF
+
+    pix = im.synth_pixels(5, 8, 6)
+    topdown = bytearray(im.encode_bmp(pix))
+    topdown[22:26] = struct.pack("<i", -6)
+    rows_td = bytearray()
+    for y in range(6):
+        rows_td += pix[y, :, ::-1].tobytes()
+    cases = {
+        "huge_both": _bmp_with(w=(1 << 31) - 1, h=(1 << 30)),
+        "p6_binary_hdr": b"P6\n" + b"\xff\xfe\xf0\x90" * 8,
+        "zero_w2": _bmp_with(w=0),
+        "zero_h2": _bmp_with(h=0),
+        "topdown": bytes(topdown[:54]) + bytes(rows_td),
+        "good": bytes(_good_bmp()),
+    }
+    df = spark.createDataFrame(
+        [Row(img_id=k, bytes=v) for k, v in cases.items()],
+        StructType(
+            [StructField("img_id", StringType()), StructField("bytes", BinaryType())]
+        ),
+    )
+    meta = {r["img_id"]: r for r in im.image_meta(df).collect()}
+    assert meta["huge_both"]["status"] == "unsupported"
+    assert meta["p6_binary_hdr"]["status"] in ("unsupported", "truncated")
+    assert meta["zero_w2"]["status"] == "unsupported"
+    assert meta["zero_h2"]["status"] == "unsupported"
+    assert meta["good"]["status"] == "ok"
+    # top-down: decodable, and the reported height is the magnitude
+    assert meta["topdown"]["status"] == "ok"
+    assert meta["topdown"]["height"] == 6
+    # the engine-constraint SQL agrees with decode_image on every row
+    ok = {
+        r["img_id"]: r["ok"]
+        for r in df.select(
+            "img_id", SF.expr(im.image_ok_sql("bytes")).alias("ok")
+        ).collect()
+    }
+    for k, blob in cases.items():
+        try:
+            im.decode_image(blob)
+            decodable = True
+        except ValueError:
+            decodable = False
+        assert ok[k] == decodable, (k, ok[k], decodable)
+    # dims-match SQL honors the top-down magnitude
+    dm = df.withColumn("meta_w", SF.lit(8)).withColumn("meta_h", SF.lit(6))
+    match = {
+        r["img_id"]: r["m"]
+        for r in dm.select(
+            "img_id", SF.expr(im.image_dims_match_sql("bytes")).alias("m")
+        ).collect()
+    }
+    assert match["topdown"] is True and match["good"] is True

@@ -263,3 +263,92 @@ def test_changelog_missing_table_raises(spark, versions):
     cls = {"clips": revalidate.synthesize_changelog(old["clips"], new["clips"])}
     with pytest.raises(KeyError):
         revalidate.affected_populations_from_changelogs(suite, cls, new)
+
+
+def test_cyclic_group_with_outside_referrer(spark):
+    # round-4 review repro: shape X references INTO a cyclic group {A, B};
+    # only X's own row changes, so A/B's affected populations are empty —
+    # the seeded fixpoint must still publish verdicts for A's unaffected
+    # entities or X's qualified_shape join coalesces the gap to valid
+    from shaclapi_spark.suite import Constraint, Shape, Suite
+
+    suite = Suite(
+        shapes=[
+            Shape(
+                name="A",
+                table="a",
+                entity_col="aid",
+                constraints=[
+                    Constraint("a_flag", "expr", {"sql": "flag = 1"}),
+                    Constraint(
+                        "a_b",
+                        "qualified_shape",
+                        {"child": "b", "fk": "aid", "shape": "B", "min": 1},
+                    ),
+                ],
+            ),
+            Shape(
+                name="B",
+                table="b",
+                entity_col="bid",
+                constraints=[
+                    Constraint("b_flag", "expr", {"sql": "bflag = 1"}),
+                    Constraint(
+                        "b_a",
+                        "qualified_shape",
+                        {
+                            "child": "a",
+                            "fk": "aid",
+                            "local_key": "aid",
+                            "shape": "A",
+                            "min": 1,
+                        },
+                    ),
+                ],
+            ),
+            Shape(
+                name="X",
+                table="x",
+                entity_col="xid",
+                constraints=[
+                    Constraint("x_val", "expr", {"sql": "xval > 0"}),
+                    Constraint(
+                        "x_a",
+                        "qualified_shape",
+                        {
+                            "child": "a",
+                            "fk": "aid",
+                            "local_key": "aid",
+                            "shape": "A",
+                            "min": 1,
+                        },
+                    ),
+                ],
+            ),
+        ]
+    )
+    a = spark.createDataFrame([("a1", 0), ("a2", 1)], "aid string, flag int")
+    b = spark.createDataFrame(
+        [("b1", "a1", 1), ("b2", "a2", 1)], "bid string, aid string, bflag int"
+    )
+    x_old = spark.createDataFrame(
+        [("x1", "a1", 1), ("x2", "a2", 1)], "xid string, aid string, xval int"
+    )
+    # only X's table changes; x1 still passes its own expr but its
+    # referenced A entity (a1) remains invalid
+    x_new = spark.createDataFrame(
+        [("x1", "a1", 2), ("x2", "a2", 1)], "xid string, aid string, xval int"
+    )
+    old = {"a": a, "b": b, "x": x_old}
+    new = {"a": a, "b": b, "x": x_new}
+    old_res = run_suite(spark, suite, old, config=CFG)
+    full_new = run_suite(spark, suite, new, config=CFG)
+    inc = revalidate.revalidate_incremental(
+        spark, suite, old, new, old_res.verdicts, config=CFG
+    )
+    assert _sets(inc.verdicts) == _sets(full_new.verdicts)
+    # the specific verdict the pre-fix engine flipped:
+    got = {
+        (r.entity_id, r.shape): r.is_valid for r in inc.verdicts.collect()
+    }
+    assert got[("x1", "X")] is False
