@@ -1656,6 +1656,14 @@ def q_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return at.wav_sample_stats(at.transcode_wav(c))
 
 
+def q_video_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the constraint engine validating the video table: SGV1 integrity +
+    # frame-count-vs-catalog-metadata as pure-builtin expr constraints
+    _, videos = _av_tables(spark, sf_dir)
+    res = run_suite(spark, fixtures.video_suite(), {"videos": videos}, config=_CFG)
+    return res.verdicts.select("entity_id", "shape", "is_valid", "reason")
+
+
 def q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-frame perceptual hash tokens (grayscale dHash) — the video
     # analog of the audio PCM fingerprint; oracle rebuilds every frame's
@@ -1928,6 +1936,7 @@ _NEW_THIS_ROUND = [
     "video_frame_stats",
     "video_fingerprint",
     "video_content_matches",
+    "video_verdicts",
 ]
 
 
@@ -2062,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_stats": q_video_frame_stats,
         "video_fingerprint": q_video_fingerprint,
         "video_content_matches": q_video_content_matches,
+        "video_verdicts": q_video_verdicts,
     })
 
 
@@ -3357,12 +3367,12 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= {int(max_hamming)}
 def _video_meta_ctes() -> str:
     v = _clips_pq("videos")
     return f"""raw AS (
-  SELECT vid_id, upper(hex(bytes)) AS h,
+  SELECT vid_id, meta_frames, upper(hex(bytes)) AS h,
     octet_length(bytes) AS blen, bytes IS NULL AS is_null
   FROM {v}
 ),
 meta AS (
-  SELECT vid_id, h, blen,
+  SELECT vid_id, meta_frames, h, blen,
     ('0x' || substr(h,11,2) || substr(h,9,2))::BIGINT AS w,
     ('0x' || substr(h,15,2) || substr(h,13,2))::BIGINT AS hh,
     ('0x' || substr(h,19,2) || substr(h,17,2))::BIGINT AS n,
@@ -3473,6 +3483,19 @@ vfp AS (
       ELSE 0 END) AS BIGINT) AS fhash
   FROM vl GROUP BY vid_id, t
 )"""
+
+
+def _video_verdicts_sql() -> str:
+    return f"""
+WITH {_video_meta_ctes()}
+SELECT vid_id AS entity_id, 'VideoShape' AS shape,
+  (status = 'ok' AND n = CAST(meta_frames AS BIGINT)) AS is_valid,
+  CASE
+    WHEN status <> 'ok' THEN 'vid_decodable'
+    WHEN n <> CAST(meta_frames AS BIGINT) THEN 'vid_frames'
+    ELSE NULL END AS reason
+FROM meta
+"""
 
 
 def _video_fingerprint_sql() -> str:
@@ -4627,6 +4650,7 @@ FROM per LEFT JOIN ga USING (event_type) CROSS JOIN gl
         "video_frame_stats": _video_frame_stats_sql(),
         "video_fingerprint": _video_fingerprint_sql(),
         "video_content_matches": _video_content_matches_sql(),
+        "video_verdicts": _video_verdicts_sql(),
         "audio_speed_perturb": _speed_perturb_sql(num=11, den=10),
         "audio_pad_trim": _pad_trim_sql(target=400),
         "shard_manifest_docs": """

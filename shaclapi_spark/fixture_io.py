@@ -184,11 +184,13 @@ def videos_pdf(n_videos: int) -> pd.DataFrame:
 
     rows = []
     for i in range(n_videos):
+        # i%61: catalog frame count LIES (container authoritative) — the
+        # vid_frames constraint seed, mirroring the images meta_w seed
         rows.append(
             (
                 f"vid_{i:08d}",
                 imagery.synth_video_bytes(i, VID_W, VID_H, VID_FRAMES),
-                VID_FRAMES,
+                VID_FRAMES - 1 if i % 61 == 0 else VID_FRAMES,
                 25,
             )
         )
@@ -224,7 +226,7 @@ def fixture_paths(n_clips: int, root: str = FIXTURE_ROOT) -> dict[str, str]:
         "images": os.path.join(d, "images.parquet"),
         "videos": os.path.join(d, "videos.parquet"),
         "_marker": os.path.join(d, "_OK"),
-        "_marker_av": os.path.join(d, "_OK_AV2"),
+        "_marker_av": os.path.join(d, "_OK_AV3"),
     }
 
 

@@ -152,6 +152,31 @@ def image_suite() -> Suite:
     return Suite(shapes=[image_shape()])
 
 
+def video_shape() -> Shape:
+    """VideoShape: SGV1 container integrity + frame-count-vs-catalog-
+    metadata checks as pure-builtin `expr` constraints (imagery.
+    video_ok_sql / video_frames_match_sql) — the video leg of the
+    multimodal validation surface."""
+    from shaclapi_spark.pipeline import imagery
+
+    ok = imagery.video_ok_sql("bytes")
+    frames = imagery.video_frames_match_sql("bytes", "meta_frames")
+    return Shape(
+        name="VideoShape",
+        table="videos",
+        entity_col="vid_id",
+        constraints=[
+            Constraint("vid_unique", "unique", {"column": "vid_id"}),
+            Constraint("vid_decodable", "expr", {"sql": ok}),
+            Constraint("vid_frames", "expr", {"sql": f"(NOT {ok}) OR {frames}"}),
+        ],
+    )
+
+
+def video_suite() -> Suite:
+    return Suite(shapes=[video_shape()])
+
+
 def clip_cycle_suite() -> Suite:
     """tc3 analog (A→C→D→A): TranscriptShape additionally requires its parent
     clip to be a valid ClipShape — a 2-cycle resolved by the unbound⇒valid

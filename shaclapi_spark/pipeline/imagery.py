@@ -1033,3 +1033,32 @@ def video_content_matches(
         if t is not base:
             base.unpersist()
     return out
+
+
+def video_ok_sql(bytes_col: str = "bytes") -> str:
+    """Boolean Spark-SQL text: the blob is a structurally-complete SGV1
+    container — ``video_meta().status = 'ok'`` as one expression, usable
+    as an engine ``expr`` constraint over a video table. u16 dims cap the
+    size product at 65535³ < 2^48, so no overflow guard is needed."""
+    h = f"upper(hex({bytes_col}))"
+    blen = f"CAST(length({bytes_col}) AS BIGINT)"
+    w = _le_u16_sql(h, 5)
+    hh = _le_u16_sql(h, 7)
+    n = _le_u16_sql(h, 9)
+    return (
+        f"({bytes_col} IS NOT NULL AND {blen} >= {VIDEO_HEADER_BYTES}"
+        f" AND substring({h},1,8) = '53475631'"
+        f" AND {blen} >= {VIDEO_HEADER_BYTES} + {n} * {hh} * {w})"
+    )
+
+
+def video_frames_match_sql(
+    bytes_col: str = "bytes", n_col: str = "meta_frames"
+) -> str:
+    """Boolean Spark-SQL text: the header's frame count equals the
+    catalog metadata column (the video analog of image_dims_match_sql)."""
+    h = f"upper(hex({bytes_col}))"
+    return (
+        f"({bytes_col} IS NOT NULL AND substring({h},1,8) = '53475631'"
+        f" AND {_le_u16_sql(h, 9)} = CAST({n_col} AS BIGINT))"
+    )

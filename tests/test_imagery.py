@@ -320,3 +320,21 @@ def test_video_content_matches_bruteforce(spark, av_tables):
         for r in im.video_content_matches(sl, min_shared=2, max_bucket=3).collect()
     }
     assert capped <= set(got)
+
+
+def test_video_suite_verdicts(spark, av_tables):
+    from shaclapi_spark import fixtures
+    from shaclapi_spark.engine import run_suite
+
+    _, videos = av_tables
+    res = run_suite(spark, fixtures.video_suite(), {"videos": videos})
+    by_id = {r["entity_id"]: r for r in res.verdicts.collect()}
+    assert len(by_id) == 250
+    for i in range(250):
+        r = by_id[f"vid_{i:08d}"]
+        if i % 127 == 0 or i % 89 == 0 or i % 101 == 0:
+            assert not r["is_valid"] and r["reason"] == "vid_decodable", r
+        elif i % 61 == 0:
+            assert not r["is_valid"] and r["reason"] == "vid_frames", r
+        else:
+            assert r["is_valid"] and r["reason"] is None, r
