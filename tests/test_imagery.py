@@ -338,3 +338,49 @@ def test_video_suite_verdicts(spark, av_tables):
             assert not r["is_valid"] and r["reason"] == "vid_frames", r
         else:
             assert r["is_valid"] and r["reason"] is None, r
+
+
+def test_image_suite_composes_with_lineage_and_enforce(spark, av_tables, tmp_path):
+    # the image suite is a first-class citizen of the ENGINE's operational
+    # machinery: checkpointed hash-bucket waves (resumable lineage) and
+    # clean/quarantine enforcement work over the images table unchanged
+    from shaclapi_spark import api, fixtures, lineage
+    from shaclapi_spark.engine import run_suite
+
+    images, _ = av_tables
+    suite = fixtures.image_suite()
+
+    # lineage waves: union of per-wave verdicts == direct run
+    out = str(tmp_path / "img_lineage")
+    run = lineage.run_with_lineage(
+        spark, suite, {"images": images}, "ImageShape", out, n_waves=4
+    )
+    waved = {
+        (r["entity_id"], r["is_valid"])
+        for r in spark.read.parquet(f"{out}/verdicts").collect()
+    }
+    direct = {
+        (r["entity_id"], r["is_valid"])
+        for r in run_suite(spark, suite, {"images": images}).verdicts.collect()
+    }
+    assert waved == direct
+    # resume is a no-op when all waves are complete
+    run2 = lineage.run_with_lineage(
+        spark, suite, {"images": images}, "ImageShape", out, n_waves=4
+    )
+    assert run2.ran == [] and len(run2.completed) == 4
+
+    # enforce: clean ∪ quarantine partitions the table; quarantine ids are
+    # exactly the invalid entities
+    clean, quarantine = api.enforce(
+        spark, suite, {"images": images}, "ImageShape", "img_id"
+    )
+    n_clean, n_quar = clean.count(), quarantine.count()
+    assert n_clean + n_quar == 500
+    bad = {r["img_id"] for r in quarantine.collect()}
+    expect_bad = {
+        f"img_{i:08d}"
+        for i in range(500)
+        if i % 127 == 0 or i % 89 == 0 or i % 101 == 0 or i % 73 == 0
+    }
+    assert bad == expect_bad
