@@ -1656,6 +1656,18 @@ def q_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return at.wav_sample_stats(at.transcode_wav(c))
 
 
+def q_mixed_container_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # heterogeneous-lake ingestion router: magic-sniff a mixed binary
+    # corpus (audio SGA1 + BMP/PPM stills + SGV1 video, incl. the seeded
+    # corrupt rows) and roll up counts/bytes per container kind — pure
+    # builtins, one ~7-key groupBy
+    t = _clip_tables(spark, sf_dir)
+    images, videos = _av_tables(spark, sf_dir)
+    return mm.container_census(
+        [t["clips"], images, videos], ["clip_id", "img_id", "vid_id"]
+    )
+
+
 def q_video_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the constraint engine validating the video table: SGV1 integrity +
     # frame-count-vs-catalog-metadata as pure-builtin expr constraints
@@ -1937,6 +1949,7 @@ _NEW_THIS_ROUND = [
     "video_fingerprint",
     "video_content_matches",
     "video_verdicts",
+    "mixed_container_census",
 ]
 
 
@@ -2072,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_fingerprint": q_video_fingerprint,
         "video_content_matches": q_video_content_matches,
         "video_verdicts": q_video_verdicts,
+        "mixed_container_census": q_mixed_container_census,
     })
 
 
@@ -3485,6 +3499,40 @@ vfp AS (
 )"""
 
 
+def _mixed_container_census_sql() -> str:
+    """Union of the three fixture binary tables, magic-sniffed with the
+    identical hex-prefix rules as multimodal.container_kind."""
+    c = _clips_pq("clips")
+    i = _clips_pq("images")
+    v = _clips_pq("videos")
+
+    def sniff(src: str, idc: str) -> str:
+        return f"""
+SELECT {idc} AS id,
+  CASE
+    WHEN bytes IS NULL THEN 'null'
+    WHEN substr(upper(hex(bytes)), 1, 8) = '53474131' THEN 'sga1'
+    WHEN substr(upper(hex(bytes)), 1, 8) = '52494646'
+     AND substr(upper(hex(bytes)), 17, 8) = '57415645' THEN 'wav'
+    WHEN substr(upper(hex(bytes)), 1, 8) = '53475631' THEN 'sgv1'
+    WHEN substr(upper(hex(bytes)), 1, 4) = '424D' THEN 'bmp'
+    WHEN substr(upper(hex(bytes)), 1, 4) = '5036' THEN 'ppm'
+    ELSE 'unknown' END AS kind,
+  COALESCE(octet_length(bytes), 0) AS n_bytes
+FROM {src}"""
+
+    return f"""
+WITH routed AS (
+  {sniff(c, "clip_id")}
+  UNION ALL {sniff(i, "img_id")}
+  UNION ALL {sniff(v, "vid_id")}
+)
+SELECT kind, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+FROM routed GROUP BY kind
+"""
+
+
 def _video_verdicts_sql() -> str:
     return f"""
 WITH {_video_meta_ctes()}
@@ -4651,6 +4699,7 @@ FROM per LEFT JOIN ga USING (event_type) CROSS JOIN gl
         "video_fingerprint": _video_fingerprint_sql(),
         "video_content_matches": _video_content_matches_sql(),
         "video_verdicts": _video_verdicts_sql(),
+        "mixed_container_census": _mixed_container_census_sql(),
         "audio_speed_perturb": _speed_perturb_sql(num=11, den=10),
         "audio_pad_trim": _pad_trim_sql(target=400),
         "shard_manifest_docs": """

@@ -774,3 +774,59 @@ def align_tokens(
         )
     )
     return out
+
+
+def container_kind(
+    df: DataFrame, id_col: str, bytes_col: str = "bytes"
+) -> DataFrame:
+    """(id, kind, n_bytes): classify an opaque binary column by container
+    magic — the ingestion ROUTER for a heterogeneous lake where one
+    ``bytes`` column carries mixed media (audio next to stills next to
+    video). Kinds: ``sga1`` | ``wav`` | ``bmp`` | ``ppm`` | ``sgv1`` |
+    ``unknown`` | ``null``. Downstream per-modality operators compose as
+    plain filters on ``kind`` (each already skips foreign blobs, but
+    routing first scans each blob's header once instead of once per
+    modality).
+
+    JVM built-ins only (hex prefix compares — whole-stage codegen, no
+    UDF, bytes never leave the scan); magic sniffing is deliberately
+    shallow — structural validity is the per-modality metadata op's job
+    (audio_analysis.container_stats, imagery.image_meta/video_meta)."""
+    h = F.upper(F.hex(F.col(bytes_col)))
+    kind = (
+        F.when(F.col(bytes_col).isNull(), F.lit("null"))
+        .when(F.substring(h, 1, 8) == "53474131", F.lit("sga1"))
+        .when(
+            (F.substring(h, 1, 8) == "52494646")
+            & (F.substring(h, 17, 8) == "57415645"),
+            F.lit("wav"),
+        )
+        .when(F.substring(h, 1, 8) == "53475631", F.lit("sgv1"))
+        .when(F.substring(h, 1, 4) == "424D", F.lit("bmp"))
+        .when(F.substring(h, 1, 4) == "5036", F.lit("ppm"))
+        .otherwise(F.lit("unknown"))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        kind.alias("kind"),
+        F.coalesce(F.length(F.col(bytes_col)).cast("long"), F.lit(0)).alias(
+            "n_bytes"
+        ),
+    )
+
+
+def container_census(
+    parts: list, id_cols: list, bytes_col: str = "bytes"
+) -> DataFrame:
+    """(kind, n, total_bytes): corpus-wide rollup of :func:`container_kind`
+    over several tables sharing one opaque binary convention — the
+    storage-audit summary an ingestion pipeline runs before routing.
+    One map-combinable groupBy over ~7 kind keys."""
+    routed = None
+    for df, idc in zip(parts, id_cols):
+        k = container_kind(df, idc, bytes_col)
+        routed = k if routed is None else routed.unionByName(k)
+    return routed.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+    )

@@ -384,3 +384,79 @@ def test_image_suite_composes_with_lineage_and_enforce(spark, av_tables, tmp_pat
         if i % 127 == 0 or i % 89 == 0 or i % 101 == 0 or i % 73 == 0
     }
     assert bad == expect_bad
+
+
+def test_image_suite_incremental_revalidation(spark, av_tables):
+    # version-diff incremental revalidation composes with the image suite:
+    # flip some catalog widths, drop some rows, add one — merged verdicts
+    # must equal a full re-run of the new version
+    from collections import Counter
+
+    from shaclapi_spark import fixtures, revalidate
+    from shaclapi_spark.engine import run_suite
+
+    images, _ = av_tables
+    suite = fixtures.image_suite()
+    idx = F.expr("CAST(substr(img_id, 5) AS BIGINT)")
+    new_images = (
+        images.filter(~(idx % 41 == 7))  # deletions
+        .withColumn(
+            "meta_w",
+            F.when(idx % 53 == 2, F.lit(99)).otherwise(F.col("meta_w")),
+        )  # metadata now lies for a new slice -> img_dims flips
+    )
+    old = {"images": images}
+    new = {"images": new_images}
+    old_res = run_suite(spark, suite, old)
+    full_new = run_suite(spark, suite, new)
+    inc = revalidate.revalidate_incremental(
+        spark, suite, old, new, old_res.verdicts
+    )
+    s = lambda v: Counter(
+        (r.entity_id, r.shape, r.is_valid)
+        for r in v.select("entity_id", "shape", "is_valid").collect()
+    )
+    assert s(inc.verdicts) == s(full_new.verdicts)
+    pops = revalidate.affected_populations(suite, old, new)
+    n_aff = pops["ImageShape"].count()
+    assert 0 < n_aff < 100  # bounded slice of 500
+
+
+def test_container_kind_router(spark, av_tables):
+    from shaclapi_spark import audio_codec as ac
+    from shaclapi_spark.pipeline import multimodal as mmod
+    from pyspark.sql import Row
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    wav = ac.encode_wav(ac.synth_sine(440.0, 8000, 32, 0.5), 8000)
+    sga1 = ac.encode_clip(440.0, 8000, 32, 0.5, "pcm_s16le")
+    rows = [
+        Row(id="a", bytes=sga1),
+        Row(id="w", bytes=wav),
+        Row(id="b", bytes=im.encode_bmp(im.synth_pixels(1, 4, 3))),
+        Row(id="p", bytes=im.encode_ppm(im.synth_pixels(2, 4, 3))),
+        Row(id="v", bytes=im.encode_video(im.synth_frames(3, 4, 3, 2))),
+        Row(id="x", bytes=b"garbage"),
+        Row(id="n", bytes=None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        StructType([StructField("id", StringType()), StructField("bytes", BinaryType())]),
+    )
+    got = {r["id"]: (r["kind"], r["n_bytes"]) for r in mmod.container_kind(df, "id").collect()}
+    assert got == {
+        "a": ("sga1", len(sga1)),
+        "w": ("wav", len(wav)),
+        "b": ("bmp", 54 + 12 * 3),
+        "p": ("ppm", 19 + 36),
+        "v": ("sgv1", 11 + 24),
+        "x": ("unknown", 7),
+        "n": ("null", 0),
+    }, got
+    # census groups over the mixed relation; plan is UDF-free
+    census = mmod.container_census([df], ["id"])
+    assert {r["kind"]: r["n"] for r in census.collect()} == {
+        "sga1": 1, "wav": 1, "bmp": 1, "ppm": 1, "sgv1": 1, "unknown": 1, "null": 1,
+    }
+    plan = mmod.container_kind(df, "id")._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
