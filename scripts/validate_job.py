@@ -34,6 +34,15 @@ def main() -> None:
     ap.add_argument("--fixture-dir", required=True)
     ap.add_argument("--threads", type=int, required=True)
     ap.add_argument("--include-audio", default="1")
+    ap.add_argument(
+        "--modality",
+        default="audio",
+        choices=["audio", "image", "video"],
+        help="which fixture modality to validate: audio = the clip "
+        "constraint suite over clips/transcripts (default); image / "
+        "video = the container-integrity + metadata suites over the "
+        "images / videos tables (round 4)",
+    )
     ap.add_argument("--shuffle-partitions", type=int, default=64)
     ap.add_argument("--max-partition-bytes", default="auto")
     ap.add_argument("--reps", type=int, default=3)
@@ -96,15 +105,27 @@ def main() -> None:
     from shaclapi_spark import fixtures
     from shaclapi_spark.engine import EngineConfig, run_suite
 
-    tables = {
-        name: spark.read.parquet(f"{args.fixture_dir}/{name}.parquet")
-        for name in ("clips", "transcripts", "ref_histograms")
-    }
-    n_clips = tables["clips"].count()
-
-    suite = fixtures.clip_suite(
-        include_audio=args.include_audio == "1", include_drift=False
-    )
+    if args.modality == "image":
+        tables = {
+            "images": spark.read.parquet(f"{args.fixture_dir}/images.parquet")
+        }
+        n_clips = tables["images"].count()
+        suite = fixtures.image_suite()
+    elif args.modality == "video":
+        tables = {
+            "videos": spark.read.parquet(f"{args.fixture_dir}/videos.parquet")
+        }
+        n_clips = tables["videos"].count()
+        suite = fixtures.video_suite()
+    else:
+        tables = {
+            name: spark.read.parquet(f"{args.fixture_dir}/{name}.parquet")
+            for name in ("clips", "transcripts", "ref_histograms")
+        }
+        n_clips = tables["clips"].count()
+        suite = fixtures.clip_suite(
+            include_audio=args.include_audio == "1", include_drift=False
+        )
     cfg = EngineConfig(short_circuit=True)
 
     def one_pass() -> float:
