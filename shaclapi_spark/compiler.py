@@ -81,6 +81,7 @@ def remove_constraints(suite: Suite, target_shapes: list[str], relevant_columns:
                 entity_col=s.entity_col,
                 target_filter=s.target_filter,
                 constraints=[c for c in cs if c is not None],
+                derived_columns=s.derived_columns,
             )
         shapes.append(s)
     return Suite(shapes=shapes)

@@ -90,6 +90,7 @@ def run_with_lineage(
                 entity_col=s.entity_col,
                 target_filter=s.target_filter,
                 constraints=[c for c in s.constraints if c.kind != "drift"],
+                derived_columns=s.derived_columns,
             )
         )
     wave_suite = _Suite(shapes=wave_shapes)

@@ -176,6 +176,15 @@ class Shape:
     entity_col: str
     target_filter: str | None = None  # SQL boolean — sh:targetQuery analog
     constraints: list[Constraint] = field(default_factory=list)
+    #: {column_name: SQL expr} computed ONCE scan-side (after the target
+    #: filter / population restriction, before any constraint evaluates) —
+    #: the derive-once-check-many device: several constraints referencing
+    #: one expensive expression (e.g. a container-header parse) each
+    #: re-expand it into codegen otherwise. Visible to row/expr, audio,
+    #: unique, fdep and monotonic constraints of THIS shape; dataset-grain
+    #: constraints (drift/stat_bound) read the raw table and do not see
+    #: derived columns.
+    derived_columns: dict[str, str] | None = None
 
     def shape_refs(self) -> set[str]:
         refs: set[str] = set()
@@ -190,6 +199,7 @@ class Shape:
             "entity_col": self.entity_col,
             "target_filter": self.target_filter,
             "constraints": [c.to_dict() for c in self.constraints],
+            "derived_columns": self.derived_columns,
         }
 
     @classmethod
@@ -200,6 +210,7 @@ class Shape:
             entity_col=d["entity_col"],
             target_filter=d.get("target_filter"),
             constraints=[Constraint.from_dict(c) for c in d.get("constraints", [])],
+            derived_columns=d.get("derived_columns"),
         )
 
 
