@@ -322,7 +322,10 @@ def main() -> None:
         lambda: force(entry_mod.q_pq_topk(spark, sf_dir)),
     )
     # round-4 additions: image/video multimodal (full pixel decode + frame
-    # sampling, one Arrow pass each)
+    # sampling, one Arrow pass each), engine validation of the image table
+    # (pure-builtin expr constraints over derived columns), the real-WAV
+    # round trip (SGA1 decode -> RIFF encode -> RIFF decode -> stats), the
+    # perceptual dHash relation, and the mixed-corpus container census
     timed(
         "image_pixel_stats",
         lambda: force(entry_mod.q_image_pixel_stats(spark, sf_dir)),
@@ -330,6 +333,22 @@ def main() -> None:
     timed(
         "video_frame_stats",
         lambda: force(entry_mod.q_video_frame_stats(spark, sf_dir)),
+    )
+    timed(
+        "image_verdicts",
+        lambda: force(entry_mod.q_image_verdicts(spark, sf_dir)),
+    )
+    timed(
+        "image_dhash",
+        lambda: force(entry_mod.q_image_dhash(spark, sf_dir)),
+    )
+    timed(
+        "wav_roundtrip",
+        lambda: force(entry_mod.q_wav_roundtrip(spark, sf_dir)),
+    )
+    timed(
+        "container_census",
+        lambda: force(entry_mod.q_mixed_container_census(spark, sf_dir)),
     )
     from shaclapi_spark.pipeline import corpus as corpus_mod
 
