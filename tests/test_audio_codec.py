@@ -126,3 +126,45 @@ def test_wav_snr_vacuous():
     batch = ac.snr_db_batch([blob, None, b"RIFFbad"])
     assert batch[0] == float("inf")
     assert np.isnan(batch[1]) and batch[2] == float("-inf")
+
+
+def test_wav_hostile_headers():
+    import struct as st
+
+    s = ac.synth_sine(440.0, 8000, 64, 0.5)
+    good = ac.encode_wav(s, 8000)
+
+    # data chunk declaring more bytes than the file carries
+    huge = bytearray(good)
+    huge[40:44] = st.pack("<I", 0xFFFFFF00)
+    with pytest.raises(ValueError):
+        ac.decode_wav(bytes(huge))
+
+    # zero-size foreign chunk before data: the walk must make progress
+    # (pos advances by the 8-byte header) and still find the data chunk
+    z = bytes(good[:36]) + b"JUNK" + st.pack("<I", 0) + bytes(good[36:])
+    z = z[:4] + st.pack("<I", len(z) - 8) + z[8:]
+    _, back = ac.decode_wav(z)
+    assert np.array_equal(back, s)
+
+    # odd-size foreign chunk: word-alignment padding honored
+    o = bytes(good[:36]) + b"JUNK" + st.pack("<I", 3) + b"ab c" + bytes(good[36:])
+    o = o[:4] + st.pack("<I", len(o) - 8) + o[8:]
+    _, back = ac.decode_wav(o)
+    assert np.array_equal(back, s)
+
+    # fmt declaring float (3) or 8-bit: unsupported, not garbage samples
+    f = bytearray(good)
+    f[20:22] = st.pack("<H", 3)
+    with pytest.raises(ValueError):
+        ac.decode_wav(bytes(f))
+    b8 = bytearray(good)
+    b8[34:36] = st.pack("<H", 8)
+    with pytest.raises(ValueError):
+        ac.decode_wav(bytes(b8))
+
+    # missing data chunk entirely
+    nodata = bytes(good[:36])
+    nodata = nodata[:4] + st.pack("<I", len(nodata) - 8) + nodata[8:]
+    with pytest.raises(ValueError):
+        ac.decode_wav(nodata)
