@@ -412,6 +412,73 @@ def simhash(
     return wide.select("doc", sig.alias("simhash"))
 
 
+def pigeonhole_hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int,
+    bits: int = 64,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(a, b, hamming), a < b: pairs of a signature relation within
+    ``max_hamming`` bit flips — the shared pigeonhole device under both
+    simhash near-dup detection and perceptual image dHash dedup
+    (imagery.dhash_neardups). Candidates come from splitting the
+    signature into max_hamming+1 chunks (a qualifying pair must agree on
+    ≥1 chunk — LOSSLESS recall by construction), verified with JVM
+    ``bit_count(a^b)``, so the output equals brute-force all-pairs while
+    the join stays a bounded equi-join.
+
+    ``max_bucket`` (optional) drops (chunk, key) buckets holding more
+    signatures than the cap before the join — the standard stop-token
+    defusal for degenerate mega-groups, at the cost of missing pairs
+    whose agreement lives only in capped buckets."""
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    chunks = sig.select(
+        F.col(id_col),
+        F.col(sig_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col(sig_col), c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("ckey"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select(F.col(id_col), F.col(sig_col), "ck.chunk", "ck.ckey")
+    if max_bucket is not None:
+        hot = (
+            chunks.groupBy("chunk", "ckey")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > int(max_bucket))
+            .select("chunk", "ckey")
+        )
+        chunks = chunks.join(F.broadcast(hot), ["chunk", "ckey"], "left_anti")
+    a = chunks.select(
+        F.col(id_col).alias("a"), F.col(sig_col).alias("sig_a"), "chunk", "ckey"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("b"), F.col(sig_col).alias("sig_b"), "chunk", "ckey"
+    )
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 def simhash_neardups(
     df: DataFrame,
     id_col: str,
@@ -420,44 +487,13 @@ def simhash_neardups(
     bits: int = 64,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming. Candidates via
-    the pigeonhole blocking trick (split into max_hamming+1 chunks; a match
-    must agree on ≥1 chunk — LOSSLESS recall by construction), verified with
-    bit_count(a^b), so the output equals the brute-force all-pairs relation
-    exactly. The signature DataFrame (one `bits`-agg groupBy) feeds both
-    sides of the self-join, so it is persisted — without it the whole token
-    explode + groupBy runs twice."""
+    """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming via
+    :func:`pigeonhole_hamming_pairs` — output equals the brute-force
+    all-pairs relation exactly. The signature DataFrame (one `bits`-agg
+    groupBy) feeds both sides of the self-join, so it is persisted —
+    without it the whole token explode + groupBy runs twice."""
     sh = simhash(df, id_col, text_col, bits, hash_fn).persist()
-    n_chunks = max_hamming + 1
-    chunk_bits = bits // n_chunks
-    chunks = sh.select(
-        "doc",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), c * chunk_bits)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                        .alias("ckey"),
-                    )
-                    for c in range(n_chunks)
-                ]
-            )
-        ).alias("ck"),
-    ).select("doc", "simhash", "ck.chunk", "ck.ckey")
-    a = chunks.select(F.col("doc").alias("a"), F.col("simhash").alias("sig_a"), "chunk", "ckey")
-    b = chunks.select(F.col("doc").alias("b"), F.col("simhash").alias("sig_b"), "chunk", "ckey")
-    return (
-        a.join(b, ["chunk", "ckey"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
-    )
+    return pigeonhole_hamming_pairs(sh, "doc", "simhash", max_hamming, bits)
 
 
 # ---------------------------------------------------------------------------

@@ -272,16 +272,9 @@ def sample_video_frames(blob: bytes, every_n: int = 30) -> list:
 # metadata ops — JVM built-ins only (hex/substring/conv), zero UDF
 # ---------------------------------------------------------------------------
 
-def _le_u32(h: Column, byte_off: int) -> Column:
-    """Little-endian u32 at 1-based byte offset of hex string ``h``."""
-    p = 2 * byte_off - 1
-    be = F.concat(
-        F.substring(h, p + 6, 2),
-        F.substring(h, p + 4, 2),
-        F.substring(h, p + 2, 2),
-        F.substring(h, p, 2),
-    )
-    return F.conv(be, 16, 10).cast("long")
+# little-endian u32 hex-field parse: shared with the audio container
+# metadata op (same 1-based byte-offset convention)
+from shaclapi_spark.pipeline.audio_analysis import _le_u32  # noqa: E402
 
 
 def _le_u16(h: Column, byte_off: int) -> Column:
@@ -661,6 +654,18 @@ def video_frame_stats(
 DHASH_W, DHASH_H = 9, 8
 
 
+def _assemble_dhash(t: np.ndarray) -> int:
+    """Signed-64-bit assembly of a (DHASH_H, DHASH_W) thumbnail: bit
+    j = y·8+x ⇔ t[y, x] > t[y, x+1] (strict); bit 63 contributes -2^63
+    so the hash fits BIGINT in Spark and DuckDB alike."""
+    val = 0
+    for y in range(DHASH_H):
+        for x in range(DHASH_W - 1):
+            if t[y, x] > t[y, x + 1]:
+                val |= 1 << (y * 8 + x)
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
 def dhash_pixels(pix: np.ndarray) -> int:
     """Signed-64-bit dHash of an (h, w, 3) RGB uint8 array — the numpy
     reference the Arrow op and the SQL oracle must both reproduce.
@@ -670,18 +675,10 @@ def dhash_pixels(pix: np.ndarray) -> int:
       1. per-pixel integer luma  l = (299·r + 587·g + 114·b) div 1000
       2. nearest-neighbor resample of the luma plane to 9×8
          (``resize_nearest`` index rule: sx = x·w div 9, sy = y·h div 8)
-      3. bit j = y·8+x  ⇔  t[y, x] > t[y, x+1]  (strict)
-      4. assemble as a SIGNED 64-bit value (bit 63 contributes -2^63),
-         so the hash fits BIGINT in Spark and DuckDB alike."""
+      3. strict neighbor compare + signed assembly (``_assemble_dhash``)."""
     p = pix.astype(np.int64)
     luma = (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000
-    t = resize_nearest(luma, DHASH_W, DHASH_H)
-    val = 0
-    for y in range(DHASH_H):
-        for x in range(DHASH_W - 1):
-            if t[y, x] > t[y, x + 1]:
-                val |= 1 << (y * 8 + x)
-    return val - (1 << 64) if val >= 1 << 63 else val
+    return _assemble_dhash(resize_nearest(luma, DHASH_W, DHASH_H))
 
 
 DHASH_SCHEMA = "img_id string, dhash long"
@@ -744,59 +741,16 @@ def dhash_neardups(
 
     Scale shape: one Arrow decode pass → 8-byte signatures; everything
     after moves 16 bytes/row. The signature relation feeds both join
-    sides and is persisted for the duration of the join build."""
+    sides and is persisted for the duration of the join build; the
+    blocking/verify machinery is the shared pigeonhole device
+    (dedup.pigeonhole_hamming_pairs)."""
+    from shaclapi_spark.pipeline.dedup import pigeonhole_hamming_pairs
+
     sig = image_dhash(df, id_col, bytes_col).persist()
     try:
-        n_chunks = max_hamming + 1
-        chunk_bits = 64 // n_chunks
-        chunks = sig.select(
-            "img_id",
-            "dhash",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("chunk"),
-                            F.shiftrightunsigned(F.col("dhash"), c * chunk_bits)
-                            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                            .alias("ckey"),
-                        )
-                        for c in range(n_chunks)
-                    ]
-                )
-            ).alias("ck"),
-        ).select("img_id", "dhash", "ck.chunk", "ck.ckey")
-        if max_bucket is not None:
-            hot = (
-                chunks.groupBy("chunk", "ckey")
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .filter(F.col("__n") > int(max_bucket))
-                .select("chunk", "ckey")
-            )
-            chunks = chunks.join(
-                F.broadcast(hot), ["chunk", "ckey"], "left_anti"
-            )
-        a = chunks.select(
-            F.col("img_id").alias("a"), F.col("dhash").alias("sig_a"),
-            "chunk", "ckey",
-        )
-        b = chunks.select(
-            F.col("img_id").alias("b"), F.col("dhash").alias("sig_b"),
-            "chunk", "ckey",
-        )
-        out = (
-            a.join(b, ["chunk", "ckey"])
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b", "sig_a", "sig_b")
-            .distinct()
-            .withColumn(
-                "hamming",
-                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
-            )
-            .filter(F.col("hamming") <= max_hamming)
-            .select("a", "b", "hamming")
-            .localCheckpoint(eager=True)
-        )
+        out = pigeonhole_hamming_pairs(
+            sig, "img_id", "dhash", max_hamming, bits=64, max_bucket=max_bucket
+        ).localCheckpoint(eager=True)
     finally:
         sig.unpersist()
     return out
@@ -930,14 +884,10 @@ def image_dims_match_sql(
 def frame_dhash(frame: np.ndarray) -> int:
     """Signed-64-bit dHash of a single-channel (h, w) uint8 frame — the
     grayscale specialization of ``dhash_pixels`` (the luma step is the
-    identity), same exact-integer thumbnail + neighbor-compare rules."""
-    t = resize_nearest(frame.astype(np.int64), DHASH_W, DHASH_H)
-    val = 0
-    for y in range(DHASH_H):
-        for x in range(DHASH_W - 1):
-            if t[y, x] > t[y, x + 1]:
-                val |= 1 << (y * 8 + x)
-    return val - (1 << 64) if val >= 1 << 63 else val
+    identity), same exact-integer thumbnail + assembly rules."""
+    return _assemble_dhash(
+        resize_nearest(frame.astype(np.int64), DHASH_W, DHASH_H)
+    )
 
 
 VIDEO_FP_SCHEMA = "vid_id string, frame_idx int, fhash long"
