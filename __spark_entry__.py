@@ -1632,6 +1632,16 @@ def q_image_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ig.dhash_neardups(sl, max_hamming=2)
 
 
+def q_image_thumb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # thumbnail EXPORT closed-loop: decode -> exact-integer resize ->
+    # re-encode as real BMP -> decode the EMITTED blob -> pixel stats;
+    # the oracle predicts every value from the ORIGINAL bytes via the
+    # resample's byte addressing, so the thumbnail encoder must be
+    # bit-exact (the image analog of wav_roundtrip)
+    images, _ = _av_tables(spark, sf_dir)
+    return ig.image_pixel_stats(ig.thumbnail_bmp(images, 8, 6))
+
+
 def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SGV1 concatenated-frame container metadata, JVM built-ins only
     _, videos = _av_tables(spark, sf_dir)
@@ -1944,6 +1954,7 @@ _NEW_THIS_ROUND = [
     "image_meta",
     "image_pixel_stats",
     "image_resize_stats",
+    "image_thumb_roundtrip",
     "video_meta",
     "video_frame_stats",
     "video_fingerprint",
@@ -2080,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": q_image_meta,
         "image_pixel_stats": q_image_pixel_stats,
         "image_resize_stats": q_image_resize_stats,
+        "image_thumb_roundtrip": q_image_thumb_roundtrip,
         "video_meta": q_video_meta,
         "video_frame_stats": q_video_frame_stats,
         "video_fingerprint": q_video_fingerprint,
@@ -3375,6 +3387,52 @@ SELECT a.img_id AS a, b.img_id AS b,
   CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
 FROM dsl a JOIN dsl b ON a.img_id < b.img_id
 WHERE bit_count(xor(a.dhash, b.dhash)) <= {int(max_hamming)}
+"""
+
+
+def _image_thumb_roundtrip_sql(out_w: int = 8, out_h: int = 6) -> str:
+    """Predicts image_pixel_stats OVER THE EXPORTED THUMBNAIL from the
+    original container bytes: the resample rule byte-addresses exactly the
+    source pixels the thumbnail carries, so per-channel sums, global
+    min/max and the luma sum are all known before the BMP is ever built."""
+    return f"""
+WITH {_image_meta_ctes()},
+ok AS (
+  SELECT img_id, h, is_bmp, w, hh, data_off, stride
+  FROM meta WHERE status = 'ok'
+),
+g AS (
+  SELECT img_id, h, is_bmp, w, hh, data_off, stride,
+    unnest(range(0, {out_w * out_h})) AS j
+  FROM ok
+),
+m AS (
+  SELECT img_id, h, is_bmp, j,
+    CASE WHEN is_bmp
+      THEN data_off + (hh - 1 - (((j // {out_w}) * hh) // {out_h})) * stride
+           + 3 * (((j % {out_w}) * w) // {out_w})
+      ELSE 19 + 3 * ((((j // {out_w}) * hh) // {out_h}) * w
+           + ((j % {out_w}) * w) // {out_w}) END AS base
+  FROM g
+),
+v AS (
+  SELECT img_id,
+    ('0x' || substr(h, CAST(2 * (base + CASE WHEN is_bmp THEN 2 ELSE 0 END)
+      + 1 AS INT), 2))::INT AS r,
+    ('0x' || substr(h, CAST(2 * (base + 1) + 1 AS INT), 2))::INT AS g,
+    ('0x' || substr(h, CAST(2 * (base + CASE WHEN is_bmp THEN 0 ELSE 2 END)
+      + 1 AS INT), 2))::INT AS b
+  FROM m
+)
+SELECT img_id,
+  CAST({out_w} AS INT) AS width, CAST({out_h} AS INT) AS height,
+  CAST(sum(r) AS BIGINT) AS sum_r,
+  CAST(sum(g) AS BIGINT) AS sum_g,
+  CAST(sum(b) AS BIGINT) AS sum_b,
+  CAST(least(min(r), min(g), min(b)) AS INT) AS min_px,
+  CAST(greatest(max(r), max(g), max(b)) AS INT) AS max_px,
+  CAST(299 * sum(r) + 587 * sum(g) + 114 * sum(b) AS BIGINT) AS luma_sum
+FROM v GROUP BY img_id
 """
 
 
@@ -4694,6 +4752,7 @@ FROM per LEFT JOIN ga USING (event_type) CROSS JOIN gl
         "image_meta": _image_meta_sql(),
         "image_pixel_stats": _image_pixel_stats_sql(),
         "image_resize_stats": _image_resize_stats_sql(),
+        "image_thumb_roundtrip": _image_thumb_roundtrip_sql(),
         "video_meta": _video_meta_sql(),
         "video_frame_stats": _video_frame_stats_sql(),
         "video_fingerprint": _video_fingerprint_sql(),

@@ -1012,3 +1012,50 @@ def video_frames_match_sql(
         f"({bytes_col} IS NOT NULL AND substring({h},1,8) = '53475631'"
         f" AND {_le_u16_sql(h, 9)} = CAST({n_col} AS BIGINT))"
     )
+
+
+THUMB_SCHEMA = "img_id string, out_w int, out_h int, bytes binary"
+
+
+def thumbnail_bmp(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "img_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Export REAL thumbnail files: decode → ``resize_nearest`` (exact
+    integer index rule) → re-encode as 24-bit BMP — the image analog of
+    ``audio_transform.transcode_wav``'s export leg. The emitted blobs are
+    byte-deterministic, so composing :func:`image_pixel_stats` over them
+    closes the loop (decode → resize → encode → decode → stats) against
+    an oracle that predicts every value from the ORIGINAL bytes.
+
+    One mapInPandas pass, no shuffle; undecodable rows are skipped."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("output dims must be positive")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for iid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                try:
+                    pix = decode_image(bytes(blob))
+                except ValueError:
+                    continue
+                ids.append(str(iid))
+                blobs.append(encode_bmp(resize_nearest(pix, out_w, out_h)))
+            yield pd.DataFrame(
+                {
+                    "img_id": ids,
+                    "out_w": pd.array([out_w] * len(ids), dtype="int32"),
+                    "out_h": pd.array([out_h] * len(ids), dtype="int32"),
+                    "bytes": blobs,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        gen, schema=THUMB_SCHEMA
+    )

@@ -460,3 +460,18 @@ def test_container_kind_router(spark, av_tables):
     }
     plan = mmod.container_kind(df, "id")._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_thumbnail_bmp_export_round_trip(spark, av_tables):
+    # the exported thumbnail blobs are REAL BMPs carrying exactly the
+    # resample-selected pixels
+    images, _ = av_tables
+    th = {r["img_id"]: r for r in im.thumbnail_bmp(images, 8, 6).collect()}
+    for i in (1, 2, 3, 123):
+        r = th[f"img_{i:08d}"]
+        expect = im.resize_nearest(im.synth_pixels(i, 24, 16), 8, 6)
+        assert np.array_equal(im.decode_image(bytes(r["bytes"])), expect)
+        assert len(r["bytes"]) == 54 + im.bmp_row_bytes(8) * 6
+    assert "img_00000000" not in th  # null seed skipped
+    with pytest.raises(ValueError):
+        im.thumbnail_bmp(images, 0, 6)
