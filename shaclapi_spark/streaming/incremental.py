@@ -59,6 +59,11 @@ def row_verdict_stream(
     cs = _row_constraints(shape)
     if shape.target_filter:
         df = df.filter(F.expr(shape.target_filter))
+    # derived columns (Shape.derived_columns): same derive-once-check-many
+    # projection as the batch engine, so expr constraints referencing them
+    # (e.g. the image suite's __img_ok) stream unchanged
+    for dname, dsql in (shape.derived_columns or {}).items():
+        df = df.withColumn(dname, F.expr(dsql))
 
     cols: dict[str, Column] = {}
     cheap_names: list[str] = []

@@ -475,3 +475,35 @@ def test_thumbnail_bmp_export_round_trip(spark, av_tables):
     assert "img_00000000" not in th  # null seed skipped
     with pytest.raises(ValueError):
         im.thumbnail_bmp(images, 0, 6)
+
+
+def test_image_stream_validation(spark, av_tables, tmp_path):
+    # the streaming row-validation path handles the image suite (expr
+    # constraints over derived columns) — micro-batch verdicts equal the
+    # batch row-subset, resumable via the stream checkpoint
+    from shaclapi_spark import fixtures
+    from shaclapi_spark.streaming import row_verdict_stream, validate_stream
+
+    images, _ = av_tables
+    src = str(tmp_path / "img_src")
+    images.limit(200).coalesce(2).write.parquet(src)
+    suite = fixtures.image_suite()
+    out = str(tmp_path / "img_stream_out")
+    n = validate_stream(
+        spark, suite, "ImageShape", src, images.schema, out,
+        max_files_per_trigger=1,
+    )
+    assert n >= 1
+    got = {
+        (r["entity_id"], r["is_valid"])
+        for r in spark.read.parquet(f"{out}/verdicts").collect()
+    }
+    exp_vd, _ = row_verdict_stream(
+        spark.read.parquet(src), suite.shape("ImageShape")
+    )
+    expect = {(r["entity_id"], r["is_valid"]) for r in exp_vd.collect()}
+    assert got == expect and len(got) == 200
+    # rerun: checkpoint makes it a no-op
+    assert validate_stream(
+        spark, suite, "ImageShape", src, images.schema, out
+    ) == 0
