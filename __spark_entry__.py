@@ -3243,14 +3243,15 @@ FROM v GROUP BY img_id
 """
 
 
-def _image_resize_stats_sql(out_w: int = 8, out_h: int = 6) -> str:
-    """Thumbnail oracle: for each output cell j (row-major), byte-address
+def _resample_rgb_ctes(out_w: int, out_h: int) -> str:
+    """Shared resample byte-addressing CTE chain (ends at relation ``v``:
+    img_id, j, r, g, b): for each output cell j (row-major), byte-address
     the EXACT source pixel the integer-division resample rule selects —
     BMP pixels live at data_off + (hh-1-sy)*stride + 3*sx in BGR order,
-    PPM at 19 + 3*(sy*w+sx) in RGB — and replay the channel sums and the
-    position-weighted luma checksum."""
-    return f"""
-WITH {_image_meta_ctes()},
+    PPM at 19 + 3*(sy*w+sx) in RGB. Both the resize-stats and the
+    thumbnail-round-trip oracles aggregate over this ONE chain, so the
+    addressing rule has a single maintained copy."""
+    return f"""{_image_meta_ctes()},
 ok AS (
   SELECT img_id, h, is_bmp, w, hh, data_off, stride
   FROM meta WHERE status = 'ok'
@@ -3277,7 +3278,14 @@ v AS (
     ('0x' || substr(h, CAST(2 * (base + CASE WHEN is_bmp THEN 0 ELSE 2 END)
       + 1 AS INT), 2))::INT AS b
   FROM m
-)
+)"""
+
+
+def _image_resize_stats_sql(out_w: int = 8, out_h: int = 6) -> str:
+    """Resample oracle over the shared byte-addressing chain: channel
+    sums + the position-weighted luma checksum."""
+    return f"""
+WITH {_resample_rgb_ctes(out_w, out_h)}
 SELECT img_id, CAST({out_w} AS INT) AS out_w, CAST({out_h} AS INT) AS out_h,
   CAST(sum(r) AS BIGINT) AS sum_r,
   CAST(sum(g) AS BIGINT) AS sum_g,
@@ -3392,38 +3400,12 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= {int(max_hamming)}
 
 def _image_thumb_roundtrip_sql(out_w: int = 8, out_h: int = 6) -> str:
     """Predicts image_pixel_stats OVER THE EXPORTED THUMBNAIL from the
-    original container bytes: the resample rule byte-addresses exactly the
-    source pixels the thumbnail carries, so per-channel sums, global
-    min/max and the luma sum are all known before the BMP is ever built."""
+    original container bytes: the shared resample chain byte-addresses
+    exactly the source pixels the thumbnail carries, so per-channel sums,
+    global min/max and the luma sum are all known before the BMP is ever
+    built."""
     return f"""
-WITH {_image_meta_ctes()},
-ok AS (
-  SELECT img_id, h, is_bmp, w, hh, data_off, stride
-  FROM meta WHERE status = 'ok'
-),
-g AS (
-  SELECT img_id, h, is_bmp, w, hh, data_off, stride,
-    unnest(range(0, {out_w * out_h})) AS j
-  FROM ok
-),
-m AS (
-  SELECT img_id, h, is_bmp, j,
-    CASE WHEN is_bmp
-      THEN data_off + (hh - 1 - (((j // {out_w}) * hh) // {out_h})) * stride
-           + 3 * (((j % {out_w}) * w) // {out_w})
-      ELSE 19 + 3 * ((((j // {out_w}) * hh) // {out_h}) * w
-           + ((j % {out_w}) * w) // {out_w}) END AS base
-  FROM g
-),
-v AS (
-  SELECT img_id,
-    ('0x' || substr(h, CAST(2 * (base + CASE WHEN is_bmp THEN 2 ELSE 0 END)
-      + 1 AS INT), 2))::INT AS r,
-    ('0x' || substr(h, CAST(2 * (base + 1) + 1 AS INT), 2))::INT AS g,
-    ('0x' || substr(h, CAST(2 * (base + CASE WHEN is_bmp THEN 0 ELSE 2 END)
-      + 1 AS INT), 2))::INT AS b
-  FROM m
-)
+WITH {_resample_rgb_ctes(out_w, out_h)}
 SELECT img_id,
   CAST({out_w} AS INT) AS width, CAST({out_h} AS INT) AS height,
   CAST(sum(r) AS BIGINT) AS sum_r,

@@ -105,27 +105,26 @@ def main() -> None:
     from shaclapi_spark import fixtures
     from shaclapi_spark.engine import EngineConfig, run_suite
 
-    if args.modality == "image":
-        tables = {
-            "images": spark.read.parquet(f"{args.fixture_dir}/images.parquet")
-        }
-        n_clips = tables["images"].count()
-        suite = fixtures.image_suite()
-    elif args.modality == "video":
-        tables = {
-            "videos": spark.read.parquet(f"{args.fixture_dir}/videos.parquet")
-        }
-        n_clips = tables["videos"].count()
-        suite = fixtures.video_suite()
-    else:
-        tables = {
-            name: spark.read.parquet(f"{args.fixture_dir}/{name}.parquet")
-            for name in ("clips", "transcripts", "ref_histograms")
-        }
-        n_clips = tables["clips"].count()
-        suite = fixtures.clip_suite(
-            include_audio=args.include_audio == "1", include_drift=False
-        )
+    # modality -> (tables to load, primary/counted table, suite factory);
+    # --include-audio only applies to the audio clip suite
+    modalities = {
+        "audio": (
+            ("clips", "transcripts", "ref_histograms"),
+            "clips",
+            lambda: fixtures.clip_suite(
+                include_audio=args.include_audio == "1", include_drift=False
+            ),
+        ),
+        "image": (("images",), "images", fixtures.image_suite),
+        "video": (("videos",), "videos", fixtures.video_suite),
+    }
+    table_names, primary, suite_fn = modalities[args.modality]
+    tables = {
+        name: spark.read.parquet(f"{args.fixture_dir}/{name}.parquet")
+        for name in table_names
+    }
+    n_entities = tables[primary].count()
+    suite = suite_fn()
     cfg = EngineConfig(short_circuit=True)
 
     def one_pass() -> float:
@@ -153,18 +152,20 @@ def main() -> None:
                 fh.write(ttl)
         except ValueError:
             pass  # oversized report stays relational (documented behavior)
-    print(
-        json.dumps(
-            {
-                "threads": args.threads,
-                "n_clips": n_clips,
-                "wall_sec": round(wall, 3),
-                "walls": [round(w, 3) for w in walls],
-                "warmup_sec": [round(w, 3) for w in warmup],
-                "clips_per_sec": round(n_clips / wall, 1),
-            }
-        )
-    )
+    out = {
+        "threads": args.threads,
+        "modality": args.modality,
+        "n_entities": n_entities,
+        "wall_sec": round(wall, 3),
+        "walls": [round(w, 3) for w in walls],
+        "warmup_sec": [round(w, 3) for w in warmup],
+        "entities_per_sec": round(n_entities / wall, 1),
+    }
+    if args.modality == "audio":
+        # back-compat aliases scripts/scaling_bench.py consumes
+        out["n_clips"] = n_entities
+        out["clips_per_sec"] = out["entities_per_sec"]
+    print(json.dumps(out))
     spark.stop()
 
 

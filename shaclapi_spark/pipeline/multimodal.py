@@ -822,6 +822,13 @@ def container_census(
     over several tables sharing one opaque binary convention — the
     storage-audit summary an ingestion pipeline runs before routing.
     One map-combinable groupBy over ~7 kind keys."""
+    if not parts:
+        raise ValueError("container_census needs at least one table")
+    if len(parts) != len(id_cols):
+        raise ValueError(
+            f"parts/id_cols length mismatch ({len(parts)} vs {len(id_cols)}):"
+            " a silently truncated zip would drop tables from the census"
+        )
     routed = None
     for df, idc in zip(parts, id_cols):
         k = container_kind(df, idc, bytes_col)
