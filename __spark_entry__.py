@@ -1686,6 +1686,16 @@ def q_video_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.verdicts.select("entity_id", "shape", "is_valid", "reason")
 
 
+def q_video_excerpt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # temporal-downsample EXPORT closed-loop: keep every 2nd frame,
+    # re-encode as a new SGV1 blob, decode the EMITTED blob and take
+    # per-frame stats — the oracle predicts them from the ORIGINAL bytes
+    # (excerpt frame j carries original frame 2j), so the excerpt encoder
+    # must be bit-exact (the video analog of image_thumb_roundtrip)
+    _, videos = _av_tables(spark, sf_dir)
+    return ig.video_frame_stats(ig.video_excerpt(videos, 2), every_n=1)
+
+
 def q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-frame perceptual hash tokens (grayscale dHash) — the video
     # analog of the audio PCM fingerprint; oracle rebuilds every frame's
@@ -1961,6 +1971,7 @@ _NEW_THIS_ROUND = [
     "video_content_matches",
     "video_verdicts",
     "mixed_container_census",
+    "video_excerpt_roundtrip",
 ]
 
 
@@ -2098,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_content_matches": q_video_content_matches,
         "video_verdicts": q_video_verdicts,
         "mixed_container_census": q_mixed_container_census,
+        "video_excerpt_roundtrip": q_video_excerpt_roundtrip,
     })
 
 
@@ -3460,11 +3472,15 @@ FROM meta
 """
 
 
-def _video_frame_stats_sql(every_n: int = 2) -> str:
+def _video_frame_stats_sql(every_n: int = 2, renumber: bool = False) -> str:
     """Sampled-frame oracle: frame t = every_n·j lives at byte offset
     11 + t·w·h; each of its w·h bytes is re-read from hex, and the motion
     term pairs byte k with the same k in the previously SAMPLED frame
-    (offset lag every_n·w·h)."""
+    (offset lag every_n·w·h). ``renumber=True`` emits the sample ordinal j
+    as frame_idx instead of the original index every_n·j — the relation
+    video_frame_stats produces over an EXCERPT blob (video_excerpt), whose
+    frames are physically renumbered 0,1,2,..."""
+    idx = "j" if renumber else f"{every_n} * j"
     return f"""
 WITH {_video_meta_ctes()},
 ok AS (SELECT vid_id, h, w, hh, n FROM meta WHERE status = 'ok'),
@@ -3487,7 +3503,7 @@ v AS (
   FROM px
 )
 SELECT vid_id,
-  CAST({every_n} * j AS INT) AS frame_idx,
+  CAST({idx} AS INT) AS frame_idx,
   CAST(max(w * hh) AS INT) AS n_px,
   CAST(sum(val) AS BIGINT) AS sum_val,
   CAST(min(val) AS INT) AS min_val,
@@ -4741,6 +4757,9 @@ FROM per LEFT JOIN ga USING (event_type) CROSS JOIN gl
         "video_content_matches": _video_content_matches_sql(),
         "video_verdicts": _video_verdicts_sql(),
         "mixed_container_census": _mixed_container_census_sql(),
+        "video_excerpt_roundtrip": _video_frame_stats_sql(
+            every_n=2, renumber=True
+        ),
         "audio_speed_perturb": _speed_perturb_sql(num=11, den=10),
         "audio_pad_trim": _pad_trim_sql(target=400),
         "shard_manifest_docs": """

@@ -1059,3 +1059,55 @@ def thumbnail_bmp(
     return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
         gen, schema=THUMB_SCHEMA
     )
+
+
+VIDEO_EXCERPT_SCHEMA = "vid_id string, every_n int, n_frames int, bytes binary"
+
+
+def video_excerpt(
+    df: DataFrame,
+    every_n: int,
+    id_col: str = "vid_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Export temporally-downsampled video files: keep every ``every_n``-th
+    frame and re-encode as a new SGV1 blob (fps scaled down by the same
+    factor, floored at 1) — the video export leg beside
+    ``audio_transform.transcode_wav`` and ``thumbnail_bmp``. The emitted
+    blobs are byte-deterministic, so composing :func:`video_frame_stats`
+    over them closes the loop against an oracle that predicts every value
+    from the ORIGINAL bytes (excerpt frame t' carries original frame
+    every_n·t').
+
+    One mapInPandas pass, no shuffle; undecodable rows are skipped."""
+    if every_n <= 0:
+        raise ValueError("every_n must be positive")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf, blobs = [], [], []
+            for vid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                try:
+                    hdr, frames = decode_video(bytes(blob))
+                except ValueError:
+                    continue
+                sel = frames[::every_n]
+                ids.append(str(vid))
+                nf.append(len(sel))
+                blobs.append(
+                    encode_video(sel, max(1, hdr["fps"] // every_n))
+                )
+            yield pd.DataFrame(
+                {
+                    "vid_id": ids,
+                    "every_n": pd.array([every_n] * len(ids), dtype="int32"),
+                    "n_frames": pd.array(nf, dtype="int32"),
+                    "bytes": blobs,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        gen, schema=VIDEO_EXCERPT_SCHEMA
+    )

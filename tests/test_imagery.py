@@ -507,3 +507,20 @@ def test_image_stream_validation(spark, av_tables, tmp_path):
     assert validate_stream(
         spark, suite, "ImageShape", src, images.schema, out
     ) == 0
+
+
+def test_video_excerpt_export_round_trip(spark, av_tables):
+    # the exported excerpts are REAL SGV1 blobs carrying exactly the
+    # sampled frames, fps scaled down
+    images_unused, videos = av_tables
+    ex = {r["vid_id"]: r for r in im.video_excerpt(videos, 2).collect()}
+    for i in (1, 2, 3, 11):
+        r = ex[f"vid_{i:08d}"]
+        hdr, frames = im.decode_video(bytes(r["bytes"]))
+        expect = im.synth_frames(i, 16, 12, 6)[::2]
+        assert np.array_equal(frames, expect)
+        assert hdr == {"w": 16, "h": 12, "n_frames": 3, "fps": 12}
+        assert r["n_frames"] == 3
+    assert "vid_00000000" not in ex  # null seed skipped
+    with pytest.raises(ValueError):
+        im.video_excerpt(videos, 0)
