@@ -524,3 +524,34 @@ def test_video_excerpt_export_round_trip(spark, av_tables):
     assert "vid_00000000" not in ex  # null seed skipped
     with pytest.raises(ValueError):
         im.video_excerpt(videos, 0)
+
+
+def test_multimodal_export_shards(spark, av_tables, tmp_path):
+    # end-to-end export: real WAV files and BMP thumbnails flow through
+    # the generic shard writer — manifest verifies on re-read, one parquet
+    # file per shard dir, blobs survive byte-exactly
+    from shaclapi_spark import audio_codec as ac
+    from shaclapi_spark import fixture_io as fio
+    from shaclapi_spark.pipeline import audio_transform as at
+    from shaclapi_spark.pipeline import shards as sh
+
+    clips = spark.read.parquet(fio.ensure_fixture_pandas(2000)["clips"]).limit(300)
+    wav = at.transcode_wav(clips)
+    out = str(tmp_path / "wav_shards")
+    manifest = sh.write_shards(wav, out, 4, id_col="clip_id", text_col="bytes")
+    reread = spark.read.parquet(out)
+    ver = sh.verify_shards(reread, manifest, 4, id_col="clip_id", text_col="bytes")
+    assert all(r["ok"] for r in ver.collect())
+    # a re-read blob is a byte-identical, decodable WAV
+    r = reread.limit(1).collect()[0]
+    hdr, s = ac.decode_wav(bytes(r["bytes"]))
+    assert hdr["codec"] == "pcm_wav" and len(s) == r["n_samples"]
+
+    images, _ = av_tables
+    th = im.thumbnail_bmp(images, 8, 6)
+    out2 = str(tmp_path / "thumb_shards")
+    m2 = sh.write_shards(th, out2, 4, id_col="img_id", text_col="bytes")
+    v2 = sh.verify_shards(
+        spark.read.parquet(out2), m2, 4, id_col="img_id", text_col="bytes"
+    )
+    assert all(r["ok"] for r in v2.collect())
