@@ -1922,6 +1922,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # is its complement plus anything newly added), then the already-verified
 # remainder. Each round the driver window therefore re-verifies the stalest
 # entries first.
+#
+# ROUND-5 MAINTENANCE: fold CORRECTNESS_r04.json's keys into the verified
+# set below (rename it accordingly), clear/refresh _NEW_THIS_ROUND, and the
+# next 50-window automatically rotates to the then-stalest backlog.
 _PINNED_CORE = [
     "clip_verdicts",
     "clip_verdicts_pop",
