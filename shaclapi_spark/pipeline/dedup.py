@@ -238,9 +238,23 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, n_bands: int = 8, n_hashes: int = 32
+    sigs: DataFrame,
+    n_bands: int = 8,
+    n_hashes: int = 32,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Docs sharing ≥1 LSH band: equi-join on (band, band_hash)."""
+    """Docs sharing ≥1 LSH band: equi-join on (band, band_hash).
+
+    ``max_bucket`` (optional) is the stop-bucket cap: (band, bhash)
+    buckets holding more than ``max_bucket`` signatures are dropped
+    via a broadcast anti-join BEFORE the self-join — the same defusal
+    device as :func:`pigeonhole_hamming_pairs`. Without it a single
+    hot bucket (template/boilerplate-heavy corpora, where one band
+    hash collects millions of docs) makes the band self-join quadratic
+    in the bucket size. The cost is recall for pairs whose ONLY shared
+    band lives in a capped bucket — but a bucket that hot is almost
+    always a boilerplate cluster better handled by exact dedup first.
+    """
     rows_per_band = n_hashes // n_bands
     bands = sigs.select(
         "doc",
@@ -261,6 +275,14 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("doc", "bk.band", "bk.bhash")
+    if max_bucket is not None:
+        hot = (
+            bands.groupBy("band", "bhash")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > int(max_bucket))
+            .select("band", "bhash")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "bhash"], "left_anti")
     a = bands.select(F.col("doc").alias("a"), "band", "bhash")
     b = bands.select(F.col("doc").alias("b"), "band", "bhash")
     return (
@@ -280,6 +302,7 @@ def minhash_lsh_neardups(
     k: int = 5,
     threshold: float = 0.5,
     est_margin: float | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact shingle Jaccard ≥ threshold.
     Output: (a, b, inter, size_a, size_b).
@@ -304,9 +327,15 @@ def minhash_lsh_neardups(
       exact verification, so callers opt in at scale where the recall
       trade is explicit;
     * shingle semi-join: exact verification recomputes shingles only for
-      docs that actually appear in a surviving candidate pair."""
+      docs that actually appear in a surviving candidate pair;
+    * stop-bucket cap (opt-in, ``max_bucket``): drop (band, bhash)
+      buckets larger than the cap before the candidate join fans out —
+      the defusal for template-heavy corpora where a hot bucket makes
+      the band self-join quadratic (see :func:`lsh_candidate_pairs`).
+      Unlike est_margin this acts BEFORE the join, so the quadratic
+      fan-out never materializes."""
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, k).persist()
-    cand = lsh_candidate_pairs(sigs, n_bands, n_hashes)
+    cand = lsh_candidate_pairs(sigs, n_bands, n_hashes, max_bucket=max_bucket)
     if est_margin is not None:
         sig_a = sigs.select(F.col("doc").alias("a"), F.col("sig").alias("__sig_a"))
         sig_b = sigs.select(F.col("doc").alias("b"), F.col("sig").alias("__sig_b"))

@@ -249,15 +249,55 @@ def embedding_neardup_pairs_exact(
     )
 
 
+def neardup_band_geometry(
+    n: int,
+    threshold: float = 0.9,
+    target_recall: float = 0.99,
+    target_bucket: int = 64,
+    min_band_bits: int = 6,
+    max_band_bits: int = 24,
+) -> tuple[int, int]:
+    """(n_bands, band_bits) sized for a corpus of ~``n`` vectors.
+
+    The candidate law of banded sign-bit LSH: two UNRELATED vectors share
+    a given band bucket with probability ~2^-band_bits, so expected
+    random candidates ≈ n_bands * n^2 / 2^(band_bits+1). A fixed
+    band_bits is therefore bench-scale only — band_bits must grow with
+    log2(n) to keep the per-bucket occupancy (n / 2^band_bits) bounded.
+    This helper picks band_bits = clamp(ceil(log2(n / target_bucket)))
+    so a RANDOM corpus puts ~target_bucket vectors in each band bucket,
+    then re-solves n_bands for the target recall at the cosine
+    threshold: recall = 1 - (1 - p^band_bits)^n_bands with
+    p = 1 - arccos(threshold)/pi (probability one hyperplane agrees).
+    """
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    band_bits = min_band_bits
+    if n > target_bucket:
+        band_bits = max(
+            min_band_bits,
+            min(max_band_bits, math.ceil(math.log2(n / target_bucket))),
+        )
+    p_band = p**band_bits
+    if p_band >= 1.0:
+        n_bands = 1
+    else:
+        n_bands = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band)))
+    return n_bands, band_bits
+
+
 def embedding_neardups(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     dim: int,
     threshold: float = 0.9,
-    n_bands: int = 16,
-    band_bits: int = 6,
+    n_bands: int | None = None,
+    band_bits: int | None = None,
     seed: int = 7,
+    est_count: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine — the 100-TB scale path.
 
@@ -267,9 +307,24 @@ def embedding_neardups(
     key — an equi-join on the bucket key, never an all-pairs comparison —
     then every candidate is verified with the exact cosine. Precision is
     therefore 1.0; recall is the banded-LSH probability
-    1 - (1 - p^band_bits)^n_bands with p = 1 - theta/pi, tuned via
-    n_bands/band_bits for the target threshold (defaults: ~0.998 recall at
-    cosine 0.9). `dim` is the embedding width (planes are a pure function of
+    1 - (1 - p^band_bits)^n_bands with p = 1 - theta/pi.
+
+    SCALE LAW (why band geometry is auto-derived): expected RANDOM
+    candidate pairs ≈ n_bands * n^2 / 2^(band_bits+1) — a fixed
+    band_bits (e.g. 6 → 64 buckets/band) is quadratic-candidate at
+    n ≫ 10^6 no matter how sound the join shape is. When ``n_bands`` /
+    ``band_bits`` are None (the default) they are derived by
+    :func:`neardup_band_geometry` from the corpus count — ``est_count``
+    if the caller knows it (at 100 TB pass the table's row-count
+    metadata; never count a petabyte to size a parameter), else a
+    `count()` of the already-persisted base relation (cheap: it also
+    primes the cache the banding pass reads next). ``max_bucket``
+    optionally drops (band, bucket) groups larger than the cap via a
+    broadcast anti-join BEFORE the candidate self-join — the stop-bucket
+    defusal for degenerate corpora (e.g. a zero/constant-vector cluster)
+    whose hot buckets stay quadratic at ANY band width.
+
+    `dim` is the embedding width (planes are a pure function of
     (seed, n_bands*band_bits, dim), so driver and executors agree without
     shipping matrices).
 
@@ -281,6 +336,13 @@ def embedding_neardups(
     """
     v = F.col(vec_col).cast("array<double>")
     base = df.select(F.col(id_col).alias("__id"), v.alias("__vec"))
+    base = base.persist()
+
+    if n_bands is None or band_bits is None:
+        n = est_count if est_count is not None else base.count()
+        auto_bands, auto_bits = neardup_band_geometry(max(1, n), threshold)
+        n_bands = auto_bands if n_bands is None else n_bands
+        band_bits = auto_bits if band_bits is None else band_bits
 
     # n_bands*band_bits sign-bit dot products per vector: as literal
     # zip_with/aggregate expressions this is a megabyte of codegen per task
@@ -300,12 +362,23 @@ def embedding_neardups(
         )
         return pd.Series(list(out))
 
-    base = base.persist()
+    keys_cached = None
     try:
         keys = base.select(
             "__id",
             F.posexplode(band_buckets(F.col("__vec"))).alias("band", "bucket"),
         )
+        if max_bucket is not None:
+            # the capped path consumes `keys` three times (hot-bucket agg +
+            # both join sides) — persist so the Arrow banding pass runs once
+            keys = keys_cached = keys.persist()
+            hot = (
+                keys.groupBy("band", "bucket")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > int(max_bucket))
+                .select("band", "bucket")
+            )
+            keys = keys.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
         a = keys.select(F.col("__id").alias("id_a"), "band", "bucket")
         b = keys.select(F.col("__id").alias("id_b"), "band", "bucket")
         cand = (
@@ -328,6 +401,8 @@ def embedding_neardups(
         out = out.localCheckpoint(eager=True)
     finally:
         base.unpersist()
+        if keys_cached is not None:
+            keys_cached.unpersist()
         try:
             cand.unpersist()
         except NameError:

@@ -180,6 +180,88 @@ def test_minhash_lsh_recall(spark, planted):
     assert len(got) >= 0.8 * len(exact)
 
 
+def test_minhash_lsh_max_bucket_noop_on_normal_corpus(spark, planted):
+    """A cap larger than every bucket must not change the result (capped ≡
+    uncapped on the bench-style fixture) — the stop-bucket device is a
+    pure defusal, not a semantic change."""
+    kw = dict(n_hashes=32, n_bands=16, k=5, threshold=0.7)
+    uncapped = {
+        (r.a, r.b)
+        for r in dedup.minhash_lsh_neardups(planted, "doc_id", **kw).collect()
+    }
+    capped = {
+        (r.a, r.b)
+        for r in dedup.minhash_lsh_neardups(
+            planted, "doc_id", max_bucket=10_000, **kw
+        ).collect()
+    }
+    assert capped == uncapped
+
+
+def test_lsh_candidate_pairs_max_bucket_bounds_degenerate(spark):
+    """Degenerate corpus: n identical docs put ALL signatures in the same
+    (band, bhash) buckets — uncapped candidates are n*(n-1)/2; a cap must
+    drop the hot buckets entirely (anti-join), leaving zero candidates."""
+    n = 60
+    df = spark.createDataFrame(
+        [(i, "exactly the same boilerplate text in every row") for i in range(n)],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(df, "doc_id", n_hashes=32, k=5)
+    uncapped = dedup.lsh_candidate_pairs(sigs, n_bands=8, n_hashes=32).count()
+    assert uncapped == n * (n - 1) // 2
+    capped = dedup.lsh_candidate_pairs(
+        sigs, n_bands=8, n_hashes=32, max_bucket=16
+    ).count()
+    assert capped == 0
+
+
+def test_neardup_band_geometry_scales_with_corpus():
+    """band_bits must grow ~log2(n): pinned at two corpus sizes, plus the
+    candidate law — expected random candidates n_bands*n^2/2^(bits+1) stays
+    ~linear in n when geometry is auto-derived."""
+    nb_small, bits_small = similarity.neardup_band_geometry(20_000, threshold=0.9)
+    nb_big, bits_big = similarity.neardup_band_geometry(1_000_000_000, threshold=0.9)
+    assert bits_small == 9   # ceil(log2(20000/64))
+    assert bits_big == 24    # ceil(log2(1e9/64)) = 24, at the clamp
+    assert bits_big > bits_small
+    # per-bucket occupancy stays bounded by the target at both sizes
+    assert 20_000 / 2**bits_small <= 64
+    assert 1_000_000_000 / 2**bits_big <= 64
+    # and recall-driven n_bands stays sane (not thousands of bands)
+    assert 1 <= nb_small <= 2_000 and 1 <= nb_big <= 20_000
+
+
+def test_embedding_neardups_max_bucket_and_auto_geometry(spark):
+    """Auto geometry (no n_bands/band_bits) + a generous cap must still
+    recall planted near-identical pairs; a degenerate all-identical corpus
+    with a tight cap must produce zero pairs instead of a quadratic join."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((6, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((100 + i, [float(x) for x in v + rng.standard_normal(32) * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_neardups(
+            df, "vec_id", "embedding", dim=32, threshold=0.9,
+            est_count=12, max_bucket=10_000,
+        ).collect()
+    }
+    assert pairs == {(i, 100 + i) for i in range(6)}
+    # degenerate: 40 copies of one vector; cap 8 → hot buckets dropped → 0
+    one = [float(x) for x in rng.standard_normal(32)]
+    dg = spark.createDataFrame(
+        [(i, one) for i in range(40)], "vec_id long, embedding array<float>"
+    )
+    got = similarity.embedding_neardups(
+        dg, "vec_id", "embedding", dim=32, threshold=0.9, max_bucket=8
+    ).count()
+    assert got == 0
+
+
 def test_simhash_neardups(spark, planted):
     pairs = {(r.a, r.b): r.hamming for r in dedup.simhash_neardups(planted, "doc_id", max_hamming=3).collect()}
     assert pairs[(100, 101)] == 0  # identical text → identical simhash
