@@ -1914,18 +1914,16 @@ def entry(spark: SparkSession) -> DataFrame:
     return clip_res.verdicts.unionByName(tpch_res.verdicts)
 
 
-# Driver-verification rotation (round-3 review): the driver's correctness
-# gate oracle-checks only the FIRST 50 queries() entries per round, so the
-# dict is reordered before return — the 9 core validation queries stay
-# pinned up front, then every entry the driver has NOT yet checked
-# (CORRECTNESS_r03.json covered exactly the first 50 of 110; the list below
-# is its complement plus anything newly added), then the already-verified
-# remainder. Each round the driver window therefore re-verifies the stalest
-# entries first.
-#
-# ROUND-5 MAINTENANCE: fold CORRECTNESS_r04.json's keys into the verified
-# set below (rename it accordingly), clear/refresh _NEW_THIS_ROUND, and the
-# next 50-window automatically rotates to the then-stalest backlog.
+# Driver-verification rotation (round-3 review; made DATA-DRIVEN in round
+# 5 per the round-4 verdict): the driver's correctness gate oracle-checks
+# only the FIRST 50 queries() entries per round, so the dict is reordered
+# before return — the 9 core validation queries stay pinned up front, then
+# everything else by STALENESS, derived at import time from the
+# CORRECTNESS_r*.json files the driver itself writes next to this file:
+# never-driver-verified entries first (registration order), then
+# oldest-verified-round first. No hand-maintained set literals — adding a
+# query or a new round's correctness file reorders the window
+# automatically, so every entry eventually cycles through the gate.
 _PINNED_CORE = [
     "clip_verdicts",
     "clip_verdicts_pop",
@@ -1938,52 +1936,54 @@ _PINNED_CORE = [
     "clip_cycle_verdicts",
 ]
 
-#: driver-verified through round 3 (keys of CORRECTNESS_r03.json)
-_DRIVER_VERIFIED_R3 = {
-    *_PINNED_CORE,
-    "fdep_verdicts", "monotonic_verdicts", "blocklist_verdicts",
-    "stat_bound_verdicts", "incremental_verdicts",
-    "incremental_changelog_verdicts", "verdict_regression", "clip_stats",
-    "grouped_stats_codec", "dup_clip_ids", "drift_hist_dur", "tpch_verdicts",
-    "events_hourly", "doc_dedup_groups", "jaccard_pairs_docs",
-    "dedup_clusters_docs", "precedence_dedup_docs", "interleave_docs",
-    "pq_topk", "pq_batch_topk", "budget_cut_docs", "zorder_prune_lineitem",
-    "audio_fp_matches", "hard_negatives_emb", "matryoshka_recall_emb",
-    "quality_budget_docs", "leakage_split_docs", "chi2_drift_docs",
-    "stratified_sample_docs", "stratified_quota_docs", "curation_funnel",
-    "curation_dispositions", "orders_reconciliation", "reconcile_verdicts",
-    "curation_funnel_neardup", "pipeline_e2e", "weighted_mix_docs",
-    "pack_sequences_docs", "repetition_docs", "decontam_docs",
-    "minhash_neardups_docs",
-}
 
+def _driver_verified_rounds() -> dict[str, int]:
+    """{query_key: latest round whose CORRECTNESS_r*.json has it GREEN}.
 
-#: added this round — never seen by ANY driver window, so they outrank the
-#: round-3 judge-verified backlog
-_NEW_THIS_ROUND = [
-    "wav_roundtrip",
-    "image_verdicts",
-    "image_dhash",
-    "image_dhash_dups",
-    "image_meta",
-    "image_pixel_stats",
-    "image_resize_stats",
-    "image_thumb_roundtrip",
-    "video_meta",
-    "video_frame_stats",
-    "video_fingerprint",
-    "video_content_matches",
-    "video_verdicts",
-    "mixed_container_census",
-    "video_excerpt_roundtrip",
-]
+    A key checked but red (rows/schema/hash mismatch or err) does NOT
+    count as verified — it must re-enter the window immediately.
+    """
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for key, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match") is True
+                and row.get("schema_match", True) is not False
+                and row.get("hash_match", True) is not False
+                and not row.get("err")
+            )
+            if green and rnd >= latest.get(key, -1):
+                latest[key] = rnd
+    return latest
 
 
 def _rotate_for_driver_window(q: dict) -> dict:
-    order = list(_PINNED_CORE)
-    order += [k for k in _NEW_THIS_ROUND if k in q]
-    order += [k for k in q if k not in _DRIVER_VERIFIED_R3 and k not in order]
-    order += [k for k in q if k not in order]
+    verified = _driver_verified_rounds()
+    order = [k for k in _PINNED_CORE if k in q]
+    # never driver-verified, in registration order
+    order += [k for k in q if k not in verified and k not in order]
+    # then stalest-first (ties broken by registration order, which sorted
+    # respects because Python sort is stable)
+    rest = [k for k in q if k not in order]
+    order += sorted(rest, key=lambda k: verified.get(k, -1))
     return {k: q[k] for k in order}
 
 

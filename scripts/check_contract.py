@@ -1,6 +1,16 @@
 """Local simulation of the driver's correctness gate: run every
 __spark_entry__ query at sf0.01 and compare against its DuckDB oracle
-(row count + column names + order-insensitive values)."""
+(row count + column names + order-insensitive values).
+
+Usage:
+    python scripts/check_contract.py                 # all queries
+    python scripts/check_contract.py q1 q2 ...       # only the named ones
+    python scripts/check_contract.py --stale-first N # the N least-recently
+        driver-verified queries (reads the CORRECTNESS_r*.json files the
+        driver writes, same staleness order as the queries() rotation) —
+        one command reproduces the judge's "check what the driver window
+        hasn't seen" sweep. A full no-arg run is the pre-snapshot gate.
+"""
 
 from __future__ import annotations
 
@@ -47,7 +57,16 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    only = sys.argv[1:]
+    argv = sys.argv[1:]
+    if argv[:1] == ["--stale-first"]:
+        n = int(argv[1]) if len(argv) > 1 else 50
+        # queries() is already rotated stalest-first after the pinned core;
+        # skip the pinned 9 so --stale-first targets the actual backlog
+        backlog = [k for k in qs if k not in entry_mod._PINNED_CORE]
+        only = backlog[:n]
+        print(f"stale-first {n}: {only}")
+    else:
+        only = argv
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
