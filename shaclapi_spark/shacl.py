@@ -213,6 +213,136 @@ class ShaclShape:
         return local_name(m.group(3))
 
 
+_TRIPLE_RE = re.compile(
+    r"(\?\w+|<[^>]*>|[\w.\-]*:[\w.\-]+)\s+"            # subject
+    r"(a|\^?<[^>]*>|\^?[\w.\-]*:[\w.\-]+)\s+"          # predicate (^ = inverse)
+    r"(\?\w+|<[^>]*>|[\w.\-]*:[\w.\-]+|'[^']*'|\"[^\"]*\"|[+-]?\d+(?:\.\d+)?)"  # object
+)
+_FILTER_RE = re.compile(r"FILTER\s*\(\s*(\?\w+)\s*(=|!=|<=|>=|<|>)\s*"
+                        r"('[^']*'|\"[^\"]*\"|[+-]?\d+(?:\.\d+)?|\?\w+)\s*\)",
+                        re.IGNORECASE)
+
+
+def star_target_filter(query: str, binding: "ShapeBinding") -> str | None:
+    """Translate a star-shaped SPARQL target query into a SQL
+    ``target_filter`` over the binding's table (reference
+    query.py:96-114 ``is_starshaped``/``make_starshaped``, intersected
+    into the target via query.py:194-244 ``intersect`` — here the
+    intersection is a row filter, which is what a restrictive target
+    query MEANS on a relational table).
+
+    Supported (the reference test-suite query inventory, tc2/tc4/tc6):
+    ``?x a <Class>`` → class_column = 'Class'; ``?x p <iri>`` /
+    ``?x p 'lit'`` / ``?x p 5`` → bound column equality; ``?x p ?v`` →
+    bound column IS NOT NULL (SPARQL pattern = existence), with ``?v``
+    usable in simple ``FILTER(?v op literal)`` comparisons;
+    ``VALUES ?x { <iri> ... }`` → entity IN list. All conjuncts AND
+    together (a SPARQL BGP is a conjunction).
+
+    Returns None when the query is not a star-shaped SELECT at all.
+    Raises ValueError — listing the offending construct — for star
+    queries that reach through links (inverse ``^p`` predicates, paths
+    not bound to a row column, variable-vs-variable FILTERs, OPTIONAL/
+    UNION/subqueries): those restrict via joined relations, which a
+    row-filter string cannot express; callers translate them into an
+    explicit ``target_filter``/``target_population`` instead.
+    """
+    q = re.sub(r"PREFIX\s+[\w.\-]*:\s*<[^>]*>", "", query, flags=re.IGNORECASE)
+    m = re.search(r"SELECT\s+(?:DISTINCT\s+)?(\?\w+)[\s?\w]*WHERE\s*\{(.*)\}",
+                  q, re.IGNORECASE | re.DOTALL)
+    if not m:
+        return None
+    target_var, body = m.group(1), m.group(2)
+    for bad in ("OPTIONAL", "UNION", "SELECT", "MINUS", "GRAPH"):
+        if re.search(rf"\b{bad}\b", body, re.IGNORECASE):
+            raise ValueError(
+                f"target query uses {bad}, which is not a star-shaped BGP; "
+                "bind an explicit target_filter/target_population"
+            )
+    conjuncts: list[str] = []
+    var_cols: dict[str, str] = {}
+    # VALUES ?x { ... } seeds (reference make_starshaped appends these)
+    body_wo_values = body
+    for vm in re.finditer(r"VALUES\s*(\?\w+)\s*\{([^}]*)\}", body):
+        if vm.group(1) != target_var:
+            raise ValueError(
+                f"VALUES on non-target variable {vm.group(1)}; bind an "
+                "explicit target_filter"
+            )
+        ids = [local_name(t) for t in re.findall(r"<[^>]*>", vm.group(2))]
+        ids += [t.strip("'\"") for t in re.findall(r"'[^']*'|\"[^\"]*\"", vm.group(2))]
+        if ids:
+            conjuncts.append(
+                f"{binding.entity_col} IN ({', '.join(repr(i) for i in ids)})"
+            )
+        body_wo_values = body_wo_values.replace(vm.group(0), " ")
+    body_wo_filters = _FILTER_RE.sub(" ", body_wo_values)
+    triples = _TRIPLE_RE.findall(body_wo_filters)
+    if not triples:
+        return " AND ".join(conjuncts) if conjuncts else None
+    subjects = {s for s, _, _ in triples}
+    if subjects != {target_var}:
+        raise ValueError(
+            f"target query is not star-shaped around {target_var} "
+            f"(subjects: {sorted(subjects)}); bind an explicit target_filter"
+        )
+    for _, pred, obj in triples:
+        if pred.startswith("^"):
+            raise ValueError(
+                f"inverse path {pred} in target query restricts via a "
+                "joined relation; bind an explicit target_filter or "
+                "target_population"
+            )
+        if pred == "a":
+            if not binding.class_column:
+                raise ValueError(
+                    "target query has a class pattern but the binding has "
+                    "no class_column"
+                )
+            conjuncts.append(f"{binding.class_column} = {local_name(obj)!r}")
+            continue
+        p = local_name(pred)
+        if p not in binding.columns:
+            raise ValueError(
+                f"target-query predicate {pred} (path {p!r}) is not bound "
+                "to a row column; bind it in ShapeBinding.columns or use "
+                "an explicit target_filter"
+            )
+        col = binding.columns[p]
+        if obj.startswith("?"):
+            var_cols[obj] = col
+            conjuncts.append(f"{col} IS NOT NULL")
+        elif obj.startswith(("'", '"')):
+            conjuncts.append(f"{col} = {obj.strip(chr(39) + chr(34))!r}")
+        elif re.fullmatch(r"[+-]?\d+(?:\.\d+)?", obj):
+            conjuncts.append(f"{col} = {obj}")
+        else:
+            conjuncts.append(f"{col} = {local_name(obj)!r}")
+    for fm in _FILTER_RE.finditer(body_wo_values):
+        var, op, rhs = fm.group(1), fm.group(2), fm.group(3)
+        if rhs.startswith("?"):
+            raise ValueError(
+                f"FILTER({var} {op} {rhs}) compares two variables; bind an "
+                "explicit target_filter"
+            )
+        if var not in var_cols:
+            raise ValueError(
+                f"FILTER variable {var} does not appear as a triple object "
+                "over a bound column"
+            )
+        sql_op = {"=": "=", "!=": "<>"}.get(op, op)
+        rhs_sql = repr(rhs.strip("'\"")) if rhs.startswith(("'", '"')) else rhs
+        conjuncts.append(f"{var_cols[var]} {sql_op} {rhs_sql}")
+    leftover = _FILTER_RE.sub(" ", body_wo_filters)
+    leftover = _TRIPLE_RE.sub(" ", leftover)
+    if re.search(r"FILTER", leftover, re.IGNORECASE):
+        raise ValueError(
+            "target query contains a FILTER form beyond simple "
+            "variable-vs-literal comparison; bind an explicit target_filter"
+        )
+    return " AND ".join(conjuncts) if conjuncts else None
+
+
 def _prop_from_po(po: dict) -> ShaclProperty:
     def one(key: str):
         vals = [v for k, v in po.items() if local_name(k) == key for v in v]
@@ -469,18 +599,33 @@ def to_suite(shapes: list[ShaclShape], bindings: dict[str, ShapeBinding]) -> Sui
         if target_filter is None:
             values = s.target_values()
             qclass = s.query_target_class()
+            star = None
             if s.target_query and values is None and qclass is None:
-                raise ValueError(
-                    f"shape {s.name!r}: targetQuery "
-                    f"{s.target_query!r} is neither a VALUES list nor a "
-                    "simple class pattern; bind an explicit target_filter "
-                    "for this shape (or extend the binding) — refusing to "
-                    "silently validate the full table"
-                )
+                # general star-shaped BGP (class + column patterns +
+                # FILTERs) → conjunctive row filter; raises with the
+                # offending construct for link-reaching queries
+                try:
+                    star = star_target_filter(s.target_query, b)
+                except ValueError as e:
+                    raise ValueError(
+                        f"shape {s.name!r}: targetQuery is neither a "
+                        f"VALUES list nor a translatable star query: {e}"
+                    ) from None
+                if star is None:
+                    raise ValueError(
+                        f"shape {s.name!r}: targetQuery "
+                        f"{s.target_query!r} is neither a VALUES list, a "
+                        "class pattern, nor a star-shaped BGP; bind an "
+                        "explicit target_filter for this shape (or extend "
+                        "the binding) — refusing to silently validate the "
+                        "full table"
+                    )
             target_class = s.target_class or qclass
             if values is not None:
                 ids = ", ".join(f"'{v}'" for v in values)
                 target_filter = f"{b.entity_col} IN ({ids})"
+            elif star is not None:
+                target_filter = star
             elif target_class and b.class_column:
                 target_filter = f"{b.class_column} = '{target_class}'"
         cs: list[Constraint] = []
