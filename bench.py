@@ -107,6 +107,14 @@ def main() -> None:
             t0 = time.time()
             fn()
             reps.append(time.time() - t0)
+        # noisy pair → take a third rep and report min-of-3 (round-4 judge
+        # item 8): when the two reps disagree by >30% one of them hit a
+        # hypervisor noise episode, and a 2-sample min leaves the query's
+        # round-over-round delta unadjudicable.
+        if max(reps) > 1.3 * min(reps):
+            t0 = time.time()
+            fn()
+            reps.append(time.time() - t0)
         rep_log[name] = [round(r, 3) for r in reps]
         timings[name] = round(min(reps), 3)
 

@@ -256,10 +256,14 @@ def snr_db(blob: bytes) -> float:
     except ValueError:
         return float("-inf")
     if hdr["freq_hz"] is None:
-        # real-container rows (WAV) embed no reference signal: the SGA1
-        # SNR invariant is vacuous — pass, same unbound⇒valid discipline
-        # as the engine's undecided verdicts
-        return float("inf")
+        # real-container rows (WAV) embed no reference signal, so the SGA1
+        # SNR invariant is NOT APPLICABLE — NaN, the same sentinel the
+        # batch path uses for skipped rows. Downstream (ops/audio.py
+        # audio_snr_ok) NaN maps to a NULL verdict → unbound⇒valid, but
+        # callers can still distinguish 'passed SNR' (finite >= min) from
+        # 'no reference signal to check' (NULL), which a +inf would
+        # silently conflate (round-4 advice).
+        return float("nan")
     if hdr["n_samples"] == 0:
         # zero-sample clip ⇒ -inf (no evidence of a valid signal) — pinned to
         # agree with snr_db_batch, which hits its n == 0 branch before the
@@ -318,12 +322,13 @@ def snr_db_batch(blobs) -> np.ndarray:
             if len(blob) < HEADER_LEN:
                 raise ValueError
             if bytes(blob[:4]) == b"RIFF":
-                # real-container row: no embedded reference signal, the
-                # SNR invariant is vacuous when the WAV decodes (scalar
-                # snr_db parity), -inf when it does not
+                # real-container row: no embedded reference signal — the
+                # SNR check is NOT APPLICABLE when the WAV decodes (NaN,
+                # scalar snr_db parity; maps to a NULL verdict rather
+                # than a silent pass), -inf when it does not
                 try:
                     decode_wav(blob)
-                    out[k] = float("inf")
+                    out[k] = float("nan")
                 except ValueError:
                     out[k] = float("-inf")
                 continue

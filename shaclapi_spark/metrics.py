@@ -28,9 +28,26 @@ TRACE_SCHEMA = "run_id string, answer long, time double, n_rows long, ts double"
 
 @dataclass
 class MetricsRecorder:
+    """``max_rows`` (optional) ring-buffers both ``rows`` and ``trace``:
+    when set, only the most recent ``max_rows`` entries are kept, so a
+    recorder shared across a long-running service's requests stays
+    bounded (round-4 advice — an uncapped recorder grows without limit
+    and /metrics payloads with it). Caveat: once rows are evicted,
+    ``mark_first``'s exactly-once check can no longer see stages older
+    than the window; per-run recorders (the default everywhere except
+    the service) are unaffected because they never hit the cap."""
+
     run_id: str
     rows: list[tuple] = field(default_factory=list)
     trace: list[tuple] = field(default_factory=list)
+    max_rows: int | None = None
+
+    def _cap(self) -> None:
+        if self.max_rows is not None:
+            if len(self.rows) > self.max_rows:
+                del self.rows[: len(self.rows) - self.max_rows]
+            if len(self.trace) > self.max_rows:
+                del self.trace[: len(self.trace) - self.max_rows]
 
     @contextmanager
     def stage(self, name: str, n_rows: int | None = None):
@@ -44,9 +61,11 @@ class MetricsRecorder:
             self.rows.append(
                 (self.run_id, name, time.time() - t0, h.n_rows, time.time())
             )
+            self._cap()
 
     def record(self, stage: str, wall_sec: float, n_rows: int | None = None) -> None:
         self.rows.append((self.run_id, stage, wall_sec, n_rows, time.time()))
+        self._cap()
 
     def mark_first(self, stage: str, since_ts: float, n_rows: int | None = None) -> None:
         """Record a first-emission latency row (e.g. first verdict wave /
@@ -76,6 +95,7 @@ class MetricsRecorder:
                 time.time(),
             )
         )
+        self._cap()
 
     def get(self, stage: str) -> float | None:
         for r in self.rows:

@@ -342,6 +342,8 @@ def image_meta(
     bmp_bpp = _le_u16(h, 29)
     bmp_comp = _le_u32(h, 31)
     bmp_off = _le_u32(h, 11)
+    bmp_hdr_size = _le_u32(h, 15)
+    bmp_planes = _le_u16(h, 27)
     # dims sanity BEFORE any size product: a u32 × u32 × 3 passes int64
     # and ANSI mode aborts the whole job on ONE hostile header (or
     # non-ANSI silently wraps); the CASE-guard keeps the product lazy
@@ -379,7 +381,16 @@ def image_meta(
         .when(~(is_bmp | is_ppm), F.lit("bad_magic"))
         .when(is_bmp & (blen < F.lit(BMP_HEADER_BYTES)), F.lit("truncated"))
         .when(is_ppm & (blen < F.lit(PPM_HEADER_BYTES)), F.lit("truncated"))
-        .when(is_bmp & ((bmp_bpp != 24) | (bmp_comp != 0)), F.lit("unsupported"))
+        .when(
+            is_bmp
+            & (
+                (bmp_bpp != 24)
+                | (bmp_comp != 0)
+                | (bmp_planes != 1)
+                | (bmp_hdr_size < 40)
+            ),
+            F.lit("unsupported"),
+        )
         .when(is_bmp & ~bmp_sane, F.lit("unsupported"))
         .when(is_ppm & ~ppm_sane, F.lit("unsupported"))
         .when(blen < need, F.lit("truncated"))
@@ -836,6 +847,7 @@ def image_ok_sql(bytes_col: str = "bytes") -> str:
         f"({bytes_col} IS NOT NULL AND ("
         f"(substring({h},1,4) = '424D' AND {blen} >= {BMP_HEADER_BYTES}"
         f" AND {bmp_bpp} = 24 AND {bmp_comp} = 0"
+        f" AND {_le_u16_sql(h, 27)} = 1 AND {_le_u32_sql(h, 15)} >= 40"
         f" AND {bmp_fits})"
         f" OR "
         f"(substring({h},1,4) = '5036' AND {blen} >= {PPM_HEADER_BYTES}"

@@ -134,7 +134,9 @@ def make_app(
     """Build the WSGI application over an existing SparkSession.
 
     ``recorder``: optional MetricsRecorder shared with the caller; when
-    omitted the app creates its own. Every validating POST records the
+    omitted the app creates its own, ring-buffered at the most recent
+    10,000 stage rows so a long-running service's memory and /metrics
+    payload stay bounded (pass an uncapped recorder to keep everything). Every validating POST records the
     reference's stats.csv stage columns per request
     (ref shaclapi/statsCalculation.py:112-170 — total_execution_time /
     query_time / network_validation_time analogs as
@@ -142,7 +144,9 @@ def make_app(
     ``<route>.validation_time``), and ``GET /metrics`` serves the
     accumulated relation as JSON (or text/csv with ``?format=csv`` — the
     literal stats.csv shape)."""
-    rec = recorder if recorder is not None else MetricsRecorder(run_id="service")
+    rec = recorder if recorder is not None else MetricsRecorder(
+        run_id="service", max_rows=10_000
+    )
 
     def respond(start_response, status: str, payload, mimetype: str):
         body = (

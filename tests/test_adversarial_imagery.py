@@ -38,7 +38,8 @@ ADVERSARIAL_IMAGES = {
 }
 
 
-def _bmp_with(w=None, h=None, bpp=None, comp=None, data_off=None):
+def _bmp_with(w=None, h=None, bpp=None, comp=None, data_off=None,
+              planes=None, hdr_size=None):
     b = _good_bmp()
     if w is not None:
         b[18:22] = struct.pack("<i", w)
@@ -50,6 +51,10 @@ def _bmp_with(w=None, h=None, bpp=None, comp=None, data_off=None):
         b[30:34] = struct.pack("<I", comp)
     if data_off is not None:
         b[10:14] = struct.pack("<I", data_off)
+    if planes is not None:
+        b[26:28] = struct.pack("<H", planes)
+    if hdr_size is not None:
+        b[14:18] = struct.pack("<I", hdr_size)
     return bytes(b)
 
 
@@ -66,6 +71,12 @@ HOSTILE_HEADERS = {
     "bpp32": _bmp_with(bpp=32),
     "compressed": _bmp_with(comp=1),
     "data_off_past_end": _bmp_with(data_off=1 << 30),
+    # planes != 1 / pre-BITMAPINFOHEADER hdr_size: decode_image rejects
+    # these, so meta/SQL must too (round-4 advice — a row passing the
+    # img_decodable constraint must never be skipped by the pixel ops)
+    "planes0": _bmp_with(planes=0),
+    "planes2": _bmp_with(planes=2),
+    "core_hdr12": _bmp_with(hdr_size=12),
     "ppm_huge_dims": b"P6\n999999999 999999999\n255\n" + b"\x00" * 64,
     "ppm_zero_maxval": b"P6\n8 6\n0\n" + b"\x00" * (8 * 6 * 3),
     "ppm_no_dims": b"P6\n",
@@ -214,6 +225,9 @@ def test_review_hostile_cases_meta_and_sql(spark):
         "p6_binary_hdr": b"P6\n" + b"\xff\xfe\xf0\x90" * 8,
         "zero_w2": _bmp_with(w=0),
         "zero_h2": _bmp_with(h=0),
+        "planes0": _bmp_with(planes=0),
+        "planes2": _bmp_with(planes=2),
+        "core_hdr12": _bmp_with(hdr_size=12),
         "topdown": bytes(topdown[:54]) + bytes(rows_td),
         "good": bytes(_good_bmp()),
     }
@@ -228,6 +242,9 @@ def test_review_hostile_cases_meta_and_sql(spark):
     assert meta["p6_binary_hdr"]["status"] in ("unsupported", "truncated")
     assert meta["zero_w2"]["status"] == "unsupported"
     assert meta["zero_h2"]["status"] == "unsupported"
+    assert meta["planes0"]["status"] == "unsupported"
+    assert meta["planes2"]["status"] == "unsupported"
+    assert meta["core_hdr12"]["status"] == "unsupported"
     assert meta["good"]["status"] == "ok"
     # top-down: decodable, and the reported height is the magnitude
     assert meta["topdown"]["status"] == "ok"

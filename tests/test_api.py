@@ -59,6 +59,21 @@ def test_metrics_recorder(spark):
     assert all(r.run_id == "r1" for r in rows.values())
 
 
+def test_metrics_recorder_ring_buffer():
+    """max_rows bounds a shared recorder: only the most recent entries
+    survive (round-4 advice — the service recorder must not grow without
+    limit across requests)."""
+    rec = MetricsRecorder(run_id="svc", max_rows=5)
+    for i in range(12):
+        rec.record(f"s{i}", 0.1)
+        rec.mark_emission(0.0, n_rows=1)
+    assert len(rec.rows) == 5
+    assert [r[1] for r in rec.rows] == ["s7", "s8", "s9", "s10", "s11"]
+    assert len(rec.trace) == 5
+    # cumulative answer count keeps counting across evictions
+    assert rec.trace[-1][1] == 12
+
+
 def test_run_anytime_mode(spark, fixture_tables, tmp_path):
     from shaclapi_spark import api, fixtures
     from shaclapi_spark.lineage import LineageRun

@@ -119,12 +119,16 @@ def test_wav_rejections_and_dispatch():
         ac.decode_external(blob, "mp3")
 
 
-def test_wav_snr_vacuous():
+def test_wav_snr_not_applicable():
+    """A decodable WAV has no embedded reference signal: the SNR check is
+    NOT APPLICABLE — NaN (→ NULL verdict downstream), distinguishable
+    from 'passed SNR' (+inf would silently conflate them, round-4
+    advice); an UNdecodable RIFF blob is still a hard -inf fail."""
     s = ac.synth_sine(440.0, 16000, 100, 0.5)
     blob = ac.encode_wav(s, 16000)
-    assert ac.snr_db(blob) == float("inf")
+    assert np.isnan(ac.snr_db(blob))
     batch = ac.snr_db_batch([blob, None, b"RIFFbad"])
-    assert batch[0] == float("inf")
+    assert np.isnan(batch[0])
     assert np.isnan(batch[1]) and batch[2] == float("-inf")
 
 
