@@ -422,9 +422,15 @@ def decode_external(blob: bytes, codec: str) -> np.ndarray:
     if codec in ("wav", "pcm_wav", "riff"):
         return decode_wav(blob)[1]
     try:
-        import soundfile  # noqa: F401
+        import soundfile
     except ImportError as exc:  # pragma: no cover - library absent by design
         raise NotImplementedError(
             f"real {codec} decode requires soundfile/pyav, not present in this environment"
         ) from exc
-    raise NotImplementedError("real-codec path not wired in this sandbox")
+    import io
+
+    data, _sr = soundfile.read(io.BytesIO(bytes(blob)), dtype="int16")
+    data = np.asarray(data, dtype=np.int16)
+    if data.ndim == 2:  # multichannel → mono (mean, matching common practice)
+        data = np.round(data.astype(np.float64).mean(axis=1)).astype(np.int16)
+    return data

@@ -624,14 +624,17 @@ def decode_image(blob: bytes) -> "np.ndarray":
     except ValueError:
         pass  # not BMP/PPM (or corrupt) — try the gated real-codec path
     try:
-        import PIL.Image  # noqa: F401
+        import PIL.Image
     except ImportError as exc:
         raise NotImplementedError(
             "jpeg/png/webp decode requires Pillow/opencv; not available "
             "in this environment (BMP/PPM decode natively via "
             "pipeline.imagery)"
         ) from exc
-    raise NotImplementedError("real image path not wired in this sandbox")
+    import io
+
+    with PIL.Image.open(io.BytesIO(bytes(blob))) as img:
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
 
 
 def sample_video_frames(blob: bytes, every_n: int = 30) -> list:
@@ -646,13 +649,22 @@ def sample_video_frames(blob: bytes, every_n: int = 30) -> list:
     except ValueError:
         pass  # not SGV1 (or corrupt) — try the gated real-codec path
     try:
-        import av  # noqa: F401
+        import av
     except ImportError as exc:
         raise NotImplementedError(
             "mp4/webm frame sampling requires pyav/ffmpeg; not available "
             "here (SGV1 decode natively via pipeline.imagery)"
         ) from exc
-    raise NotImplementedError("real video path not wired in this sandbox")
+    import io
+
+    out = []
+    with av.open(io.BytesIO(bytes(blob))) as container:
+        for i, frame in enumerate(container.decode(video=0)):
+            if i % every_n == 0:
+                out.append(np.asarray(frame.to_ndarray(format="gray"), dtype=np.uint8))
+    if not out:
+        raise ValueError("no video frames decoded")
+    return out
 
 
 def align_tokens(
