@@ -202,18 +202,50 @@ def main() -> None:
     timed("tpch_verdicts", lambda: force(entry_mod.q_tpch_verdicts(spark, sf_dir)))
     timed("events_hourly", lambda: force(entry_mod.q_events_hourly(spark, sf_dir)))
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # max_bucket=256: the stop-bucket cap (round-4 verdict item 1). The
+    # bench corpus's 31-word vocabulary gives random docs high shingle
+    # overlap, so hot (band, bhash) buckets grow ~linearly with sf and the
+    # uncapped band self-join quadratically (measured sf1: 49.5 s uncapped
+    # vs 8.7-9.5 s capped, same 250-pair result; sf0.1: identical 256
+    # pairs capped vs uncapped — the audio_fp_matches defusal applied to
+    # text near-dup).
     timed(
         "minhash_lsh_dedup",
         lambda: force(
-            dd.minhash_lsh_neardups(docs, "doc_id", "text", n_hashes=32, n_bands=8, k=5)
+            dd.minhash_lsh_neardups(
+                docs, "doc_id", "text", n_hashes=32, n_bands=8, k=5,
+                max_bucket=256,
+            )
         ),
     )
     timed("topk_cosine", lambda: force(entry_mod.q_topk_cosine(spark, sf_dir)))
     timed("ann_lsh_topk", lambda: force(entry_mod.q_ann_lsh_topk(spark, sf_dir)))
     timed("ivf_topk", lambda: force(entry_mod.q_ivf_topk(spark, sf_dir)))
+    # two variants (round-4 verdict items 1+4): the contract-pinned config
+    # (32 bands x 4 bits, threshold 0.4 — comparable with prior rounds,
+    # but its 64-bucket bands are quadratic-candidate at sf >= 1, and at
+    # threshold 0.4 on the isotropic bench embeddings the ANSWER itself
+    # grows ~n^2, so it only runs at sf <= 0.1) and the scale path: true
+    # near-dup threshold 0.9 with corpus-derived auto geometry + a
+    # stop-bucket cap (measured 1.72 s at 2k vecs -> 11.2 s at 20k: 6.5x
+    # wall for 10x data, sub-linear).
+    if sf <= 0.11:
+        timed(
+            "embedding_neardups",
+            lambda: force(entry_mod.q_embedding_neardups(spark, sf_dir)),
+        )
+    from shaclapi_spark.pipeline import similarity as sim_bench
+
+    emb_bench = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_emb = emb_bench.count()
     timed(
-        "embedding_neardups",
-        lambda: force(entry_mod.q_embedding_neardups(spark, sf_dir)),
+        "embedding_neardups_scale",
+        lambda: force(
+            sim_bench.embedding_neardups(
+                emb_bench, "vec_id", "embedding", dim=64, threshold=0.9,
+                est_count=n_emb, max_bucket=4096,
+            )
+        ),
     )
     timed(
         "decontaminate",

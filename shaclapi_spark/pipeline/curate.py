@@ -138,6 +138,7 @@ def curate(
     near_dup: bool = False,
     minhash_threshold: float = 0.5,
     minhash_k: int = 5,
+    minhash_max_bucket: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the curation funnel; returns ``(curated, funnel)``.
 
@@ -172,7 +173,12 @@ def curate(
             exact_dedup(s_lang, id_col, text_col), id_col, "left_semi"
         ).persist()
         pairs = minhash_lsh_neardups(
-            s_dedup, id_col, text_col, k=minhash_k, threshold=minhash_threshold
+            s_dedup, id_col, text_col, k=minhash_k,
+            threshold=minhash_threshold,
+            # stop-bucket cap passthrough (see dedup.lsh_candidate_pairs):
+            # at scale a boilerplate-heavy survivor set makes the band
+            # self-join quadratic without it
+            max_bucket=minhash_max_bucket,
         )
         losers = (
             dedup_clusters(pairs)
