@@ -1937,17 +1937,19 @@ _PINNED_CORE = [
 ]
 
 
-def _driver_verified_rounds() -> dict[str, int]:
+def _driver_verified_rounds(root: str | None = None) -> dict[str, int]:
     """{query_key: latest round whose CORRECTNESS_r*.json has it GREEN}.
 
     A key checked but red (rows/schema/hash mismatch or err) does NOT
     count as verified — it must re-enter the window immediately.
+    ``root`` defaults to this file's directory (where the driver writes
+    the correctness files); injectable for tests.
     """
     import glob
     import json
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = root or os.path.dirname(os.path.abspath(__file__))
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
