@@ -1940,17 +1940,20 @@ _PINNED_CORE = [
 def _driver_verified_rounds(root: str | None = None) -> dict[str, int]:
     """{query_key: latest round whose CORRECTNESS_r*.json has it GREEN}.
 
-    A key checked but red (rows/schema/hash mismatch or err) does NOT
-    count as verified — it must re-enter the window immediately.
-    ``root`` defaults to this file's directory (where the driver writes
-    the correctness files); injectable for tests.
+    A key whose LATEST check is red (rows/schema/hash mismatch or err)
+    is dropped entirely — a known regression must re-enter the 50-query
+    window immediately (rank = never-verified), not sit behind the
+    backlog at its last-green round's rank. ``root`` defaults to this
+    file's directory (where the driver writes the correctness files);
+    injectable for tests.
     """
     import glob
     import json
     import re
 
     here = root or os.path.dirname(os.path.abspath(__file__))
-    latest: dict[str, int] = {}
+    latest_green: dict[str, int] = {}
+    latest_seen: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -1966,15 +1969,18 @@ def _driver_verified_rounds(root: str | None = None) -> dict[str, int]:
         for key, row in data.items():
             if not isinstance(row, dict):
                 continue
+            latest_seen[key] = max(rnd, latest_seen.get(key, -1))
             green = (
                 row.get("rows_match") is True
                 and row.get("schema_match", True) is not False
                 and row.get("hash_match", True) is not False
                 and not row.get("err")
             )
-            if green and rnd >= latest.get(key, -1):
-                latest[key] = rnd
-    return latest
+            if green and rnd >= latest_green.get(key, -1):
+                latest_green[key] = rnd
+    return {
+        k: r for k, r in latest_green.items() if latest_seen[k] == r
+    }
 
 
 def _rotate_for_driver_window(q: dict) -> dict:

@@ -429,7 +429,11 @@ def decode_external(blob: bytes, codec: str) -> np.ndarray:
         ) from exc
     import io
 
-    data, _sr = soundfile.read(io.BytesIO(bytes(blob)), dtype="int16")
+    try:
+        data, _sr = soundfile.read(io.BytesIO(bytes(blob)), dtype="int16")
+    except Exception as exc:  # libsndfile raises its own error types —
+        # normalize to the module's corrupt-input contract (ValueError)
+        raise ValueError(f"undecodable {codec} blob: {exc}") from exc
     data = np.asarray(data, dtype=np.int16)
     if data.ndim == 2:  # multichannel → mono (mean, matching common practice)
         data = np.round(data.astype(np.float64).mean(axis=1)).astype(np.int16)

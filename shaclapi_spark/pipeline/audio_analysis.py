@@ -510,13 +510,9 @@ def fingerprint_matches(
         # base stays persisted until the checkpoint materializes: the hot-
         # token aggregate AND the anti-join both read it, and an early
         # unpersist would recompute the corpus distinct() for each
-        hot = (
-            base.groupBy("token")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > int(max_bucket))
-            .select("token")
-        )
-        t = base.join(F.broadcast(hot), "token", "left_anti").persist()
+        from shaclapi_spark.pipeline.dedup import drop_hot_groups
+
+        t = drop_hot_groups(base, ["token"], max_bucket).persist()
     try:
         a = t.select(F.col("clip_id").alias("a"), "token")
         b = t.select(F.col("clip_id").alias("b"), "token")

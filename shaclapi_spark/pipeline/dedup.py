@@ -52,6 +52,34 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# the shared stop-bucket defusal
+# ---------------------------------------------------------------------------
+
+def drop_hot_groups(df: DataFrame, key_cols, max_bucket: int) -> DataFrame:
+    """Remove every row belonging to a ``key_cols`` group larger than
+    ``max_bucket`` — the stop-token/stop-bucket defusal shared by all
+    blocked self-joins in this package (banded MinHash, pigeonhole
+    SimHash/dHash, hyperplane embedding bands, video/audio fingerprint
+    tokens). A group that hot makes the downstream candidate equi-join
+    quadratic in the group size; dropping it trades bounded recall
+    (pairs whose ONLY agreement lives in capped groups) for a join that
+    stays linear. Implemented as count → filter > cap → broadcast
+    anti-join, so the big relation never shuffles.
+
+    Callers that consume ``df`` more than once around this (the hot-set
+    aggregate is one extra consumer) persist it at the call site — the
+    helper itself adds no caching."""
+    key_cols = list(key_cols)
+    hot = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > int(max_bucket))
+        .select(*key_cols)
+    )
+    return df.join(F.broadcast(hot), key_cols, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # shingles + exact n-gram Jaccard (also the LSH verification step)
 # ---------------------------------------------------------------------------
 
@@ -276,13 +304,7 @@ def lsh_candidate_pairs(
         ).alias("bk"),
     ).select("doc", "bk.band", "bk.bhash")
     if max_bucket is not None:
-        hot = (
-            bands.groupBy("band", "bhash")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > int(max_bucket))
-            .select("band", "bhash")
-        )
-        bands = bands.join(F.broadcast(hot), ["band", "bhash"], "left_anti")
+        bands = drop_hot_groups(bands, ["band", "bhash"], max_bucket)
     a = bands.select(F.col("doc").alias("a"), "band", "bhash")
     b = bands.select(F.col("doc").alias("b"), "band", "bhash")
     return (
@@ -482,13 +504,7 @@ def pigeonhole_hamming_pairs(
         ).alias("ck"),
     ).select(F.col(id_col), F.col(sig_col), "ck.chunk", "ck.ckey")
     if max_bucket is not None:
-        hot = (
-            chunks.groupBy("chunk", "ckey")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > int(max_bucket))
-            .select("chunk", "ckey")
-        )
-        chunks = chunks.join(F.broadcast(hot), ["chunk", "ckey"], "left_anti")
+        chunks = drop_hot_groups(chunks, ["chunk", "ckey"], max_bucket)
     a = chunks.select(
         F.col(id_col).alias("a"), F.col(sig_col).alias("sig_a"), "chunk", "ckey"
     )

@@ -972,13 +972,9 @@ def video_content_matches(
     )
     t = base
     if max_bucket is not None:
-        hot = (
-            base.groupBy("fhash")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > int(max_bucket))
-            .select("fhash")
-        )
-        t = base.join(F.broadcast(hot), "fhash", "left_anti").persist()
+        from shaclapi_spark.pipeline.dedup import drop_hot_groups
+
+        t = drop_hot_groups(base, ["fhash"], max_bucket).persist()
     try:
         a = t.select(F.col("vid_id").alias("a"), "fhash")
         b = t.select(F.col("vid_id").alias("b"), "fhash")

@@ -615,14 +615,21 @@ def audio_spectral_features(
 def decode_image(blob: bytes) -> "np.ndarray":
     """(h, w, 3) uint8 RGB decode. Uncompressed 24-bit BMP and binary PPM
     (P6) decode natively (pure numpy — pipeline.imagery.decode_image);
-    other containers (jpeg/png/webp) fall through to a Pillow path that
-    stays GATED in this sandbox (library absent)."""
+    OTHER container magics fall through to a Pillow path (gated in this
+    sandbox — library absent). A blob that IS a BMP/PPM container but a
+    variant the native layer rejects does NOT fall through: image_meta /
+    image_ok_sql classify it 'unsupported', and a fallback decode here
+    would break the meta↔decode agreement the validation layer pins.
+    Pillow's own failures are re-raised as ValueError (the module's
+    corrupt-input contract), never as PIL exception types."""
     from shaclapi_spark.pipeline import imagery
 
     try:
         return imagery.decode_image(blob)
     except ValueError:
-        pass  # not BMP/PPM (or corrupt) — try the gated real-codec path
+        b = b"" if blob is None else bytes(blob[:2])
+        if b in (b"BM", b"P6"):
+            raise  # native container, rejected variant — meta agrees
     try:
         import PIL.Image
     except ImportError as exc:
@@ -633,8 +640,11 @@ def decode_image(blob: bytes) -> "np.ndarray":
         ) from exc
     import io
 
-    with PIL.Image.open(io.BytesIO(bytes(blob))) as img:
-        return np.asarray(img.convert("RGB"), dtype=np.uint8)
+    try:
+        with PIL.Image.open(io.BytesIO(bytes(blob))) as img:
+            return np.asarray(img.convert("RGB"), dtype=np.uint8)
+    except Exception as exc:
+        raise ValueError(f"undecodable image blob: {exc}") from exc
 
 
 def sample_video_frames(blob: bytes, every_n: int = 30) -> list:
@@ -647,7 +657,9 @@ def sample_video_frames(blob: bytes, every_n: int = 30) -> list:
     try:
         return imagery.sample_video_frames(blob, every_n)
     except ValueError:
-        pass  # not SGV1 (or corrupt) — try the gated real-codec path
+        b = b"" if blob is None else bytes(blob[:4])
+        if b == b"SGV1":
+            raise  # native container, rejected variant — video_meta agrees
     try:
         import av
     except ImportError as exc:
@@ -657,11 +669,16 @@ def sample_video_frames(blob: bytes, every_n: int = 30) -> list:
         ) from exc
     import io
 
-    out = []
-    with av.open(io.BytesIO(bytes(blob))) as container:
-        for i, frame in enumerate(container.decode(video=0)):
-            if i % every_n == 0:
-                out.append(np.asarray(frame.to_ndarray(format="gray"), dtype=np.uint8))
+    try:
+        out = []
+        with av.open(io.BytesIO(bytes(blob))) as container:
+            for i, frame in enumerate(container.decode(video=0)):
+                if i % every_n == 0:
+                    out.append(
+                        np.asarray(frame.to_ndarray(format="gray"), dtype=np.uint8)
+                    )
+    except Exception as exc:
+        raise ValueError(f"undecodable video blob: {exc}") from exc
     if not out:
         raise ValueError("no video frames decoded")
     return out

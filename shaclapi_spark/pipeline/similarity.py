@@ -372,13 +372,9 @@ def embedding_neardups(
             # the capped path consumes `keys` three times (hot-bucket agg +
             # both join sides) — persist so the Arrow banding pass runs once
             keys = keys_cached = keys.persist()
-            hot = (
-                keys.groupBy("band", "bucket")
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .filter(F.col("__n") > int(max_bucket))
-                .select("band", "bucket")
-            )
-            keys = keys.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+            from shaclapi_spark.pipeline.dedup import drop_hot_groups
+
+            keys = drop_hot_groups(keys, ["band", "bucket"], max_bucket)
         a = keys.select(F.col("__id").alias("id_a"), "band", "bucket")
         b = keys.select(F.col("__id").alias("id_b"), "band", "bucket")
         cand = (

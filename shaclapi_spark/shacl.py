@@ -243,10 +243,17 @@ def star_target_filter(query: str, binding: "ShapeBinding") -> str | None:
     Raises ValueError — listing the offending construct — for star
     queries that reach through links (inverse ``^p`` predicates, paths
     not bound to a row column, variable-vs-variable FILTERs, OPTIONAL/
-    UNION/subqueries): those restrict via joined relations, which a
-    row-filter string cannot express; callers translate them into an
-    explicit ``target_filter``/``target_population`` instead.
+    UNION/subqueries) AND for any body text the translator did not
+    consume (predicate-object ``;`` lists, object ``,`` lists, property
+    paths, exotic FILTER forms): a partially-translated filter would be
+    BROADER than the query, silently validating entities outside the
+    target — the exact failure this function exists to refuse. Callers
+    translate those into an explicit ``target_filter`` /
+    ``target_population`` instead.
     """
+
+    def _sql_str(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
     q = re.sub(r"PREFIX\s+[\w.\-]*:\s*<[^>]*>", "", query, flags=re.IGNORECASE)
     m = re.search(r"SELECT\s+(?:DISTINCT\s+)?(\?\w+)[\s?\w]*WHERE\s*\{(.*)\}",
                   q, re.IGNORECASE | re.DOTALL)
@@ -270,10 +277,10 @@ def star_target_filter(query: str, binding: "ShapeBinding") -> str | None:
                 "explicit target_filter"
             )
         ids = [local_name(t) for t in re.findall(r"<[^>]*>", vm.group(2))]
-        ids += [t.strip("'\"") for t in re.findall(r"'[^']*'|\"[^\"]*\"", vm.group(2))]
+        ids += [t[1:-1] for t in re.findall(r"'[^']*'|\"[^\"]*\"", vm.group(2))]
         if ids:
             conjuncts.append(
-                f"{binding.entity_col} IN ({', '.join(repr(i) for i in ids)})"
+                f"{binding.entity_col} IN ({', '.join(_sql_str(i) for i in ids)})"
             )
         body_wo_values = body_wo_values.replace(vm.group(0), " ")
     body_wo_filters = _FILTER_RE.sub(" ", body_wo_values)
@@ -299,7 +306,9 @@ def star_target_filter(query: str, binding: "ShapeBinding") -> str | None:
                     "target query has a class pattern but the binding has "
                     "no class_column"
                 )
-            conjuncts.append(f"{binding.class_column} = {local_name(obj)!r}")
+            conjuncts.append(
+                f"{binding.class_column} = {_sql_str(local_name(obj))}"
+            )
             continue
         p = local_name(pred)
         if p not in binding.columns:
@@ -313,11 +322,14 @@ def star_target_filter(query: str, binding: "ShapeBinding") -> str | None:
             var_cols[obj] = col
             conjuncts.append(f"{col} IS NOT NULL")
         elif obj.startswith(("'", '"')):
-            conjuncts.append(f"{col} = {obj.strip(chr(39) + chr(34))!r}")
+            # the triple regex guarantees one matching outer quote pair;
+            # strip exactly it (a blanket .strip would eat quote chars
+            # belonging to the literal's content)
+            conjuncts.append(f"{col} = {_sql_str(obj[1:-1])}")
         elif re.fullmatch(r"[+-]?\d+(?:\.\d+)?", obj):
             conjuncts.append(f"{col} = {obj}")
         else:
-            conjuncts.append(f"{col} = {local_name(obj)!r}")
+            conjuncts.append(f"{col} = {_sql_str(local_name(obj))}")
     for fm in _FILTER_RE.finditer(body_wo_values):
         var, op, rhs = fm.group(1), fm.group(2), fm.group(3)
         if rhs.startswith("?"):
@@ -331,14 +343,21 @@ def star_target_filter(query: str, binding: "ShapeBinding") -> str | None:
                 "over a bound column"
             )
         sql_op = {"=": "=", "!=": "<>"}.get(op, op)
-        rhs_sql = repr(rhs.strip("'\"")) if rhs.startswith(("'", '"')) else rhs
+        rhs_sql = _sql_str(rhs[1:-1]) if rhs.startswith(("'", '"')) else rhs
         conjuncts.append(f"{var_cols[var]} {sql_op} {rhs_sql}")
-    leftover = _FILTER_RE.sub(" ", body_wo_filters)
-    leftover = _TRIPLE_RE.sub(" ", leftover)
-    if re.search(r"FILTER", leftover, re.IGNORECASE):
+    # ANY unconsumed body text means the filter would be BROADER than the
+    # query (dropped conjuncts = silently validating outside the target):
+    # predicate-object ';' lists, object ',' lists, property paths 'p/q',
+    # exotic FILTER forms all land here. Only whitespace and the BGP's
+    # '.' separators may remain.
+    leftover = _TRIPLE_RE.sub(" ", body_wo_filters)
+    residue = re.sub(r"[\s.]+", " ", leftover).strip()
+    if residue:
         raise ValueError(
-            "target query contains a FILTER form beyond simple "
-            "variable-vs-literal comparison; bind an explicit target_filter"
+            "target query contains constructs the star translator does "
+            f"not consume (residue: {residue[:120]!r}); a partial "
+            "translation would validate entities outside the target — "
+            "bind an explicit target_filter"
         )
     return " AND ".join(conjuncts) if conjuncts else None
 
@@ -597,13 +616,15 @@ def to_suite(shapes: list[ShaclShape], bindings: dict[str, ShapeBinding]) -> Sui
         b = bindings[s.name]
         target_filter = b.target_filter
         if target_filter is None:
-            values = s.target_values()
             qclass = s.query_target_class()
             star = None
-            if s.target_query and values is None and qclass is None:
-                # general star-shaped BGP (class + column patterns +
-                # FILTERs) → conjunctive row filter; raises with the
-                # offending construct for link-reaching queries
+            if s.target_query and qclass is None:
+                # general star-shaped BGP (VALUES seeds + class + column
+                # patterns + FILTERs) → conjunctive row filter; raises with
+                # the offending construct for link-reaching or partially-
+                # translatable queries. Routed BEFORE the bare-VALUES
+                # extraction: a VALUES-seeded star query must keep its
+                # triple/FILTER conjuncts, not collapse to the IN list.
                 try:
                     star = star_target_filter(s.target_query, b)
                 except ValueError as e:
@@ -611,21 +632,29 @@ def to_suite(shapes: list[ShaclShape], bindings: dict[str, ShapeBinding]) -> Sui
                         f"shape {s.name!r}: targetQuery is neither a "
                         f"VALUES list nor a translatable star query: {e}"
                     ) from None
-                if star is None:
-                    raise ValueError(
-                        f"shape {s.name!r}: targetQuery "
-                        f"{s.target_query!r} is neither a VALUES list, a "
-                        "class pattern, nor a star-shaped BGP; bind an "
-                        "explicit target_filter for this shape (or extend "
-                        "the binding) — refusing to silently validate the "
-                        "full table"
-                    )
+            # bare-VALUES fallback only for target queries the star
+            # translator could not parse as a SELECT at all
+            values = s.target_values() if star is None else None
+            if (
+                s.target_query
+                and qclass is None
+                and star is None
+                and values is None
+            ):
+                raise ValueError(
+                    f"shape {s.name!r}: targetQuery "
+                    f"{s.target_query!r} is neither a VALUES list, a "
+                    "class pattern, nor a star-shaped BGP; bind an "
+                    "explicit target_filter for this shape (or extend "
+                    "the binding) — refusing to silently validate the "
+                    "full table"
+                )
             target_class = s.target_class or qclass
-            if values is not None:
+            if star is not None:
+                target_filter = star
+            elif values is not None:
                 ids = ", ".join(f"'{v}'" for v in values)
                 target_filter = f"{b.entity_col} IN ({ids})"
-            elif star is not None:
-                target_filter = star
             elif target_class and b.class_column:
                 target_filter = f"{b.class_column} = '{target_class}'"
         cs: list[Constraint] = []

@@ -16,18 +16,35 @@ from shaclapi_spark import audio_codec as ac
 
 
 def test_gates_raise_cleanly_when_libs_absent():
-    """Whatever the environment, the gate must either decode or raise
-    NotImplementedError naming the missing library — never a random
-    ImportError/AttributeError escaping to the caller."""
+    """Whatever the environment, the gate must either raise
+    NotImplementedError naming the missing library or ValueError (the
+    corrupt-input contract) — never a foreign library exception."""
     blob = b"\x00" * 64  # not RIFF, not SGA1
-    try:
+    with pytest.raises((NotImplementedError, ValueError)) as ei:
         ac.decode_external(blob, "mp3")
-    except NotImplementedError as e:
-        assert "soundfile" in str(e)
-    except Exception:
-        # soundfile present: garbage bytes must fail as a decode error,
-        # which soundfile raises as RuntimeError/sf.LibsndfileError
-        pass
+    if ei.type is NotImplementedError:
+        assert "soundfile" in str(ei.value)
+
+
+def test_native_container_variants_never_fall_through_to_pillow():
+    """A BMP/PPM blob the native decoder rejects (unsupported variant /
+    truncated) must raise ValueError from multimodal.decode_image in ANY
+    environment — falling through to Pillow would decode rows the
+    validation layer (image_meta/image_ok_sql) classifies 'unsupported',
+    breaking the meta-vs-decode agreement."""
+    import struct
+
+    from shaclapi_spark.pipeline import imagery as im
+    from shaclapi_spark.pipeline import multimodal as mm
+
+    good = bytearray(im.encode_bmp(im.synth_pixels(5, 8, 6)))
+    bpp32 = bytes(good[:28]) + struct.pack("<H", 32) + bytes(good[30:])
+    with pytest.raises(ValueError):
+        mm.decode_image(bpp32)
+    with pytest.raises(ValueError):
+        mm.decode_image(bytes(good[:30]))  # truncated BMP
+    with pytest.raises(ValueError):
+        mm.sample_video_frames(b"SGV1" + b"\x00" * 4)  # truncated SGV1
 
 
 def test_flac_roundtrip_via_soundfile():

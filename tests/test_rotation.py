@@ -45,10 +45,15 @@ def test_rotation_orders_pinned_then_never_then_stalest():
 
 
 def test_red_row_reenters_window(tmp_path):
-    """A regression (red row in the newest file) must outrank green
-    entries from the same round in the staleness order."""
+    """A key whose LATEST check is red is a known regression: it must
+    rank as never-verified (dropped from the verified map), not sit at
+    its last-green round's rank behind the backlog."""
     _write(tmp_path, 1, {"x": GREEN, "y": GREEN})
     _write(tmp_path, 2, {"x": GREEN, "y": RED})
     got = entry_mod._driver_verified_rounds(str(tmp_path))
     assert got["x"] == 2
-    assert got["y"] == 1  # falls back to its last green round
+    assert "y" not in got  # regressed → re-enters the window immediately
+    # ...and a later green restores it
+    _write(tmp_path, 3, {"y": GREEN})
+    got = entry_mod._driver_verified_rounds(str(tmp_path))
+    assert got["y"] == 3

@@ -472,3 +472,54 @@ def test_star_query_unbound_predicate_raises():
         star_target_filter(
             "SELECT ?x WHERE { ?x <http://ex/unmapped> ?v }", _star_binding()
         )
+
+
+def test_star_query_semicolon_list_raises_not_drops():
+    """Predicate-object ';' lists are not consumed by the translator —
+    it must RAISE (a dropped conjunct would broaden the target), never
+    return a partial filter."""
+    from shaclapi_spark.shacl import star_target_filter
+
+    q = "SELECT ?x WHERE { ?x a <http://ex/Widget> ; <http://ex/status> 'live' . }"
+    with pytest.raises(ValueError, match="residue"):
+        star_target_filter(q, _star_binding())
+
+
+def test_star_query_property_path_raises_not_drops():
+    from shaclapi_spark.shacl import star_target_filter
+
+    q = "SELECT ?x WHERE { ?x <http://ex/a>/<http://ex/b> ?v . ?x <http://ex/name> ?n }"
+    with pytest.raises(ValueError, match="residue"):
+        star_target_filter(q, _star_binding())
+
+
+def test_values_seeded_star_query_keeps_conjuncts_in_to_suite():
+    """to_suite must route a VALUES-seeded star query through the star
+    translator (keeping triple conjuncts), not collapse it to the bare
+    VALUES IN-list."""
+    shapes = parse_shacl(
+        """@prefix : <http://example.org/> .
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+:S a sh:NodeShape ;
+  sh:targetQuery "SELECT ?x WHERE { ?x :status 'live' . VALUES ?x { <http://ex/e1> <http://ex/e2> } }" ;
+  sh:property [ sh:path :name ; sh:minCount 1 ] ."""
+    )
+    suite = to_suite(shapes, {"S": _star_binding()})
+    assert suite.shape("S").target_filter == (
+        "id IN ('e1', 'e2') AND status = 'live'"
+    )
+
+
+def test_star_query_literal_quoting_is_sql_safe():
+    """Literal content keeps embedded/other-type quotes; output uses SQL
+    escaping (doubled single quotes), not Python repr."""
+    from shaclapi_spark.shacl import star_target_filter
+
+    got = star_target_filter(
+        'SELECT ?x WHERE { ?x <http://ex/status> "\'beta\'" }', _star_binding()
+    )
+    assert got == "status = '''beta'''"  # 6-char value 'beta' incl. quotes
+    got2 = star_target_filter(
+        "SELECT ?x WHERE { ?x <http://ex/name> \"O'Brien\" }", _star_binding()
+    )
+    assert got2 == "name = 'O''Brien'"
