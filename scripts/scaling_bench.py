@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 import zipfile
@@ -215,13 +216,18 @@ def write_bench(
         + (" (target ≥ 0.8: MET)" if eff >= 0.8 else " (target ≥ 0.8: NOT met)"),
         "",
     ]
-    # preserve the headline-suite section (maintained by hand from bench.py
-    # runs) — only the scaling-evidence block above it is regenerated
+    # preserve EVERYTHING from the first hand-maintained section onward
+    # (headline suites, sf1 passes, history) — only the scaling-evidence
+    # block above it is regenerated. The first "## " heading after the
+    # protocol preamble is the cut point; cutting at a specific section
+    # title silently deleted sections inserted between it and the table
+    # (round-5 incident: the sf1 all-families section vanished).
     bench_path = os.path.join(REPO, "BENCH.md")
     tail = ""
     if os.path.exists(bench_path):
         old = open(bench_path).read()
-        marker = old.find("## Headline suite")
+        m = re.search(r"^## ", old, re.MULTILINE)
+        marker = m.start() if m else -1
         if marker != -1:
             tail = old[marker:]
     with open(bench_path, "w") as fh:
