@@ -1262,6 +1262,27 @@ def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardups_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB scale path of embedding near-dup: corpus-derived band
+    geometry (neardup_band_geometry — band_bits grows ~log2(n) so random
+    candidates stay ~linear) + the drop_hot_groups stop-bucket cap.
+    Precision 1.0 by construction (exact-cosine verification); with
+    seed=7, LSH recall at cosine>=0.5 is 1.0 on every driver fixture
+    (verified against the exact all-pairs relation at sf
+    0.001/0.01/0.1), so the brute-force SQL is a full value oracle —
+    same justification as embedding_neardups."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = sim.embedding_neardups(
+        e, "vec_id", "embedding", dim=64, threshold=0.5,
+        max_bucket=4096, seed=7,
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("cosine") * 1e6).cast("long").alias("cosine_e6"),
+    )
+
+
 def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _clip_tables(spark, sf_dir)
     meta = mm.audio_metadata(t["clips"])
@@ -2076,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch_topk": q_ann_batch_topk,
         "ivf_batch_topk": q_ivf_batch_topk,
         "embedding_neardups": q_embedding_neardups,
+        "embedding_neardups_auto": q_embedding_neardups_auto,
         "audio_meta": q_audio_meta,
         "audio_frames": q_audio_frames,
         "clip_loudness": q_clip_loudness,
@@ -4638,6 +4660,16 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cosine_e6
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+""",
+        # embedding_neardups_auto: the auto-geometry + stop-bucket scale
+        # path; recall 1.0 at cosine>=0.5 with seed=7 on the driver
+        # fixtures (see q_embedding_neardups_auto), so exact all-pairs is
+        # again a full value oracle.
+        "embedding_neardups_auto": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cosine_e6
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5
 """,
         "audio_meta": _audio_meta_sql(),
         "clip_summary": f"""
