@@ -248,3 +248,28 @@ def test_dhash_brightness_invariance(w, h, shift, seed):
     assert im.dhash_pixels(pix) == im.dhash_pixels(shifted)
     v = im.dhash_pixels(pix)
     assert -(1 << 63) <= v < (1 << 63)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=10**12),
+    threshold=st.floats(min_value=0.3, max_value=0.99),
+)
+@settings(max_examples=200, deadline=None)
+def test_neardup_band_geometry_invariants(n, threshold):
+    """Auto band geometry: occupancy bounded (until the bit clamp),
+    band_bits monotone in n, n_bands >= 1, and the recall law holds at
+    the returned geometry."""
+    from shaclapi_spark.pipeline.similarity import neardup_band_geometry
+
+    n_bands, band_bits = neardup_band_geometry(n, threshold)
+    assert n_bands >= 1 and 6 <= band_bits <= 24
+    if band_bits < 24:  # below the clamp the occupancy target binds
+        assert n / 2**band_bits <= 64 + 1e-9
+    # monotone: more vectors never means fewer bits
+    nb2, bits2 = neardup_band_geometry(min(n * 10, 10**13), threshold)
+    assert bits2 >= band_bits
+    # the geometry must actually deliver the target recall at the
+    # threshold cosine (the law the docstring states)
+    p = 1.0 - math.acos(threshold) / math.pi
+    recall = 1.0 - (1.0 - p**band_bits) ** n_bands
+    assert recall >= 0.99 - 1e-6
