@@ -531,14 +531,20 @@ def simhash_neardups(
     max_hamming: int = 3,
     bits: int = 64,
     hash_fn: str = "xxhash64",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming via
     :func:`pigeonhole_hamming_pairs` — output equals the brute-force
-    all-pairs relation exactly. The signature DataFrame (one `bits`-agg
-    groupBy) feeds both sides of the self-join, so it is persisted —
-    without it the whole token explode + groupBy runs twice."""
+    all-pairs relation exactly (with ``max_bucket`` set, minus pairs
+    whose only chunk agreement lives in capped buckets — the stop-bucket
+    passthrough, same as every other blocked join here). The signature
+    DataFrame (one `bits`-agg groupBy) feeds both sides of the
+    self-join, so it is persisted — without it the whole token explode +
+    groupBy runs twice."""
     sh = simhash(df, id_col, text_col, bits, hash_fn).persist()
-    return pigeonhole_hamming_pairs(sh, "doc", "simhash", max_hamming, bits)
+    return pigeonhole_hamming_pairs(
+        sh, "doc", "simhash", max_hamming, bits, max_bucket=max_bucket
+    )
 
 
 # ---------------------------------------------------------------------------

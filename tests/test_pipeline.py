@@ -266,6 +266,14 @@ def test_simhash_neardups(spark, planted):
     pairs = {(r.a, r.b): r.hamming for r in dedup.simhash_neardups(planted, "doc_id", max_hamming=3).collect()}
     assert pairs[(100, 101)] == 0  # identical text → identical simhash
     assert all(h <= 3 for h in pairs.values())
+    # max_bucket passthrough: a generous cap is a no-op
+    capped = {
+        (r.a, r.b)
+        for r in dedup.simhash_neardups(
+            planted, "doc_id", max_hamming=3, max_bucket=10_000
+        ).collect()
+    }
+    assert capped == set(pairs)
 
 
 def test_brute_force_topk_matches_duckdb(spark, emb):
