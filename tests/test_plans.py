@@ -259,3 +259,20 @@ def test_source_overlap_digest_only_shuffle(spark, docs):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1)
+
+
+def test_drop_hot_groups_is_broadcast_anti_join(spark, docs):
+    """The stop-bucket defusal must execute as a BROADCAST anti-join —
+    the big relation never shuffles for the hot-set subtraction. A
+    refactor that degrades it to a sort-merge/shuffled-hash anti-join
+    re-introduces a corpus-wide exchange at exactly the scale the cap
+    exists for."""
+    from shaclapi_spark.pipeline.dedup import drop_hot_groups
+
+    keyed = docs.select("doc_id", F.col("lang").alias("k"))
+    plan = _plan(drop_hot_groups(keyed, ["k"], 10))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    # the only exchanges are the hot-set aggregate's own (small side) +
+    # its broadcast; the probe side reads straight from the scan
+    assert "BroadcastExchange" in plan
