@@ -288,7 +288,12 @@ def star_target_filter(query: str, binding: "ShapeBinding") -> str | None:
     if not triples:
         return " AND ".join(conjuncts) if conjuncts else None
     subjects = {s for s, _, _ in triples}
-    if subjects != {target_var}:
+    if len(subjects) == 1 and not (center := subjects.copy().pop()).startswith("?"):
+        # constant-IRI center (reference make_starshaped query.py:103-110):
+        # rewrite to a VALUES-seeded star around the entity — here, an
+        # entity-equality conjunct plus the patterns as usual
+        conjuncts.append(f"{binding.entity_col} = {_sql_str(local_name(center))}")
+    elif subjects != {target_var}:
         raise ValueError(
             f"target query is not star-shaped around {target_var} "
             f"(subjects: {sorted(subjects)}); bind an explicit target_filter"

@@ -523,3 +523,14 @@ def test_star_query_literal_quoting_is_sql_safe():
         "SELECT ?x WHERE { ?x <http://ex/name> \"O'Brien\" }", _star_binding()
     )
     assert got2 == "name = 'O''Brien'"
+
+
+def test_star_query_constant_center():
+    """Reference make_starshaped (query.py:103-110): a star query whose
+    center is a constant IRI targets exactly that entity — translated to
+    an entity-equality conjunct plus the usual pattern conjuncts."""
+    from shaclapi_spark.shacl import star_target_filter
+
+    q = "SELECT ?p WHERE { <http://ex/e1> <http://ex/name> ?p . FILTER(?p != 'x') }"
+    got = star_target_filter(q, _star_binding())
+    assert got == "id = 'e1' AND name IS NOT NULL AND name <> 'x'"
