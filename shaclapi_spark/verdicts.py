@@ -63,14 +63,27 @@ def summarize(verdicts: DataFrame, n_buckets: int = 64) -> DataFrame:
     )
 
 
-def verdict_sets(verdicts: DataFrame, target_shapes: list[str] | None = None):
+def verdict_sets(
+    verdicts: DataFrame,
+    target_shapes: list[str] | None = None,
+    max_rows: int = 1_000_000,
+):
     """Driver-side golden-test helper: sorted (entity_id, shape) pairs for
     valid/invalid — the reference's order-insensitive compare
-    (tests/test_main.py:229-246 analog). Only for small fixtures."""
+    (tests/test_main.py:229-246 analog). Only for small fixtures;
+    ``max_rows`` makes the bound explicit — collecting one row past it
+    raises instead of silently materializing a production-size verdict
+    relation on the driver."""
     df = verdicts
     if target_shapes is not None:
         df = df.filter(F.col("shape").isin(target_shapes))
-    rows = df.select("entity_id", "shape", "is_valid").collect()
+    rows = df.select("entity_id", "shape", "is_valid").limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"verdict_sets collected more than max_rows={max_rows} rows — "
+            "this helper is for golden-test fixtures; aggregate verdicts "
+            "distributedly (summarize/violations) for production relations"
+        )
     valid = sorted((r.entity_id, r.shape) for r in rows if r.is_valid)
     invalid = sorted((r.entity_id, r.shape) for r in rows if not r.is_valid)
     return valid, invalid
