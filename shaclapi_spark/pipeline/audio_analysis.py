@@ -55,6 +55,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from shaclapi_spark.pipeline.dedup import drop_hot_groups
+
 ZCR_SCHEMA = StructType(
     [
         StructField("clip_id", StringType()),
@@ -510,8 +512,6 @@ def fingerprint_matches(
         # base stays persisted until the checkpoint materializes: the hot-
         # token aggregate AND the anti-join both read it, and an early
         # unpersist would recompute the corpus distinct() for each
-        from shaclapi_spark.pipeline.dedup import drop_hot_groups
-
         t = drop_hot_groups(base, ["token"], max_bucket).persist()
     try:
         a = t.select(F.col("clip_id").alias("a"), "token")

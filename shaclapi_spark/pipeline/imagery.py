@@ -48,6 +48,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
+from shaclapi_spark.pipeline.dedup import drop_hot_groups
+
 # ---------------------------------------------------------------------------
 # deterministic synthesis (fixture side — pure numpy, no Spark)
 # ---------------------------------------------------------------------------
@@ -972,8 +974,6 @@ def video_content_matches(
     )
     t = base
     if max_bucket is not None:
-        from shaclapi_spark.pipeline.dedup import drop_hot_groups
-
         t = drop_hot_groups(base, ["fhash"], max_bucket).persist()
     try:
         a = t.select(F.col("vid_id").alias("a"), "fhash")

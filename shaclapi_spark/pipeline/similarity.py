@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
+from shaclapi_spark.pipeline.dedup import drop_hot_groups
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -372,8 +374,6 @@ def embedding_neardups(
             # the capped path consumes `keys` three times (hot-bucket agg +
             # both join sides) — persist so the Arrow banding pass runs once
             keys = keys_cached = keys.persist()
-            from shaclapi_spark.pipeline.dedup import drop_hot_groups
-
             keys = drop_hot_groups(keys, ["band", "bucket"], max_bucket)
         a = keys.select(F.col("__id").alias("id_a"), "band", "bucket")
         b = keys.select(F.col("__id").alias("id_b"), "band", "bucket")

@@ -259,6 +259,17 @@ def star_target_filter(query: str, binding: "ShapeBinding") -> str | None:
                   q, re.IGNORECASE | re.DOTALL)
     if not m:
         return None
+    # anything outside the WHERE block (LIMIT/OFFSET/GROUP BY/HAVING
+    # solution modifiers, BASE decls) changes the target set in ways a
+    # row filter cannot express — refuse, same broadening argument as
+    # the in-body residue check below
+    outside = (q[: m.start()] + q[m.end():]).strip()
+    if outside:
+        raise ValueError(
+            "target query has text outside the SELECT/WHERE block "
+            f"({outside[:80]!r}); a row filter cannot express solution "
+            "modifiers — bind an explicit target_filter"
+        )
     target_var, body = m.group(1), m.group(2)
     for bad in ("OPTIONAL", "UNION", "SELECT", "MINUS", "GRAPH"):
         if re.search(rf"\b{bad}\b", body, re.IGNORECASE):
@@ -276,12 +287,29 @@ def star_target_filter(query: str, binding: "ShapeBinding") -> str | None:
                 f"VALUES on non-target variable {vm.group(1)}; bind an "
                 "explicit target_filter"
             )
-        ids = [local_name(t) for t in re.findall(r"<[^>]*>", vm.group(2))]
-        ids += [t[1:-1] for t in re.findall(r"'[^']*'|\"[^\"]*\"", vm.group(2))]
-        if ids:
-            conjuncts.append(
-                f"{binding.entity_col} IN ({', '.join(_sql_str(i) for i in ids)})"
+        # tokenize the VALUES interior completely — an entry the extractor
+        # does not recognize must RAISE, not vanish (a dropped seed makes
+        # the filter narrower, a dropped-then-ignored clause broader)
+        terms: list[str] = []
+        for tok in vm.group(2).split():
+            if tok.startswith("<") and tok.endswith(">"):
+                terms.append(_sql_str(local_name(tok)))
+            elif tok.startswith(("'", '"')) and tok.endswith(tok[0]) and len(tok) >= 2:
+                terms.append(_sql_str(tok[1:-1]))
+            elif re.fullmatch(r"[+-]?\d+(?:\.\d+)?", tok):
+                terms.append(tok)  # numeric ids pass through unquoted
+            elif re.fullmatch(r"[\w.\-]*:[\w.\-]+", tok):
+                terms.append(_sql_str(local_name(tok)))
+            else:
+                raise ValueError(
+                    f"unrecognized VALUES entry {tok!r}; bind an explicit "
+                    "target_filter"
+                )
+        if not terms:
+            raise ValueError(
+                "empty VALUES target list; bind an explicit target_filter"
             )
+        conjuncts.append(f"{binding.entity_col} IN ({', '.join(terms)})")
         body_wo_values = body_wo_values.replace(vm.group(0), " ")
     body_wo_filters = _FILTER_RE.sub(" ", body_wo_values)
     triples = _TRIPLE_RE.findall(body_wo_filters)
@@ -608,14 +636,18 @@ def to_suite(shapes: list[ShaclShape], bindings: dict[str, ShapeBinding]) -> Sui
     """Bind parsed SHACL shapes onto tables, producing an engine Suite.
 
     Target resolution, in precedence order: an explicit
-    ``ShapeBinding.target_filter`` override; a ``VALUES`` list extracted
-    from ``sh:targetQuery``; the simple class-pattern query / ``sh:
-    targetClass`` realized through ``class_column``. A shape carrying a
-    targetQuery that is NEITHER a VALUES list NOR a class pattern raises —
-    silently validating the full table would be a wrong (too-broad) answer
-    for a restrictive query (the reference accepts arbitrary SPARQL there;
-    this engine needs the caller to translate such a query into a
-    ``target_filter`` over the bound table)."""
+    ``ShapeBinding.target_filter`` override; the simple class-pattern
+    query (leniently via ``class_column``, None filter when unbound —
+    the redundant targetDef.query/targetDef.class JSON case); the
+    star-shaped BGP translator :func:`star_target_filter` (which also
+    consumes VALUES-seeded star queries, KEEPING their pattern
+    conjuncts); a bare ``VALUES`` list extraction for target queries the
+    translator cannot parse as a SELECT; ``sh:targetClass`` via
+    ``class_column``. A targetQuery none of these can fully translate
+    raises — silently validating the full table would be a wrong
+    (too-broad) answer for a restrictive query (the reference accepts
+    arbitrary SPARQL there; this engine needs the caller to translate
+    such a query into a ``target_filter`` over the bound table)."""
     out: list[Shape] = []
     for s in shapes:
         b = bindings[s.name]
@@ -638,13 +670,15 @@ def to_suite(shapes: list[ShaclShape], bindings: dict[str, ShapeBinding]) -> Sui
                         f"VALUES list nor a translatable star query: {e}"
                     ) from None
             # bare-VALUES fallback only for target queries the star
-            # translator could not parse as a SELECT at all
+            # translator could not parse as a SELECT at all; an EMPTY
+            # extracted list is unusable (would render 'IN ()') and
+            # falls through to the raise
             values = s.target_values() if star is None else None
             if (
                 s.target_query
                 and qclass is None
                 and star is None
-                and values is None
+                and not values
             ):
                 raise ValueError(
                     f"shape {s.name!r}: targetQuery "
@@ -657,7 +691,7 @@ def to_suite(shapes: list[ShaclShape], bindings: dict[str, ShapeBinding]) -> Sui
             target_class = s.target_class or qclass
             if star is not None:
                 target_filter = star
-            elif values is not None:
+            elif values:
                 ids = ", ".join(f"'{v}'" for v in values)
                 target_filter = f"{b.entity_col} IN ({ids})"
             elif target_class and b.class_column:

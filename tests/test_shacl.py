@@ -534,3 +534,46 @@ def test_star_query_constant_center():
     q = "SELECT ?p WHERE { <http://ex/e1> <http://ex/name> ?p . FILTER(?p != 'x') }"
     got = star_target_filter(q, _star_binding())
     assert got == "id = 'e1' AND name IS NOT NULL AND name <> 'x'"
+
+
+def test_star_query_curie_and_numeric_values_entries():
+    """CURIE and numeric VALUES entries are recognized (not dropped);
+    an unrecognizable entry raises."""
+    from shaclapi_spark.shacl import star_target_filter
+
+    got = star_target_filter(
+        "SELECT ?x WHERE { ?x <http://ex/name> ?n . VALUES ?x { ex:e1 7 } }",
+        _star_binding(),
+    )
+    assert got == "id IN ('e1', 7) AND name IS NOT NULL"
+    with pytest.raises(ValueError, match="unrecognized VALUES entry"):
+        star_target_filter(
+            "SELECT ?x WHERE { ?x <http://ex/name> ?n . VALUES ?x { ??bad } }",
+            _star_binding(),
+        )
+
+
+def test_star_query_solution_modifiers_raise():
+    """LIMIT/OFFSET/GROUP BY after the WHERE block change the target set
+    in ways a row filter cannot express — must raise, not silently
+    broaden."""
+    from shaclapi_spark.shacl import star_target_filter
+
+    with pytest.raises(ValueError, match="outside the SELECT/WHERE"):
+        star_target_filter(
+            "SELECT ?x WHERE { ?x <http://ex/name> ?n } LIMIT 5", _star_binding()
+        )
+
+
+def test_bare_values_with_no_recognizable_ids_raises_in_to_suite():
+    """A targetQuery that is a bare VALUES clause with no extractable
+    IRIs must raise the binding-time error, not render 'id IN ()'."""
+    shapes = parse_shacl(
+        """@prefix : <http://example.org/> .
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+:S a sh:NodeShape ;
+  sh:targetQuery "VALUES ?x { ex:e1 }" ;
+  sh:property [ sh:path :name ; sh:minCount 1 ] ."""
+    )
+    with pytest.raises(ValueError, match="'S'"):
+        to_suite(shapes, {"S": _star_binding()})
