@@ -273,3 +273,54 @@ def test_neardup_band_geometry_invariants(n, threshold):
     p = 1.0 - math.acos(threshold) / math.pi
     recall = 1.0 - (1.0 - p**band_bits) ** n_bands
     assert recall >= 0.99 - 1e-6
+
+
+@given(st.text(min_size=0, max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_star_target_filter_total_on_arbitrary_text(q):
+    """The translator is TOTAL over arbitrary input: it returns None
+    (not a star SELECT), a string, or raises ValueError — never any
+    other exception type (it parses user-supplied shape files)."""
+    from shaclapi_spark.shacl import ShapeBinding, star_target_filter
+
+    b = ShapeBinding(
+        table="t", entity_col="id", class_column="cls",
+        columns={"name": "name", "score": "score"},
+    )
+    try:
+        out = star_target_filter(q, b)
+    except ValueError:
+        return
+    assert out is None or isinstance(out, str)
+
+
+@given(
+    use_class=st.booleans(),
+    lit=st.text(
+        alphabet=st.characters(blacklist_characters="'\"\\{}?<>", min_codepoint=32, max_codepoint=126),
+        min_size=1, max_size=12,
+    ),
+    threshold=st.integers(min_value=0, max_value=99),
+)
+@settings(max_examples=100, deadline=None)
+def test_star_target_filter_roundtrip_structured(use_class, lit, threshold):
+    """Structured star queries translate to exactly the expected
+    conjunction — no conjunct dropped, none invented."""
+    from shaclapi_spark.shacl import ShapeBinding, star_target_filter
+
+    b = ShapeBinding(
+        table="t", entity_col="id", class_column="cls",
+        columns={"name": "name", "score": "score"},
+    )
+    parts = []
+    expected = []
+    if use_class:
+        parts.append("?x a <http://ex/W> .")
+        expected.append("cls = 'W'")
+    parts.append(f"?x <http://ex/name> '{lit}' .")
+    expected.append(f"name = '{lit}'")
+    parts.append(f"?x <http://ex/score> ?s . FILTER(?s >= {threshold})")
+    expected.append("score IS NOT NULL")
+    expected.append(f"score >= {threshold}")
+    q = "SELECT ?x WHERE { " + " ".join(parts) + " }"
+    assert star_target_filter(q, b) == " AND ".join(expected)
